@@ -1,0 +1,320 @@
+"""Reference-parity operators (SURVEY.md §2) over the driver testdata.
+
+The reference's queryable surface is four HiveQL queries over room-sensor
+time series (reference `hive.py:49-99`). Per FIXTURES.md §4 the driver's
+`events` table (event_id, ts, user_id, event_type, value, props) stands in
+for the readings time series: `event_type` plays the role of `room`,
+`value` the sensor measurement, `ts` the reading timestamp.
+
+Every operator here is a pure DataFrame expression — no UDFs, no RDDs —
+so Catalyst gets full pushdown/pruning and whole-stage codegen. Each
+callable has signature (spark, sf_dir) -> DataFrame and a DuckDB oracle
+twin in ORACLES with identical column names/semantics.
+
+Determinism notes:
+  - Q1's `unix_timestamp()` (wall-clock now, reference `hive.py:53`) is
+    parameterized as the fixed AS_OF below — the reference's own Q1 is
+    untestable as written (SURVEY.md §7 hard-part #1).
+  - double SUM/AVG go through the exact-decimal reduction in
+    functions/numeric.py so value-hashes match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.functions.numeric import davg, sql_davg
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+# Fixed "now" for the reference's relative time-range predicate
+# (`hive.py:53`: unix_timestamp(ts) >= unix_timestamp() - 3600).
+# events spans 2024-01-01 .. 2024-01-30T23:57 — this AS_OF makes the
+# "last hour" window the final hour of the dataset.
+AS_OF = "2024-01-31 00:00:00"
+
+# The reference tags six room branches; events has five event types that
+# play the same role (reference `hive.py:20-27`).
+EVENT_TAGS = ("click", "view", "purchase", "error", "signup")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1 — time-range filter scan (reference `hive.py:50-54`).
+# Catalyst pushes `ts >= literal` into the parquet scan (min/max row-group
+# skipping); at 100 TB this is the difference between a full scan and
+# reading one partition's tail.
+def q1_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    as_of_epoch = F.unix_timestamp(F.lit(AS_OF).cast("timestamp"))
+    return events.filter(F.unix_timestamp("ts") >= as_of_epoch - 3600).select(
+        "event_id", "value", "ts"
+    )
+
+
+Q1_SQL = f"""
+SELECT event_id, value, ts
+FROM events
+WHERE ts >= TIMESTAMP '{AS_OF}' - INTERVAL 1 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 — hourly AVG + ORDER BY (reference `hive.py:55-60`).
+# groupBy(hour) is a partial-aggregated shuffle on ≤24 keys — map-side
+# combine reduces 100 TB of rows to 24·#tasks partials before the shuffle.
+def q2_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.hour("ts").alias("hour_bucket"))
+        .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("n"))
+        .orderBy("hour_bucket")
+    )
+
+
+Q2_SQL = f"""
+SELECT CAST(hour(ts) AS INTEGER) AS hour_bucket,
+       {sql_davg("value")} AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 — N-way UNION ALL + CUBE multi-aggregate (reference `hive.py:61-83`).
+# The union of literal-tagged branches reproduces U1/P3 exactly; Catalyst
+# collapses the N filtered scans of the same file back into parquet scans
+# with pushed disjoint predicates. grouping() flags disambiguate rolled-up
+# NULLs from data NULLs (SURVEY.md §7 hard-part #2).
+def q3_union_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    branches = [
+        events.filter(F.col("event_type") == tag).select(
+            F.lit(tag).alias("tag"),
+            F.hour("ts").alias("hr"),
+            F.col("value"),
+        )
+        for tag in EVENT_TAGS
+    ]
+    unioned = reduce(DataFrame.unionByName, branches)
+    return (
+        unioned.cube("tag", "hr")
+        .agg(
+            davg("value", "avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("tag").cast("int").alias("g_tag"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+        )
+    )
+
+
+def _q3_branch(tag: str) -> str:
+    return (
+        f"SELECT '{tag}' AS tag, CAST(hour(ts) AS INTEGER) AS hr, value "
+        f"FROM events WHERE event_type = '{tag}'"
+    )
+
+
+Q3_SQL = f"""
+WITH unioned AS (
+  {" UNION ALL ".join(_q3_branch(t) for t in EVENT_TAGS)}
+)
+SELECT tag, hr,
+       {sql_davg("value")} AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n,
+       CAST(GROUPING(tag) AS INTEGER) AS g_tag,
+       CAST(GROUPING(hr) AS INTEGER) AS g_hr
+FROM unioned
+GROUP BY CUBE (tag, hr)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 — inner equi-join of two aggregated subqueries (reference
+# `hive.py:84-98`). Both sides aggregate to ≤24 rows before the join, so
+# AQE converts the join to broadcast-hash at runtime — the shape that was
+# the reference's most expensive query (PDF §5) is O(agg) here.
+def q4_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+
+    def hourly(tag: str, alias: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == tag)
+            .groupBy(F.hour("ts").alias("hour_bucket"))
+            .agg(davg("value", alias))
+        )
+
+    clicks = hourly("click", "avg_click")
+    views = hourly("view", "avg_view")
+    return (
+        clicks.join(views, "hour_bucket", "inner")
+        .select(
+            "hour_bucket",
+            "avg_click",
+            "avg_view",
+            (F.col("avg_click") - F.col("avg_view")).alias("click_minus_view"),
+        )
+        .orderBy("hour_bucket")
+    )
+
+
+Q4_SQL = f"""
+WITH clicks AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour_bucket, {sql_davg("value")} AS avg_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+views AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour_bucket, {sql_davg("value")} AS avg_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT c.hour_bucket, c.avg_click, v.avg_view,
+       c.avg_click - v.avg_view AS click_minus_view
+FROM clicks c JOIN views v ON c.hour_bucket = v.hour_bucket
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 — plain N-way UNION ALL with literal tags (reference `hive.py:69-81`),
+# kept separate from Q3 for operator-level parity testing.
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    branches = [
+        events.filter(F.col("event_type") == tag).select(
+            "event_id", F.lit(tag).alias("tag"), "value"
+        )
+        for tag in ("click", "view")
+    ]
+    return reduce(DataFrame.unionByName, branches)
+
+
+U1_SQL = """
+SELECT event_id, 'click' AS tag, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'view' AS tag, value FROM events WHERE event_type = 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# P5 — null-drop (reference `insert.py:77` df.dropna(how='any')).
+def p5_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.na.drop("any").select("event_id", "user_id", "value")
+
+
+P5_SQL = """
+SELECT event_id, user_id, value
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# P6 — seeded Bernoulli sample (reference `insert.py:79-81`,
+# fraction 0.5 / seed 42). RNG streams differ across engines, so this has
+# no value-level oracle — the driver records a rows-only check. The sample
+# is still deterministic within Spark for a fixed seed and partitioning.
+def p6_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.sample(fraction=0.5, seed=42).select("event_id", "value")
+
+
+# --------------------------------------------------------------------------
+# O1+ — deterministic top-k (reference has ORDER BY only, `hive.py:59`;
+# top-k is the idiomatic scale-safe variant: per-partition local top-k,
+# then a k-row merge on the driver — no global sort of 100 TB).
+def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# F1-F15 scalar-function suite (reference §2.8) in one projection.
+# All JVM-side built-ins — stays inside whole-stage codegen.
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 500).select(
+        "event_id",
+        # F1 unix_timestamp(ts): timestamp → whole epoch seconds
+        F.unix_timestamp("ts").alias("epoch_s"),
+        # F3 hour extraction
+        F.hour("ts").alias("hr"),
+        # F7 case mapping
+        F.upper("event_type").alias("type_upper"),
+        # F5 rowkey synthesis {entity}_{ts} (reference `insert.py:85`)
+        F.concat_ws(
+            "_", "event_type", F.col("user_id").cast("string")
+        ).alias("rowkey"),
+        # F8 timestamp formatting
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        # F4 lenient numeric cast (truncation semantics pinned explicitly)
+        F.col("value").cast("int").alias("value_int"),
+        # F14 split + arity check (malformed-row filter P7 shape)
+        F.size(F.split("props", ":")).alias("n_fields"),
+        # F15 arithmetic
+        (F.col("value") * 2.0 + 1.0).alias("value_scaled"),
+    )
+
+
+SCALAR_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       upper(event_type) AS type_upper,
+       event_type || '_' || CAST(user_id AS VARCHAR) AS rowkey,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(trunc(value) AS INTEGER) AS value_int,
+       CAST(len(string_split(props, ':')) AS INTEGER) AS n_fields,
+       value * 2.0 + 1.0 AS value_scaled
+FROM events
+WHERE event_id < 500
+"""
+
+
+QUERIES = {
+    "q1_time_filter": q1_time_filter,
+    "q2_hourly_avg": q2_hourly_avg,
+    "q3_union_cube": q3_union_cube,
+    "q4_join_hourly": q4_join_hourly,
+    "u1_union_all": u1_union_all,
+    "p5_dropna": p5_dropna,
+    "p6_sample_seeded": p6_sample_seeded,
+    "topk_events": topk_events,
+    "scalar_suite": scalar_suite,
+}
+
+ORACLES = {
+    "q1_time_filter": Q1_SQL,
+    "q2_hourly_avg": Q2_SQL,
+    "q3_union_cube": Q3_SQL,
+    "q4_join_hourly": Q4_SQL,
+    "u1_union_all": U1_SQL,
+    "p5_dropna": P5_SQL,
+    # p6_sample_seeded: engine-specific RNG — rows-only check by design
+    "topk_events": TOPK_SQL,
+    "scalar_suite": SCALAR_SQL,
+}

@@ -1,0 +1,55 @@
+"""Aggregated query/oracle registry — the driver contract's backing store.
+
+Every operator module exposes QUERIES (name -> (spark, sf_dir) -> DataFrame)
+and ORACLES (name -> DuckDB ANSI SQL). This module merges them; names must
+be globally unique. `__spark_entry__.py` re-exports these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "orionld_to_hive_spark.operators.parity",
+    "orionld_to_hive_spark.operators.tpch",
+    "orionld_to_hive_spark.operators.windows",
+    "orionld_to_hive_spark.operators.dedup",
+    "orionld_to_hive_spark.operators.similarity",
+    "orionld_to_hive_spark.operators.text",
+    "orionld_to_hive_spark.operators.multimodal",
+)
+
+
+def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue  # module not built yet — registry grows as operators land
+        q = getattr(mod, "QUERIES", {})
+        o = getattr(mod, "ORACLES", {})
+        dup = set(q) & set(queries)
+        if dup:
+            raise ValueError(f"duplicate query names {dup} in {modname}")
+        unknown = set(o) - set(q)
+        if unknown:
+            raise ValueError(f"oracle without query {unknown} in {modname}")
+        queries.update(q)
+        oracles.update(o)
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

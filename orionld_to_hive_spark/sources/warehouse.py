@@ -1,0 +1,73 @@
+"""Parquet warehouse access.
+
+Replaces the reference's HBase-store + Hive-external-table pair
+(reference `hive.py:31-44`, `insert.py:83-95`): the engine's persistent
+format is columnar parquet, which gives Catalyst predicate pushdown,
+column pruning, and min/max row-group skipping that the reference's
+string-cell HBase scan could never have (SURVEY.md §4).
+
+Also handles a physical-format quirk of the driver testdata: `events.ts`
+is written as INT64 TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects. We read nanos as long (legacy conf) and truncate to microsecond
+timestamps — the same truncation DuckDB applies — so both engines see
+identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as INT64 TIMESTAMP(NANOS) in the testdata parquet.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table; normalizes nano-timestamp columns."""
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # nanos → micros, truncating like DuckDB's reader does.
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Warehouse sink (stands in for reference S3/S4 HBase puts).
+
+    Partition columns give partition pruning; sortWithinPartitions gives
+    parquet min/max row-group skipping on the sort key — the Spark
+    equivalent of the reference's rowkey clustering
+    (`{entity}_{timestamp}` keys, reference `insert.py:85`).
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

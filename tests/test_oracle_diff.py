@@ -1,0 +1,33 @@
+"""Differential test: every registry query with an oracle must match
+DuckDB on sf0.001 (fast) — mirrors the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from orionld_to_hive_spark import registry
+from tests.oracle_diff import compare, duckdb_run
+
+QUERIES = registry.all_queries()
+ORACLES = registry.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_smoke, name):
+    spark_df = QUERIES[name](spark, sf_smoke)
+    oracle_df = duckdb_run(ORACLES[name], sf_smoke)
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_oracle_free_query_runs(spark, sf_smoke, name):
+    df = QUERIES[name](spark, sf_smoke)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
