@@ -1,0 +1,261 @@
+"""Scale-proving analytical queries over the TPC-H-ish star schema.
+
+The reference's four queries top out at a two-subquery join on ~190K rows
+(reference `hive.py:84-98`, PDF §5: joins were its costliest op "due to
+the lack of native join optimization and indexing"). These operators
+prove the same relational capabilities — multi-agg scan, dimensional
+join, multi-way join — at the shapes that matter for a 100 TB fact
+table:
+
+  - fact-side aggregation happens BEFORE joins where semantics allow
+    (partial/map-side combine shrinks the shuffle);
+  - dimension tables (region/nation/customer at realistic scales) are
+    broadcast — `F.broadcast` hints make it explicit rather than relying
+    on the size estimator;
+  - no collect()s, no Python in the hot path — everything whole-stage
+    codegen.
+
+Oracle twins use the exact-decimal aggregate convention
+(functions/numeric.py) so value-hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape: pricing summary. One pass over the fact table, 8
+# aggregates, 6-ish groups. The canonical "does map-side combine work"
+# benchmark: at 100 TB the shuffle carries only #tasks × #groups rows.
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {sql_davg("l_quantity")} AS avg_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       {sql_davg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority. customer(filtered dim, broadcast) ⋈
+# orders ⋈ lineitem, then group + top-k. The orders⋈lineitem join is the
+# real shuffle; AQE handles skewed order keys.
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"),
+                )
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: revenue by nation through a 6-table join. All dims
+# (region→nation→customer/supplier) broadcast; only orders⋈lineitem
+# shuffles. The c_nationkey = s_nationkey predicate is the classic
+# "join graph, not a chain" case Catalyst reorders.
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+REGIONAL_REVENUE_SQL = f"""
+SELECT n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi/anti-join surface (reference has none; required for a complete
+# engine). Customers WITH at least one urgent order (semi) and order
+# count of customers WITHOUT any lineitem shipped after a date (anti).
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Outer join surface: per-customer order stats keeping orderless
+# customers (NULL-extended), plus grouped counts over the result.
+def outer_join_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_spend"),
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+OUTER_JOIN_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum("o_totalprice")} AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spend, 0.0) AS total_spend
+FROM customer LEFT OUTER JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+QUERIES = {
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_shipping": tpch_q3_shipping,
+    "regional_revenue": regional_revenue,
+    "semi_join_urgent_customers": semi_join_urgent_customers,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
+    "outer_join_order_stats": outer_join_order_stats,
+}
+
+ORACLES = {
+    "tpch_q1_pricing": TPCH_Q1_SQL,
+    "tpch_q3_shipping": TPCH_Q3_SQL,
+    "regional_revenue": REGIONAL_REVENUE_SQL,
+    "semi_join_urgent_customers": SEMI_JOIN_SQL,
+    "anti_join_quiet_customers": ANTI_JOIN_SQL,
+    "outer_join_order_stats": OUTER_JOIN_SQL,
+}
