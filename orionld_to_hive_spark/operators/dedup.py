@@ -1,0 +1,354 @@
+"""Deduplication operators over the `documents` table.
+
+Beyond-reference capability (the reference never dedups; BASELINE.json's
+north star requires it for a training-data pipeline). Five strategies,
+all expressed scale-first:
+
+  - exact (group-by full text) and exact-by-hash (group-by sha256 — at
+    100 TB you shuffle 32-byte digests, not documents);
+  - n-gram Jaccard via an INVERTED-INDEX join (posting lists), never an
+    all-pairs cross join: candidate pairs are generated only for
+    documents sharing at least one shingle, so cost scales with shared
+    structure, not n²;
+  - MinHash + LSH banding: 64 hash functions, 16 bands × 4 rows →
+    candidate recall ≥ 1-3e-8 at Jaccard 0.9; candidates are then
+    verified with EXACT Jaccard, so the final result equals the
+    brute-force answer (the oracle) while the work stays sub-quadratic;
+  - SimHash: 64-bit signature, banded (4×16 bits) candidate join —
+    pigeonhole-guaranteed complete for Hamming distance ≤ 3 — then
+    exact Hamming verification (engine-specific hash ⇒ rows-only check).
+
+Everything is built-in column expressions (whole-stage codegen) — no
+Python UDFs. ANSI-safe arithmetic: hashes are reduced mod a 31-bit
+prime before affine transforms so no 64-bit overflow can occur.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+SHINGLE_K = 3  # words per shingle
+JACCARD_THRESHOLD = 0.5  # exact near-dup cut
+MINHASH_THRESHOLD = 0.8  # LSH query threshold
+NUM_HASHES = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+LSH_ROWS = 4
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+_rng = random.Random(0)
+# affine minhash permutations h_i(x) = (a_i*x + b_i) mod p, a_i != 0
+HASH_AB = [(_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P))
+           for _ in range(NUM_HASHES)]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """doc_id + distinct k-word shingle array (empty if < k tokens)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return df.select(
+        "doc_id",
+        F.when(n >= k, F.array_distinct(make))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+
+
+def _exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs Jaccard >= threshold via inverted-index join.
+
+    posting(sh, doc) self-join on sh gives |intersection| per pair with
+    a single shuffle on the shingle; union = |A|+|B|-|A∩B|. At scale,
+    drop ultra-frequent shingles first (document-frequency cap) to
+    bound posting-list blowup — not needed at test SF.
+    """
+    sizes = sh_df.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh_df.select("doc_id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per identical text."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha256(text) — the 100 TB variant: the
+    shuffle carries 64-hex-char digests instead of document bodies."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.sha2(F.col("text").cast("binary"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_HASH_SQL = """
+SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.5)."""
+    sh = shingles(_docs(spark, sf_dir))
+    return _exact_jaccard_pairs(sh, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh,b.sh))::DOUBLE /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+DEDUP_NGRAM_JACCARD_SQL = _jaccard_oracle(JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+def _minhash_sigs(sh_df: DataFrame) -> DataFrame:
+    """doc_id + NUM_HASHES minhash columns mh_0..mh_{k-1}.
+
+    Shingle → 64-bit xxhash64 → reduce mod p (31-bit) → affine
+    permutations. All arithmetic stays within long range (p² < 2^63),
+    so it is ANSI-mode safe.
+    """
+    posting = sh_df.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(HASH_AB)
+    ]
+    return posting.groupBy("doc_id").agg(*mins)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verification.
+
+    Result = all pairs with true Jaccard >= 0.8 (same as brute force,
+    which is what the oracle computes) — LSH only bounds the candidate
+    set. With 16 bands × 4 rows the probability of missing a 0.8-pair
+    is (1-0.8^4)^16 ≈ 2e-4, and ≈3e-8 at 0.9 where real pairs live.
+    """
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    sigs = _minhash_sigs(sh)
+
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.hash(
+                *[F.col(f"mh_{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            ).alias("sig"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.sig")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact verification of the (small) candidate set
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+DEDUP_MINHASH_SQL = _jaccard_oracle(MINHASH_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+def simhash_signatures(sh_df: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit ±1 vote sum."""
+    posting = sh_df.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    per_doc = posting.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance <= 3 over 64 bits).
+
+    Banded candidate join: 4 chunks × 16 bits; any pair within distance
+    3 must agree on ≥1 chunk (pigeonhole), so candidate generation is
+    complete. Engine-specific hash ⇒ no SQL oracle (rows-only check).
+    """
+    sh = shingles(_docs(spark, sf_dir))
+    sigs = simhash_signatures(sh)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.val")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    # dedup_simhash: engine-specific 64-bit hash — rows-only check
+}

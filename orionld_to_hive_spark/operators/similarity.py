@@ -1,0 +1,253 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Beyond-reference capability (north-star: ANN for a training-data
+pipeline). Two paths:
+
+  - brute-force top-k: broadcast the (small) query set against the full
+    corpus, exact cosine, per-query top-k via window. This is the
+    correctness baseline AND the right plan when |queries| is small —
+    one scan, no shuffle of the corpus, local top-k per partition.
+  - LSH-bucketed top-k: 16-bit random-hyperplane signatures computed by
+    a vectorized Pandas UDF (one numpy matmul per Arrow batch), bucket
+    equi-join, cosine only within buckets. Sub-linear candidate cost at
+    100 TB; approximate ⇒ rows-only check (no SQL oracle).
+
+  - threshold near-dup pairs: exact all-pairs ≥ 0.4 (data-appropriate
+    cut for the synthetic corpus). At scale the LSH path bounds the
+    pair generation; here the exact join is the oracle-checkable op.
+
+Cosine determinism: strict left-fold in DOUBLE on both engines (see
+functions/vectors.py) ⇒ bit-identical values, so even `round(x, 6)`
+outputs hash-match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from orionld_to_hive_spark.functions.vectors import as_double, cosine
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 5
+NEARDUP_COS = 0.4
+# Hyperplane count sizes the bucket grid: ~n/2^bits vectors per bucket.
+# 6 bits → ~8 candidates/bucket on the 500-vector testdata; a 100 TB
+# corpus would raise this (and multiprobe) to keep buckets ~O(1000).
+LSH_BITS = 6
+LSH_SEED = 7
+EMBED_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.select("vec_id", as_double(F.col("embedding")).alias("vec"), "label")
+
+
+# --------------------------------------------------------------------------
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id<10)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nv"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos")
+        )
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> q.qv[i] * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+            * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x))))
+           AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (embedding near-dup dedup)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+            * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))),
+         6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))
+      >= {NEARDUP_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH path: deterministic random-hyperplane signatures via a vectorized
+# Pandas UDF (Arrow-batched; one (batch, 64) @ (64, 16) matmul per batch).
+_PLANES = np.random.RandomState(LSH_SEED).randn(EMBED_DIM, LSH_BITS)
+
+
+def _lsh_bucket_udf():
+    # built lazily: pandas_udf needs no live session when given a DataType,
+    # but keeping construction out of import time also avoids pickling the
+    # module on the driver before a session exists.
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.IntegerType())
+    def _lsh_bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ _PLANES) > 0  # (batch, LSH_BITS)
+        weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return _lsh_bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: cosine only within the query's LSH
+    bucket. Sub-linear at scale; recall < 1 by design ⇒ rows-only check."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_udf()(F.col("vec")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = queries.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nv"),
+            F.col("bucket").alias("nbucket"),
+        ),
+        (F.col("qbucket") == F.col("nbucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Centroid (IVF-flat) scaffold: per-label centroids as the coarse index
+# (labels stand in for k-means cells, which would be trained offline at
+# scale), query → nearest centroid → exact search within that cell.
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = (
+        emb.select("label", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cx"]).alias("cvec"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    q_cell = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "label", cosine(F.col("qv"), F.col("cvec")).alias("ccos")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("cell"))
+    )
+    cands = q_cell.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nv"),
+            F.col("label").alias("cell"),
+        ),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
+    # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
+}

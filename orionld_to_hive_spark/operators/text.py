@@ -1,0 +1,177 @@
+"""Text-analysis operators over the `documents` table.
+
+Beyond-reference capability (north-star: language-ID, quality scoring,
+token counting, fingerprinting for a training-data pipeline). All
+deterministic, all built-in expressions (split/transform/aggregate stay
+in codegen; no Python UDFs), all oracle-checked except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+# tiny deterministic stopword list for ratio features / lang-id heuristic
+STOPWORDS = ("a", "the")
+LANG_ID_THRESHOLD = 0.05  # stopword ratio above which we call it English
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _toks() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+# --------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, distinct count, type-token ratio, plus a
+    BPE-ish size estimate (chars/4 — the standard subword heuristic)."""
+    toks = _toks()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("type_token_ratio"),
+        F.ceil(F.length("text") / 4).cast("long").alias("bpe_est_tokens"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct,
+       len(list_distinct(string_split(text,' ')))::DOUBLE
+         / len(string_split(text,' ')) AS type_token_ratio,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality features and a
+    composite keep/drop flag (the C4-style filter shape)."""
+    toks = _toks()
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wl = (F.length("text") - (n - 1)) / n  # total non-space chars / tokens
+    quality = (
+        F.when((n >= 20) & (mean_wl >= 3.0), F.lit(1)).otherwise(F.lit(0))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n.alias("n_tokens"),
+        (sw / n).alias("stopword_ratio"),
+        mean_wl.alias("mean_word_len"),
+        quality.alias("quality_keep"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_calc,
+       CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+       len(list_filter(string_split(text,' '),
+           t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+         / len(string_split(text,' ')) AS stopword_ratio,
+       (length(text) - (len(string_split(text,' ')) - 1))::DOUBLE
+         / len(string_split(text,' ')) AS mean_word_len,
+       CASE WHEN len(string_split(text,' ')) >= 20
+             AND (length(text) - (len(string_split(text,' ')) - 1))::DOUBLE
+                 / len(string_split(text,' ')) >= 3.0
+            THEN 1 ELSE 0 END AS quality_keep
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (English-stopword ratio) vs the labeled
+    `lang` column — the n-gram-heuristic shape of fasttext-style LID."""
+    toks = _toks()
+    sw_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    pred = F.when(sw_ratio > LANG_ID_THRESHOLD, F.lit("en")).otherwise(F.lit("unk"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", pred.alias("pred_lang"), F.round(sw_ratio, 6).alias("sw_ratio")
+    )
+
+
+TEXT_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(text,' '),
+                    t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+                 / len(string_split(text,' ')) > {LANG_ID_THRESHOLD}
+            THEN 'en' ELSE 'unk' END AS pred_lang,
+       round(len(list_filter(string_split(text,' '),
+             t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+             / len(string_split(text,' ')), 6) AS sw_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: sha256 over the sorted
+    distinct token set. Two docs with the same vocabulary collide —
+    the cheap pre-filter ahead of pairwise Jaccard."""
+    toks = _toks()
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(canon.cast("binary"), 256).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) rollup — the monitoring aggregate a pipeline
+    emits per shard: docs, tokens, mean doc length."""
+    toks = _toks()
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "source", F.size(toks).alias("n_tokens"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+    )
+
+
+TEXT_CORPUS_STATS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS total_tokens,
+       SUM(n_chars)::DOUBLE / COUNT(*) AS mean_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "text_corpus_stats": text_corpus_stats,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
+}
