@@ -1,0 +1,95 @@
+"""Benchmark harness — reimplements the reference's timing methodology
+(reference `hive.py:105-138`: per query 1 warm-up + N timed repetitions,
+mean/stddev/95% CI) over the Spark engine at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total mean sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "detail": {...}}
+
+Each timed repetition executes the full query (plan → execute →
+collect), matching the reference's cursor.execute + fetchall timing
+window. Runs on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from orionld_to_hive_spark import registry
+from orionld_to_hive_spark.session import get_spark
+
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+# Headline set: the four reference-parity queries plus one representative
+# of each scale-relevant operator family.
+HEADLINE = (
+    "q1_time_filter",
+    "q2_hourly_avg",
+    "q3_union_cube",
+    "q4_join_hourly",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "regional_revenue",
+    "latest_event_per_user",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+)
+
+
+def time_query(fn, spark, sf_dir: str) -> dict:
+    def once() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return time.perf_counter() - t0
+
+    warmup = once()
+    times = [once() for _ in range(REPS)]
+    mean = statistics.mean(times)
+    stdev = statistics.stdev(times) if len(times) > 1 else 0.0
+    return {
+        "warmup": round(warmup, 4),
+        "mean": round(mean, 4),
+        "stdev": round(stdev, 4),
+        "ci95": round(1.96 * stdev / (len(times) ** 0.5), 4),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    queries = registry.all_queries()
+
+    detail: dict[str, dict] = {}
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        stats = time_query(queries[name], spark, sf_dir)
+        detail[name] = stats
+        per_query[name] = stats["mean"]
+
+    total = round(sum(per_query.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_mean_latencies_headline",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": REPS,
+                "detail": detail,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
