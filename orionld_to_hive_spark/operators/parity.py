@@ -295,8 +295,28 @@ WHERE event_id < 500
 """
 
 
+# --------------------------------------------------------------------------
+# P8 — per-key debounce (reference `subscriber.py:21-23,111-118`), batch
+# form of the stateful streaming operator (streaming/debounce.py). The
+# kept-set depends on previously-kept rows, so this is inherently a
+# sequential per-key scan — grouped-map Pandas, keys parallelized.
+# Not expressible in plain SQL ⇒ rows-only check (pytest asserts the
+# exact semantics on golden bursts).
+def p8_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.streaming.debounce import debounce_batch
+
+    events = _t(spark, sf_dir, "events")
+    return debounce_batch(
+        events.select("event_id", "user_id", "ts", "value"),
+        key_col="user_id",
+        arrival_col="ts",
+        delay_s=3600.0,
+    )
+
+
 QUERIES = {
     "q1_time_filter": q1_time_filter,
+    "p8_debounce": p8_debounce,
     "q2_hourly_avg": q2_hourly_avg,
     "q3_union_cube": q3_union_cube,
     "q4_join_hourly": q4_join_hourly,

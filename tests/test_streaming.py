@@ -1,0 +1,178 @@
+"""Streaming layer tests: notification parsing, debounce semantics,
+checkpointed ingest, latest-wins upsert."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orionld_to_hive_spark.schemas import NGSI_NOTIFICATION_SCHEMA
+from orionld_to_hive_spark.streaming.debounce import debounce_batch, debounce_stream
+from orionld_to_hive_spark.streaming.ingest import parse_notifications, start_ingest
+from orionld_to_hive_spark.streaming.upsert import latest_state
+
+
+def _notification(entities) -> str:
+    return json.dumps(
+        {
+            "id": "urn:ngsi-ld:Notification:1",
+            "type": "Notification",
+            "subscriptionId": "urn:ngsi-ld:Subscription:KitchenUpdates",
+            "data": entities,
+        }
+    )
+
+
+def _entity(room: str, **attrs) -> dict:
+    e = {"id": f"urn:ngsi-ld:{room}:{room}", "type": room}
+    for name, value in attrs.items():
+        e[name] = {
+            "type": "Property",
+            "value": value,
+            "observedAt": "2017-03-09T00:38:47.000Z",
+        }
+    return e
+
+
+def test_parse_notifications_static(spark):
+    lines = [
+        _notification(
+            [
+                _entity("Kitchen", temperature=19.2, humidity=47),
+                _entity("Bathroom", brightness=12.82),
+            ]
+        )
+    ]
+    raw = spark.read.schema(NGSI_NOTIFICATION_SCHEMA).json(
+        spark.sparkContext.parallelize(lines)
+    )
+    rows = parse_notifications(raw).collect()
+    assert len(rows) == 2
+    kitchen = next(r for r in rows if r.room == "kitchen")
+    assert kitchen.temperature == 19.2 and kitchen.humidity == 47
+    assert kitchen.brightness is None  # sparse attrs
+    assert kitchen.event_ts.year == 2017  # observedAt carried through
+    bathroom = next(r for r in rows if r.room == "bathroom")
+    assert bathroom.brightness == 12.82 and bathroom.temperature is None
+
+
+def _burst_frame(spark):
+    """Synthetic arrivals: entity A bursts within the 50 ms threshold,
+    entity B is always spaced out."""
+    base = 1700000000.0
+    rows = [
+        ("A", base + 0.000, 1.0),
+        ("A", base + 0.020, 2.0),  # +20ms after accepted → drop
+        ("A", base + 0.060, 3.0),  # +60ms after accepted → keep
+        ("A", base + 0.100, 4.0),  # +40ms after last ACCEPTED (0.060) → drop
+        ("A", base + 0.200, 5.0),  # keep
+        ("B", base + 0.000, 10.0),
+        ("B", base + 0.051, 11.0),  # keep (>= 50ms)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("entityid", T.StringType()),
+            T.StructField("arrival_s", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "arrival_ts", F.timestamp_seconds("arrival_s")
+    )
+
+
+def test_debounce_batch_semantics(spark):
+    df = _burst_frame(spark)
+    kept = debounce_batch(df, "entityid", "arrival_ts", 0.05).collect()
+    got = sorted((r.entityid, r.value) for r in kept)
+    assert got == [
+        ("A", 1.0), ("A", 3.0), ("A", 5.0), ("B", 10.0), ("B", 11.0),
+    ]
+
+
+def test_debounce_stream_carries_state_across_batches(spark, tmp_path):
+    # two parquet files = two micro-batches (maxFilesPerTrigger=1):
+    # the second batch's first event is within 50 ms of the last
+    # accepted event of batch one and must be dropped via carried state.
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base = 1700000000.0
+    batch1 = [("A", base + 0.000, 1.0), ("A", base + 0.060, 2.0)]
+    batch2 = [("A", base + 0.080, 3.0), ("A", base + 0.200, 4.0)]
+    schema = T.StructType(
+        [
+            T.StructField("entityid", T.StringType()),
+            T.StructField("arrival_s", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    for i, batch in enumerate([batch1, batch2]):
+        spark.createDataFrame(batch, schema).withColumn(
+            "arrival_ts", F.timestamp_seconds("arrival_s")
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+
+    stream_schema = (
+        spark.read.parquet(str(d / "b0")).schema
+    )
+    src = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    debounced = debounce_stream(src, "entityid", "arrival_ts", 0.05)
+    q = (
+        debounced.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("debounced_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dbg"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.entityid, r.value)
+        for r in spark.sql("SELECT * FROM debounced_out").collect()
+    )
+    # 3.0 dropped only if last_emit=0.060 survived the batch boundary
+    assert got == [("A", 1.0), ("A", 2.0), ("A", 4.0)]
+
+
+def test_ingest_stream_end_to_end_exactly_once(spark, tmp_path):
+    in_dir = tmp_path / "notifications"
+    in_dir.mkdir()
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    (in_dir / "n1.json").write_text(
+        _notification([_entity("Kitchen", temperature=19.2)]) + "\n"
+        + _notification([_entity("Room1", humidity=47)]) + "\n"
+    )
+    q = start_ingest(spark, str(in_dir), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(r.room for r in back.collect()) == {"kitchen", "room1"}
+
+    # re-run with the same checkpoint and no new files → no duplicates
+    q2 = start_ingest(spark, str(in_dir), out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # new file → only the delta is appended
+    (in_dir / "n2.json").write_text(
+        _notification([_entity("Kitchen", temperature=21.0)]) + "\n"
+    )
+    q3 = start_ingest(spark, str(in_dir), out, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+
+    # latest-wins upsert view: one row per entity, the newest value
+    latest = latest_state(final, "entityid", "ts")
+    kitchen = [r for r in latest.collect() if r.room == "kitchen"]
+    assert len(kitchen) == 1 and kitchen[0].temperature == 21.0
