@@ -46,15 +46,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q1 — time-range filter scan (reference `hive.py:50-54`).
-# Catalyst pushes `ts >= literal` into the parquet scan (min/max row-group
-# skipping); at 100 TB this is the difference between a full scan and
-# reading one partition's tail.
+# The reference filters on unix_timestamp(ts) — a function of the column —
+# which defeats pushdown (its own report shows Q1 doing a full scan,
+# SURVEY.md §4). We filter on the bare column instead: semantically
+# identical (floor(epoch(ts)) >= B  ⟺  ts >= B for integer-second B) and
+# Catalyst pushes `ts >= literal` into the parquet scan, where min/max
+# row-group stats skip everything but the window's tail. At 100 TB this
+# is the difference between reading the table and reading one file.
 def q1_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    as_of_epoch = F.unix_timestamp(F.lit(AS_OF).cast("timestamp"))
-    return events.filter(F.unix_timestamp("ts") >= as_of_epoch - 3600).select(
-        "event_id", "value", "ts"
+    from datetime import datetime, timedelta
+
+    from orionld_to_hive_spark.sources.warehouse import load_time_range
+
+    cutoff = (
+        datetime.fromisoformat(AS_OF) - timedelta(hours=1)
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    events = load_time_range(
+        spark, sf_dir, "events", "ts", lower_iso=cutoff
     )
+    return events.select("event_id", "value", "ts")
 
 
 Q1_SQL = f"""
@@ -314,9 +324,55 @@ def p8_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# F11 — JSON field extraction (reference pulls values out of NGSI-LD
+# JSON payloads, `subscriber.py:55-60`). get_json_object is JVM-side.
+def f11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k_val").alias("sum_k"))
+    )
+
+
+F11_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SQL-surface twin of Q2: the same plan expressed as SQL text over a
+# catalog view (capability parity with the reference's HiveQL interface,
+# `hive.py:55-60`; Catalyst produces the identical plan either way).
+def q2_hourly_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.catalog import register_warehouse
+
+    register_warehouse(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT hour(ts) AS hour_bucket,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)
+                 AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY hour(ts)
+        ORDER BY hour_bucket
+        """
+    )
+
+
 QUERIES = {
     "q1_time_filter": q1_time_filter,
     "p8_debounce": p8_debounce,
+    "f11_json_extract": f11_json_extract,
+    "q2_hourly_avg_sql": q2_hourly_avg_sql,
     "q2_hourly_avg": q2_hourly_avg,
     "q3_union_cube": q3_union_cube,
     "q4_join_hourly": q4_join_hourly,
@@ -330,6 +386,8 @@ QUERIES = {
 ORACLES = {
     "q1_time_filter": Q1_SQL,
     "q2_hourly_avg": Q2_SQL,
+    "q2_hourly_avg_sql": Q2_SQL,
+    "f11_json_extract": F11_SQL,
     "q3_union_cube": Q3_SQL,
     "q4_join_hourly": Q4_SQL,
     "u1_union_all": U1_SQL,

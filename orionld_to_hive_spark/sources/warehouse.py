@@ -50,6 +50,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lower_iso: str | None = None,
+    upper_iso: str | None = None,
+) -> DataFrame:
+    """Time-range scan that keeps the predicate pushable.
+
+    For nano-long-backed timestamp columns, a filter on the CONVERTED
+    column is a function of the raw column and cannot reach the parquet
+    scan. Instead we compare the raw int64 nanos against the boundary
+    (exact: floor(ns/1000) >= B·10⁶ ⟺ ns >= B·10⁹ for whole-second B),
+    which Catalyst pushes as a plain long comparison — min/max row-group
+    stats then skip everything outside the window. Native timestamp
+    columns just get the direct pushable comparison.
+    """
+    from datetime import datetime, timezone
+
+    def _nanos(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if ts_col in nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if lower_iso is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(_nanos(lower_iso)))
+        if upper_iso is not None:
+            df = df.filter(F.col(ts_col) < F.lit(_nanos(upper_iso)))
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+        )
+    df = load_table(spark, sf_dir, name)
+    if lower_iso is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(lower_iso).cast("timestamp"))
+    if upper_iso is not None:
+        df = df.filter(F.col(ts_col) < F.lit(upper_iso).cast("timestamp"))
+    return df
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
