@@ -1,0 +1,265 @@
+"""Temporal join operators: as-of join, range (interval) join, tumbling
+and sliding event-time windows.
+
+Beyond-reference capability. The reference's only temporal constructs are
+a relative time-range predicate and hour-of-day bucketing (reference
+`hive.py:53,56`); a real time-series engine also needs the temporal join
+family — these are the operators TimescaleDB/kdb+/Flink users reach for.
+
+Scale stance:
+  - The as-of join is implemented with the UNION-tag trick: tag both
+    sides, sort within `user_id` partitions, and carry the left side's
+    latest attributes forward with `last(ignorenulls)` over an
+    unbounded-preceding window. ONE shuffle on the key — no join node at
+    all, no per-row subquery, no skew-prone range condition. This is the
+    plan you want at 100 TB: cost = sort of (|L|+|R|) within keys.
+  - The range join broadcasts the (always small) interval dimension and
+    lets Catalyst evaluate the band predicate against the pushed-down
+    scan; events never shuffle.
+  - Tumbling windows are plain `F.window` bucketing — partial-aggregated
+    like any groupBy. Sliding windows expand each row into
+    window/slide buckets (2x here) before the same partial agg.
+
+Determinism: at equal (user_id, ts) the click side is deduplicated to
+one row (max event_id wins, `max_by`) in BOTH engines, so the as-of
+match is unique; gap arithmetic is integer micros divided once in
+DOUBLE — a single IEEE-754 division, identical everywhere.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# As-of join: for every purchase, the same user's latest click at or
+# before the purchase timestamp (inner semantics: purchases with no
+# prior click are dropped).
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Generic as-of join: for each `left` row, latest `right` row with
+    right.ts <= left.ts within `key`. Returns left columns + right's
+    `value_cols` renamed `asof_<col>` + `asof_ts`.
+
+    UNION-tag plan: one shuffle on `key`, windowed forward-fill, no join.
+    `right` must be unique per (key, ts) for a deterministic result.
+    """
+    lcols = [c for c in left.columns]
+    tagged_r = right.select(
+        key,
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
+    )
+    tagged_l = left.select(
+        key,
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("timestamp").alias("asof_ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    # At equal ts the right side sorts first (_side 0 < 1) ⇒ inclusive <=.
+    w = (
+        W.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        "*",
+        F.last("asof_ts", ignorenulls=True).over(w).alias("_f_ts"),
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        filled.filter((F.col("_side") == 1) & F.col("_f_ts").isNotNull())
+        .select(
+            key,
+            *[c for c in lcols if c != key],
+            F.col("_f_ts").alias("asof_ts"),
+            *[F.col(f"_f_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+
+
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", value_cols=("click_value",)
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_click_value").alias("click_value"),
+        (
+            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1000000.0)
+        ).alias("gap_s"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts, c.click_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_s
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join: events falling inside daily 08:00-12:00
+# maintenance windows. The interval dim is tiny ⇒ broadcast; the fact
+# side never shuffles, and the band predicate is evaluated scan-side.
+def _intervals(spark: SparkSession) -> DataFrame:
+    rows = [
+        (d, datetime(2024, 1, d, 8, 0, 0), datetime(2024, 1, d, 12, 0, 0))
+        for d in range(1, 31)
+    ]
+    return spark.createDataFrame(
+        rows, "window_id INT, w_start TIMESTAMP, w_end TIMESTAMP"
+    )
+
+
+def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    iv = _intervals(spark)
+    return (
+        events.join(
+            F.broadcast(iv),
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH iv AS (
+  SELECT d::INTEGER AS window_id,
+         make_timestamp(2024, 1, d::BIGINT, 8, 0, 0) AS w_start,
+         make_timestamp(2024, 1, d::BIGINT, 12, 0, 0) AS w_end
+  FROM range(1, 31) t(d)
+)
+SELECT iv.window_id, COUNT(*) AS n_events, {sql_dsum("e.value")} AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY iv.window_id
+ORDER BY iv.window_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time window: 6-hour buckets per event_type — the
+# idiomatic Spark form of the reference's GROUP BY hour(ts) (and the
+# batch twin of the streaming windowed aggregate).
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_davg("value")} AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time window: 12-hour windows sliding by 6 hours. Each
+# event expands into windows/slide = 2 buckets (the two candidate
+# starts), then the same partial agg as tumbling. The oracle expresses
+# the identical expansion as a 2-branch UNION ALL.
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(21600)))
+    )
+    starts = F.array(bucket, bucket - F.expr("INTERVAL 6 HOURS"))
+    return (
+        events.select(F.explode(starts).alias("window_start"), "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours', event_type, value
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n, {sql_davg("value")} AS avg_value
+FROM expanded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "asof_click_before_purchase": asof_click_before_purchase,
+    "range_join_daily_windows": range_join_daily_windows,
+    "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
+}
+
+ORACLES = {
+    "asof_click_before_purchase": ASOF_SQL,
+    "range_join_daily_windows": RANGE_JOIN_SQL,
+    "tumbling_window_agg": TUMBLING_SQL,
+    "sliding_window_agg": SLIDING_SQL,
+}

@@ -21,6 +21,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.similarity",
     "orionld_to_hive_spark.operators.text",
     "orionld_to_hive_spark.operators.multimodal",
+    "orionld_to_hive_spark.operators.temporal",
 )
 
 
