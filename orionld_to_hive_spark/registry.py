@@ -22,6 +22,8 @@ _MODULES = (
     "orionld_to_hive_spark.operators.text",
     "orionld_to_hive_spark.operators.multimodal",
     "orionld_to_hive_spark.operators.temporal",
+    "orionld_to_hive_spark.operators.sketches",
+    "orionld_to_hive_spark.operators.cubes",
 )
 
 
