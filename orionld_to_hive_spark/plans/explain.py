@@ -41,9 +41,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted(df).count("Exchange hashpartitioning") + formatted(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle exchanges in the physical plan.
+
+    Counts numbered `(N) Exchange` operators in the formatted plan —
+    shuffle exchanges only; `BroadcastExchange` (no repartitioning of
+    the big side) deliberately excluded.
+    """
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted(df), re.M))
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:

@@ -3,9 +3,11 @@ properties that decide whether a plan survives 100× scale."""
 
 from __future__ import annotations
 
-from orionld_to_hive_spark.operators import parity, tpch
+from orionld_to_hive_spark.operators import cubes, parity, sketches, temporal, tpch
 from orionld_to_hive_spark.plans.explain import (
     count_shuffles,
+    executed_plan,
+    formatted,
     has_broadcast_join,
     has_pushed_filter,
     read_schema_columns,
@@ -52,3 +54,45 @@ def test_tpch_q1_prunes_columns(spark, sf_smoke):
     # must NOT read the 4 unused lineitem columns
     assert "l_orderkey" not in cols and "l_partkey" not in cols
     assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax"} <= cols
+
+
+def test_asof_join_has_no_join_node(spark, sf_smoke):
+    # UNION-tag as-of: window forward-fill, zero join operators, and only
+    # the two key-hash exchanges (click dedup agg + window sort)
+    df = temporal.asof_click_before_purchase(spark, sf_smoke)
+    plan = formatted(df)
+    assert "Join" not in plan, plan
+    assert count_shuffles(df) == 2
+
+
+def test_range_join_broadcasts_interval_dim(spark, sf_smoke):
+    # band predicate ⇒ BroadcastNestedLoopJoin with the tiny interval dim
+    # broadcast; the fact side must reach the join without an exchange
+    df = temporal.range_join_daily_windows(spark, sf_smoke)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_rollup_is_single_expand_single_agg_shuffle(spark, sf_smoke):
+    df = cubes.rollup_pricing(spark, sf_smoke)
+    plan = formatted(df)
+    assert plan.count(" Expand") >= 1
+    assert count_shuffles(df) <= 2  # agg exchange + final sort range exchange
+
+
+def test_unpivot_expand_is_map_side(spark, sf_smoke):
+    df = cubes.unpivot_measure_totals(spark, sf_smoke)
+    assert count_shuffles(df) <= 2  # melt itself must add no exchange
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    # top-k must be a per-partition heap + k-row driver merge, not a
+    # full range-partitioned sort
+    df = sketches.freq_topk_users(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_tumbling_window_prunes_columns(spark, sf_smoke):
+    df = temporal.tumbling_window_agg(spark, sf_smoke)
+    assert set(read_schema_columns(df)) == {"ts", "event_type", "value"}
