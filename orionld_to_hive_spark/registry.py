@@ -24,6 +24,8 @@ _MODULES = (
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.cubes",
+    "orionld_to_hive_spark.operators.setops",
+    "orionld_to_hive_spark.operators.skew",
 )
 
 
