@@ -56,10 +56,12 @@ def parse_notifications(df: DataFrame) -> DataFrame:
     return exploded.select(*cols)
 
 
-def read_notification_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+def read_notification_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
     raw = (
         spark.readStream.schema(NGSI_NOTIFICATION_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(in_dir)
     )
     return parse_notifications(raw)

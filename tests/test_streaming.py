@@ -176,3 +176,63 @@ def test_ingest_stream_end_to_end_exactly_once(spark, tmp_path):
     latest = latest_state(final, "entityid", "ts")
     kitchen = [r for r in latest.collect() if r.room == "kitchen"]
     assert len(kitchen) == 1 and kitchen[0].temperature == 21.0
+
+
+def _entity_at(room: str, observed_at: str, **attrs) -> dict:
+    e = {"id": f"urn:ngsi-ld:{room}:{room}", "type": room}
+    for name, value in attrs.items():
+        e[name] = {"type": "Property", "value": value, "observedAt": observed_at}
+    return e
+
+
+def test_windowed_event_time_agg_with_watermark(spark, tmp_path):
+    """Append-mode windows must emit exactly when the watermark passes
+    their end — carried across micro-batches via the checkpoint."""
+    from orionld_to_hive_spark.streaming.ingest import read_notification_stream
+    from orionld_to_hive_spark.streaming.windowed import start_windowed_query
+
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    # batch 1: two readings in hour 00, one in hour 01
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                _entity_at("Kitchen", "2024-01-01T00:40:00.000Z", temperature=22.0),
+            ]
+        )
+        + "\n"
+        + _notification(
+            [_entity_at("Kitchen", "2024-01-01T01:50:00.000Z", temperature=30.0)]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    # batch 2: sentinel far ahead — advances the watermark past hour 00
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [_entity_at("Room1", "2024-01-01T10:00:00.000Z", temperature=1.0)]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    # batch 3: second sentinel — flushes hour 01 (watermark → 10:30)
+    (in_dir / "f3.json").write_text(
+        _notification(
+            [_entity_at("Room1", "2024-01-01T11:00:00.000Z", temperature=1.0)]
+        )
+        + "\n"
+    )
+
+    parsed = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = start_windowed_query(parsed, str(tmp_path / "ckpt_win"), "win_out")
+    q.awaitTermination(120)
+
+    rows = {
+        (str(r.window_start), r.room): (r.n_readings, r.avg_temperature)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "kitchen")] == (2, 21.0)
+    assert rows[("2024-01-01 01:00:00", "kitchen")] == (1, 30.0)
+    # sentinel windows end beyond the final watermark → never emitted
+    assert not any(room == "room1" for (_, room) in rows)
