@@ -41,6 +41,12 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
+    "asof_click_before_purchase",
+    "tumbling_window_agg",
+    "rollup_pricing",
+    "ndv_exact_users_per_type",
+    "skew_join_order_revenue",
+    "intersect_buyers_clickers",
 )
 
 
