@@ -250,8 +250,86 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Gap-fill: hourly per-type counts over a complete generated hour spine
+# (missing hours appear as 0), with the hourly mean value forward-filled
+# from the last observed hour. The time-series staple the reference's
+# GROUP BY hour silently lacks (empty hours just vanish,
+# reference `hive.py:56-58`).
+#
+# Scale: the spine is GENERATED (sequence + explode over one row per
+# type), never scanned; the only big-data pass is the hourly aggregate.
+# The forward-fill is one window per type — state bounded by spine
+# length, and at 100 TB you'd partition the spine window by (type, day)
+# to keep ranges short.
+def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n, {sql_davg("value")} AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) s
+)
+SELECT spine.event_type, spine.hour,
+       COALESCE(hourly.n, 0) AS n,
+       last_value(hourly.avg_value IGNORE NULLS) OVER (
+         PARTITION BY spine.event_type ORDER BY spine.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ff
+FROM spine LEFT JOIN hourly
+  ON spine.event_type = hourly.event_type AND spine.hour = hourly.hour
+ORDER BY spine.event_type, spine.hour
+"""
+
+
 QUERIES = {
     "asof_click_before_purchase": asof_click_before_purchase,
+    "gapfill_hourly_counts": gapfill_hourly_counts,
     "range_join_daily_windows": range_join_daily_windows,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
@@ -259,6 +337,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_click_before_purchase": ASOF_SQL,
+    "gapfill_hourly_counts": GAPFILL_SQL,
     "range_join_daily_windows": RANGE_JOIN_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,

@@ -165,7 +165,57 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Full ranking/analytic-function suite over per-user event counts:
+# rank, dense_rank, percent_rank, cume_dist, ntile, lag, lead in one
+# window pass. Determinism: the ORDER BY is (n_events DESC, user_id) —
+# a total order — so every function's output is unique. percent_rank
+# and cume_dist are exact rational arithmetic on small ints ⇒ the one
+# IEEE division is identical cross-engine. One shuffle (the window
+# partition), count-only measures (no float aggregation drift).
+def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("n_events", 1).over(w).alias("prev_n"),
+        F.lead("n_events", 1).over(w).alias("next_n"),
+    ).orderBy("event_type", "rnk", "user_id")
+
+
+RANKING_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n_events,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile,
+       lag(n_events, 1)  OVER w AS prev_n,
+       lead(n_events, 1) OVER w AS next_n
+FROM per_user
+WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, user_id ASC)
+ORDER BY event_type, rnk, user_id
+"""
+
+
 QUERIES = {
+    "ranking_suite": ranking_suite,
     "latest_event_per_user": latest_event_per_user,
     "moving_avg_per_user": moving_avg_per_user,
     "sessionize_events": sessionize_events,
@@ -173,6 +223,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ranking_suite": RANKING_SQL,
     "latest_event_per_user": LATEST_SQL,
     "moving_avg_per_user": MOVING_AVG_SQL,
     "sessionize_events": SESSIONIZE_SQL,

@@ -26,6 +26,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.cubes",
     "orionld_to_hive_spark.operators.setops",
     "orionld_to_hive_spark.operators.skew",
+    "orionld_to_hive_spark.operators.subqueries",
 )
 
 
