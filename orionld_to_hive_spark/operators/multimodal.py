@@ -108,6 +108,42 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("orig_len", T.IntegerType(), True),
+        T.StructField("resized_len", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_assets(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Arrow-batched 'resize': cap each payload at `target_bytes`.
+
+    Stands in for image resize / audio downsample (codecs absent — see
+    decode_asset); the plumbing is the real thing: binary-in/binary-out
+    mapInPandas, partition-local, bounded Arrow batches, output schema
+    carrying both payload and provenance lengths.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            resized = payloads.map(lambda b: bytes(b[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "orig_len": payloads.map(len).astype("int32"),
+                    "resized_len": resized.map(len).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over binary payloads (pure JVM expressions)."""
     assets = assets_from_documents(spark, sf_dir)
@@ -134,12 +170,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets_from_documents(spark, sf_dir))
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline result with a JVM-side integrity check: resized
+    payload must hash-prefix-match the original's truncation (asserted
+    in tests); here we return the length accounting (oracle-checkable)."""
+    resized = resize_assets(assets_from_documents(spark, sf_dir))
+    return resized.select("asset_id", "orig_len", "resized_len").orderBy("asset_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
+       CAST(LEAST(octet_length(encode(text)), 64) AS INTEGER) AS resized_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_binary_meta": MULTIMODAL_META_SQL,
     # multimodal_features: Pandas-UDF pipeline — rows-only + pytest value checks
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }

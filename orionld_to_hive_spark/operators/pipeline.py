@@ -1,0 +1,119 @@
+"""End-to-end corpus curation pipeline — the composition proof.
+
+A training-data pipeline is not a bag of operators but a chain:
+filter → dedup → score → cut → account. This module runs the chain as
+ONE lazy DataFrame plan (no intermediate materialization) so Catalyst
+fuses the stages: the quality predicates evaluate inside the scan
+stage, dedup is the only wide dependency, and the final accounting
+reuses dedup's shuffle output.
+
+Stages (each individually covered by dedup.py / text.py operators):
+  1. structural quality gate: non-null text, length window, alpha ratio;
+  2. exact dedup on sha256(text): min doc_id survives;
+  3. token accounting + quality score on survivors;
+  4. per-(lang, source) yield report: docs kept, tokens kept, mean score.
+
+Scale: one scan, two shuffles total (dedup hash-agg + final report agg;
+the survivor join broadcasts at dim-like sizes and AQE picks SMJ
+beyond). At 100 TB the same plan holds — the sha256 shuffle carries
+32-byte keys, and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.functions.numeric import davg, sql_davg
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+MIN_CHARS = 20
+MAX_CHARS = 10_000
+MIN_ALPHA_RATIO = 0.5
+
+
+def _quality_gate(docs: DataFrame) -> DataFrame:
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    return docs.filter(
+        F.col("text").isNotNull()
+        & (n_chars >= MIN_CHARS)
+        & (n_chars <= MAX_CHARS)
+        & ((n_alpha / n_chars) >= MIN_ALPHA_RATIO)
+    )
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set after quality gate + exact dedup, with per-doc
+    token count and quality score."""
+    docs = _quality_gate(load_table(spark, sf_dir, "documents"))
+    hashed = docs.withColumn("text_hash", F.sha2(F.col("text").cast("binary"), 256))
+    survivors = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        hashed.join(survivors, ["text_hash", "doc_id"], "inner")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.round(
+                F.least(F.length("text") / F.lit(1000.0), F.lit(1.0)), 6
+            ).alias("quality"),
+        )
+    )
+
+
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) curation yield over the curated survivor set."""
+    return (
+        curate_documents(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            davg("quality", "mean_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PIPELINE_SQL = f"""
+WITH gated AS (
+  SELECT *
+  FROM documents
+  WHERE text IS NOT NULL
+    AND length(text) BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        / length(text) >= {MIN_ALPHA_RATIO}
+),
+hashed AS (
+  SELECT *, sha256(text) AS text_hash FROM gated
+),
+survivors AS (
+  SELECT text_hash, MIN(doc_id) AS doc_id FROM hashed GROUP BY text_hash
+),
+curated AS (
+  SELECT h.doc_id, h.lang, h.source,
+         len(regexp_split_to_array(trim(h.text), '\\s+')) AS n_tokens,
+         round(LEAST(length(h.text) / 1000.0, 1.0), 6) AS quality
+  FROM hashed h JOIN survivors s
+    ON h.text_hash = s.text_hash AND h.doc_id = s.doc_id
+)
+SELECT lang, source,
+       COUNT(*) AS docs_kept,
+       SUM(n_tokens) AS tokens_kept,
+       {sql_davg("quality")} AS mean_quality
+FROM curated
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "pipeline_curation_report": pipeline_curation_report,
+}
+
+ORACLES = {
+    "pipeline_curation_report": PIPELINE_SQL,
+}

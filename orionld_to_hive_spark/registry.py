@@ -27,6 +27,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.setops",
     "orionld_to_hive_spark.operators.skew",
     "orionld_to_hive_spark.operators.subqueries",
+    "orionld_to_hive_spark.operators.pipeline",
 )
 
 
