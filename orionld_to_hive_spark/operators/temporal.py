@@ -327,9 +327,57 @@ ORDER BY spine.event_type, spine.hour
 """
 
 
+# --------------------------------------------------------------------------
+# Native session windows: F.session_window(ts, gap) — the built-in twin
+# of windows.sessionize_events (lag + cumulative-sum). Sessions close
+# after 30 idle minutes per user. In batch this plans as a single
+# sort-based aggregation within user partitions; in streaming the same
+# expression is state-store-backed with watermark-driven closure — one
+# definition, both execution modes (why a Spark-first design beats
+# hand-rolled sessionization at 100 TB).
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "asof_click_before_purchase": asof_click_before_purchase,
     "gapfill_hourly_counts": gapfill_hourly_counts,
+    "session_window_stats": session_window_stats,
     "range_join_daily_windows": range_join_daily_windows,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
@@ -338,6 +386,7 @@ QUERIES = {
 ORACLES = {
     "asof_click_before_purchase": ASOF_SQL,
     "gapfill_hourly_counts": GAPFILL_SQL,
+    "session_window_stats": SESSION_WINDOW_SQL,
     "range_join_daily_windows": RANGE_JOIN_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,
