@@ -43,12 +43,19 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 # grand total in one pass.
 def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Pre-aggregate to base groups before the ROLLUP (re-aggregable
+    # measures) — Expand then replicates ≤ |flag×status| partial rows,
+    # not the fact table. See cubes.py module docstring scale stance.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("_s"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
-            F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice", "sum_price"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_items"),
+            F.sum("_s").cast("double").alias("sum_price"),
         )
         .select("gid", "l_returnflag", "l_linestatus", "n_items", "sum_price")
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -71,16 +78,25 @@ ORDER BY gid, l_returnflag, l_linestatus
 # CUBE/ROLLUP desugar to, expressed through the SQL surface.
 def grouping_sets_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    # Same pre-aggregate-before-Expand rewrite as rollup_pricing, via
+    # the SQL surface: the grouping sets run over per-(type, day)
+    # partials, not raw events.
     return spark.sql(
-        f"""
-        SELECT grouping_id(event_type, date_trunc('day', ts)) AS gid,
+        """
+        WITH base AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 COUNT(*) AS _n,
+                 SUM(CAST(value AS DECIMAL(27,6))) AS _s
+          FROM events_gs
+          GROUP BY event_type, date_trunc('day', ts)
+        )
+        SELECT grouping_id(event_type, day) AS gid,
                event_type,
-               date_trunc('day', ts) AS day,
-               COUNT(*) AS n,
-               {sql_dsum("value")} AS sum_value
-        FROM events_gs
-        GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
-                                (event_type), ())
+               day,
+               COALESCE(SUM(_n), 0) AS n,
+               CAST(SUM(_s) AS DOUBLE) AS sum_value
+        FROM base
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
         ORDER BY gid, event_type, day
         """
     )

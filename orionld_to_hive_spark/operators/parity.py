@@ -114,13 +114,24 @@ def q3_union_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag in EVENT_TAGS
     ]
     unioned = reduce(DataFrame.unionByName, branches)
+    # Pre-aggregate to base (tag, hr) groups BEFORE the CUBE: all four
+    # measures are re-aggregable (decimal sums are associative), so the
+    # Expand operator replicates #groups rows (≤ tags×24) instead of
+    # every input row — at 100 TB that's the difference between a 4×
+    # fact-table blowup and a no-op.
+    base = unioned.groupBy("tag", "hr").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("_s"),
+        F.min("value").alias("_min"),
+        F.max("value").alias("_max"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
-        unioned.cube("tag", "hr")
+        base.cube("tag", "hr")
         .agg(
-            davg("value", "avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.count(F.lit(1)).alias("n"),
+            (F.sum("_s").cast("double") / F.sum("_n")).alias("avg_value"),
+            F.min("_min").alias("min_value"),
+            F.max("_max").alias("max_value"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
             F.grouping("tag").cast("int").alias("g_tag"),
             F.grouping("hr").cast("int").alias("g_hr"),
         )
