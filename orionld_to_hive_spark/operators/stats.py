@@ -1,0 +1,163 @@
+"""Statistical-moment aggregates: variance, stddev, covariance,
+correlation — exact-decimal formulation.
+
+Beyond-reference capability (its aggregate surface stops at AVG,
+reference `hive.py:65-68`). The engine's built-ins (`F.var_samp`,
+`F.corr`, ...) use streaming one-pass updates whose float rounding is
+engine- and partition-order-specific — they'd flap an exact oracle
+diff. So these operators compute the moments FROM EXACT DECIMAL SUMS
+(Σx, Σx², Σxy — associative, order-independent; functions/numeric.py
+convention), then apply the closed-form formulas in a fixed sequence of
+double ops:
+
+    var_samp = (Σx² − (Σx)²/n) / (n−1)
+    corr     = (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
+
+identical bit-for-bit on any engine and any partitioning. The oracle
+runs the same formulas in DuckDB rather than its own corr()/var_samp().
+
+Scale stance: each moment is a plain partial-aggregable SUM — one
+shuffle carrying 5 decimals per group, same cost as any multi-agg
+(and unlike two-pass "subtract the mean" formulations, no second scan).
+See the DEC comment below for how the decimal width is sized to the
+measure's true scale — over-widening breaks exactness in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+# Size the decimal scale to the measure's TRUE scale (these measures
+# are 2-decimal money/integer quantities): a (18,2)×(18,2) product is
+# (37,4) — exact in BOTH engines AND its scaled element value fits
+# int64, so DuckDB's narrow multiply path can't overflow and Spark
+# never hits its precision-loss scale reduction. Over-widening the
+# inputs is what breaks: (18,6)² overflows DuckDB's int64 element
+# math, and (19,6)² trips Spark's scale-reducing rounding.
+DEC = "decimal(18,2)"
+
+
+def _sums(x: str, y: str) -> list[Column]:
+    xc, yc = F.col(x).cast(DEC), F.col(y).cast(DEC)
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).cast("double").alias("sx"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum(xc * yc).cast("double").alias("sxy"),
+        F.sum(xc * xc).cast("double").alias("sxx"),
+        F.sum(yc * yc).cast("double").alias("syy"),
+    ]
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag var/stddev of quantity and corr(quantity, price)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        *_sums("l_quantity", "l_extendedprice")
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # round(…, 6): Σy² is exact in decimal but its cast to double can
+    # differ by 1 ulp between engines (Java BigDecimal.doubleValue vs
+    # DuckDB's int128·10⁻ˢ path) — the SURVEY §7 rounding discipline
+    # absorbs that last-ulp drift in the derived moments.
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+STATS_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_items,
+       round((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6)
+         AS var_qty,
+       round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_qty,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Array/collection function suite: collect + sort + dedup + membership
+# + string-agg, one row per user. Arrays stay internal (deterministic
+# via sort_array); the OUTPUT is scalars/strings so the cross-engine
+# compare never depends on array formatting.
+def array_funcs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = F.sort_array(F.array_distinct(F.collect_list("event_type")))
+    return (
+        events.groupBy("user_id")
+        .agg(types.alias("types"))
+        .select(
+            "user_id",
+            F.size("types").alias("n_distinct_types"),
+            F.array_contains("types", "purchase").alias("has_purchase"),
+            F.concat_ws(",", "types").alias("types_csv"),
+            F.element_at("types", 1).alias("first_type"),
+            F.element_at("types", -1).alias("last_type"),
+            F.size(
+                F.array_intersect("types", F.array(F.lit("click"), F.lit("view")))
+            ).alias("n_browse_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(types) AS INTEGER) AS n_distinct_types,
+       list_contains(types, 'purchase') AS has_purchase,
+       array_to_string(types, ',') AS types_csv,
+       types[1] AS first_type,
+       types[-1] AS last_type,
+       CAST(len(list_intersect(types, ['click', 'view'])) AS INTEGER)
+         AS n_browse_types
+FROM per_user
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "stats_moments": stats_moments,
+    "array_funcs_per_user": array_funcs_per_user,
+}
+
+ORACLES = {
+    "stats_moments": STATS_MOMENTS_SQL,
+    "array_funcs_per_user": ARRAY_FUNCS_SQL,
+}

@@ -28,6 +28,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.skew",
     "orionld_to_hive_spark.operators.subqueries",
     "orionld_to_hive_spark.operators.pipeline",
+    "orionld_to_hive_spark.operators.stats",
 )
 
 
