@@ -74,11 +74,20 @@ def test_range_join_broadcasts_interval_dim(spark, sf_smoke):
     assert "BroadcastExchange" in plan
 
 
-def test_rollup_is_single_expand_single_agg_shuffle(spark, sf_smoke):
+def test_rollup_expands_partials_not_facts(spark, sf_smoke):
+    # pre-aggregate-before-Expand rewrite: the Expand operator must sit
+    # ABOVE the base hash aggregate (replicating ≤ #groups partial rows),
+    # never directly on the scan; shuffles = base agg + rollup agg + sort
     df = cubes.rollup_pricing(spark, sf_smoke)
     plan = formatted(df)
-    assert plan.count(" Expand") >= 1
-    assert count_shuffles(df) <= 2  # agg exchange + final sort range exchange
+    import re
+
+    ops = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+    assert "Expand" in ops
+    # formatted plans list operators leaves-first: the scan-side
+    # HashAggregate must appear BEFORE the Expand that consumes it
+    assert ops.index("HashAggregate") < ops.index("Expand"), ops
+    assert count_shuffles(df) <= 3
 
 
 def test_unpivot_expand_is_map_side(spark, sf_smoke):
