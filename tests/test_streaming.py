@@ -236,3 +236,44 @@ def test_windowed_event_time_agg_with_watermark(spark, tmp_path):
     assert rows[("2024-01-01 01:00:00", "kitchen")] == (1, 30.0)
     # sentinel windows end beyond the final watermark → never emitted
     assert not any(room == "room1" for (_, room) in rows)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered (entityid, event_ts) rows must be dropped across
+    micro-batches while distinct events all survive."""
+    from orionld_to_hive_spark.streaming.dedup import dedup_within_watermark
+    from orionld_to_hive_spark.streaming.ingest import read_notification_stream
+
+    in_dir = tmp_path / "dedup_in"
+    in_dir.mkdir()
+    e1 = _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0)
+    e2 = _entity_at("Kitchen", "2024-01-01T00:11:00.000Z", temperature=21.0)
+    (in_dir / "f1.json").write_text(
+        _notification([e1]) + "\n" + _notification([e2]) + "\n"
+    )
+    time.sleep(0.05)
+    # batch 2: exact redelivery of e1 plus one new event
+    e3 = _entity_at("Kitchen", "2024-01-01T00:12:00.000Z", temperature=22.0)
+    (in_dir / "f2.json").write_text(
+        _notification([e1]) + "\n" + _notification([e3]) + "\n"
+    )
+
+    parsed = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    deduped = dedup_within_watermark(
+        parsed.select("entityid", "event_ts", "temperature"),
+        ("entityid", "event_ts"),
+        "event_ts",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    temps = sorted(
+        r.temperature for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert temps == [20.0, 21.0, 22.0]  # e1's redelivery dropped
