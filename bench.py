@@ -47,6 +47,9 @@ HEADLINE = (
     "ndv_exact_users_per_type",
     "skew_join_order_revenue",
     "intersect_buyers_clickers",
+    "session_window_stats",
+    "stats_moments",
+    "pipeline_curation_report",
 )
 
 
