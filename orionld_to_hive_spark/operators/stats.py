@@ -152,12 +152,53 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Conditional aggregation — the FILTER-clause surface (ANSI
+# `agg(x) FILTER (WHERE p)`), expressed DataFrame-side as
+# `agg(when(p, x))` which Catalyst folds into the same single-pass
+# partial aggregate: one scan, one shuffle, every conditional measure
+# computed map-side. No per-condition re-scan at any scale.
+def conditional_agg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(27,6)")
+    big = F.col("value") > 100
+    night = F.hour("ts") < 6
+    n_big = F.count(F.when(big, 1))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            n_big.alias("n_big"),
+            F.sum(F.when(big, dec)).cast("double").alias("sum_big"),
+            F.count(F.when(night, 1)).alias("n_night"),
+            F.round(n_big / F.count(F.lit(1)), 6).alias("big_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE value > 100) AS n_big,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            FILTER (WHERE value > 100) AS DOUBLE) AS sum_big,
+       COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) < 6) AS n_night,
+       round(COUNT(*) FILTER (WHERE value > 100) / COUNT(*), 6) AS big_share
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "stats_moments": stats_moments,
     "array_funcs_per_user": array_funcs_per_user,
+    "conditional_agg_per_type": conditional_agg_per_type,
 }
 
 ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "array_funcs_per_user": ARRAY_FUNCS_SQL,
+    "conditional_agg_per_type": CONDITIONAL_AGG_SQL,
 }

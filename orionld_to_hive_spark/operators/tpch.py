@@ -242,6 +242,60 @@ FROM customer LEFT OUTER JOIN per_cust ON c_custkey = o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: GROUP BY … HAVING, then join the survivors back to
+# the dimension side. Scale stance: the HAVING predicate runs on the
+# aggregated (already map-side-combined) per-order totals — the filter
+# that survives is a tiny fraction of orders, so it is broadcast into
+# the join-back instead of shuffling orders⋈customer against the full
+# fact table. The HAVING comparison happens on the EXACT decimal sum
+# (before the double cast) so boundary orders can't flip between
+# engines.
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qdec"))
+        .filter(F.col("qdec") > 200)
+        .select("l_orderkey", F.col("qdec").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+HAVING_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(27,6))) AS qdec
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qdec AS DOUBLE) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
@@ -249,9 +303,11 @@ QUERIES = {
     "semi_join_urgent_customers": semi_join_urgent_customers,
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "outer_join_order_stats": outer_join_order_stats,
+    "having_large_orders": having_large_orders,
 }
 
 ORACLES = {
+    "having_large_orders": HAVING_LARGE_ORDERS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
     "tpch_q3_shipping": TPCH_Q3_SQL,
     "regional_revenue": REGIONAL_REVENUE_SQL,

@@ -140,6 +140,42 @@ ORDER BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# Time-RANGE frame: per user, how much activity landed in the trailing
+# hour of *event time* (not a row count — a value-range frame). The
+# ORDER BY key is exact epoch-microseconds on BOTH engines, so frame
+# boundaries and peer groups are bit-identical; rows sharing a
+# microsecond are peers and RANGE includes all peers by definition,
+# making the result deterministic without a unique total order.
+# Same single (user_id) shuffle as every other window here.
+def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # 1 hour in microseconds
+    )
+    dec = F.col("value").cast(DECIMAL_T)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+TRAILING_HOUR_SQL = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # Rank-within-group: top-3 spenders per market segment — the top-k-per-
 # group idiom (window + filter beats global sort at any scale).
 def top_spenders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +256,7 @@ QUERIES = {
     "moving_avg_per_user": moving_avg_per_user,
     "sessionize_events": sessionize_events,
     "top_spenders_per_segment": top_spenders_per_segment,
+    "trailing_hour_stats": trailing_hour_stats,
 }
 
 ORACLES = {
@@ -228,4 +265,5 @@ ORACLES = {
     "moving_avg_per_user": MOVING_AVG_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "top_spenders_per_segment": TOP_SPENDERS_SQL,
+    "trailing_hour_stats": TRAILING_HOUR_SQL,
 }
