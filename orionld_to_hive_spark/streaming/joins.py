@@ -1,0 +1,95 @@
+"""Streaming joins: stream-static enrichment and watermarked
+stream-stream interval join.
+
+Extension beyond the reference (its streaming path is ingest-only —
+reference `subscriber.py:53-95` writes each notification row and no
+query ever correlates two live streams). A complete streaming engine
+needs both join forms:
+
+  - **stream-static**: each micro-batch joins against a slowly-changing
+    dimension table. The dim side is broadcast — zero streaming state,
+    zero shuffle of the stream side, and the broadcast is re-resolved
+    per micro-batch so a refreshed dim view is picked up on the next
+    trigger.
+  - **stream-stream interval join**: correlate two live streams on a
+    key AND an event-time band. Both sides are watermarked; the band
+    condition (`h_ts BETWEEN t_ts AND t_ts + gap`) lets the state store
+    evict a buffered row as soon as the other side's watermark passes
+    its join-eligibility horizon — state is O(key-rate × (gap +
+    watermark)), not O(stream length). Without the time bound Spark
+    would have to buffer both streams forever.
+
+Both operate on the parse_notifications schema (room, temperature,
+humidity, brightness, ts, event_ts) and work identically on static
+frames — the batch twin is the correctness oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_rooms(parsed: DataFrame, room_dim: DataFrame) -> DataFrame:
+    """Stream-static left join onto a broadcast room dimension.
+
+    `room_dim` must carry a `room` key column; remaining columns are
+    appended to every reading of that room (readings with no dim row
+    survive NULL-extended — enrichment must never drop telemetry).
+    """
+    return parsed.join(F.broadcast(room_dim), "room", "left")
+
+
+def temp_humidity_interval_join(
+    parsed: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Pair each temperature reading with the humidity readings of the
+    same room observed within `gap` AFTER it (sensor fusion: the
+    reference stores the two measures in separate sparse rows,
+    reference `insert.py:87-90`, and its Hive queries can never
+    recombine them at reading granularity).
+
+    Inner join ⇒ append mode; both watermarks + the band bound state.
+    """
+    temps = (
+        parsed.filter(F.col("temperature").isNotNull())
+        .select("room", F.col("event_ts").alias("t_ts"), "temperature")
+        .withWatermark("t_ts", watermark)
+    )
+    hums = (
+        parsed.filter(F.col("humidity").isNotNull())
+        .select(
+            F.col("room").alias("h_room"),
+            F.col("event_ts").alias("h_ts"),
+            "humidity",
+        )
+        .withWatermark("h_ts", watermark)
+    )
+    return temps.join(
+        hums,
+        F.expr(
+            f"room = h_room AND h_ts >= t_ts AND h_ts <= t_ts + INTERVAL {gap}"
+        ),
+        "inner",
+    ).select("room", "t_ts", "temperature", "h_ts", "humidity")
+
+
+def start_interval_join_query(
+    parsed_stream: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "interval_join",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Run the interval join to an in-memory sink, availableNow."""
+    joined = temp_humidity_interval_join(parsed_stream, gap, watermark)
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -277,3 +277,71 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         r.temperature for r in spark.sql("SELECT * FROM dedup_out").collect()
     )
     assert temps == [20.0, 21.0, 22.0]  # e1's redelivery dropped
+
+
+def test_stream_static_enrichment(spark):
+    """Broadcast dim columns appended; rooms without a dim row survive
+    NULL-extended (enrichment never drops telemetry)."""
+    from orionld_to_hive_spark.streaming.joins import enrich_with_rooms
+
+    lines = [
+        _notification(
+            [
+                _entity("Kitchen", temperature=19.2),
+                _entity("Attic", temperature=5.0),  # not in the dim
+            ]
+        )
+    ]
+    raw = spark.read.schema(NGSI_NOTIFICATION_SCHEMA).json(
+        spark.sparkContext.parallelize(lines)
+    )
+    dim = spark.createDataFrame(
+        [("kitchen", 0), ("bathroom", 1)], ["room", "floor"]
+    )
+    rows = {r.room: r.floor for r in enrich_with_rooms(
+        parse_notifications(raw), dim
+    ).collect()}
+    assert rows == {"kitchen": 0, "attic": None}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Temperature buffered in batch 1 must join humidity arriving in
+    batch 2 (state across micro-batches), only within the 10-minute
+    band and only for the same room."""
+    from orionld_to_hive_spark.streaming.ingest import read_notification_stream
+    from orionld_to_hive_spark.streaming.joins import start_interval_join_query
+
+    in_dir = tmp_path / "join_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                # same-minute humidity in ANOTHER room: must not pair
+                _entity_at("Bathroom", "2024-01-01T00:12:00.000Z", humidity=55),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [
+                # +5 min: inside the band → the one expected pair
+                _entity_at("Kitchen", "2024-01-01T00:15:00.000Z", humidity=48),
+                # +15 min: outside the band → dropped
+                _entity_at("Kitchen", "2024-01-01T00:25:00.000Z", humidity=40),
+            ]
+        )
+        + "\n"
+    )
+
+    parsed = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = start_interval_join_query(parsed, str(tmp_path / "ckpt_join"), "join_out")
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM join_out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.room, r.temperature, r.humidity) == ("kitchen", 20.0, 48)
+    assert str(r.t_ts) == "2024-01-01 00:10:00" and str(r.h_ts) == "2024-01-01 00:15:00"
