@@ -50,6 +50,10 @@ HEADLINE = (
     "session_window_stats",
     "stats_moments",
     "pipeline_curation_report",
+    "having_large_orders",
+    "trailing_hour_stats",
+    "multi_distinct_agg",
+    "word_freq_explode",
 )
 
 

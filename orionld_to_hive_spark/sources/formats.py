@@ -1,0 +1,50 @@
+"""Interchange formats: CSV / JSON-lines / parquet writers and readers
+with schema round-trip fidelity.
+
+The reference's only interchange surface is headerless TSV in
+(reference `insert.py:74`) and NGSI-LD JSON over HTTP (reference
+`subscriber.py:104-123`). An engine users migrate onto also needs to
+EXPORT — and to re-ingest its own exports losslessly. These helpers pin
+the options that make round-trips exact:
+
+  - explicit schema on read (never inferSchema — a 100 TB read must not
+    pay an inference pre-pass, and inference can't distinguish
+    INT/LONG or TIMESTAMP/STRING reliably);
+  - microsecond timestamp format on CSV/JSON (default truncates);
+  - header on CSV so column order is self-describing.
+
+Parquet needs no options — it is the warehouse format (warehouse.py);
+it appears here only so callers can treat format choice as data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+    elif fmt == "json":
+        w.option("timestampFormat", _TS_FMT).json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def read_table(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
+) -> DataFrame:
+    r = spark.read.schema(schema)
+    if fmt == "csv":
+        return r.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+    if fmt == "json":
+        return r.option("timestampFormat", _TS_FMT).json(path)
+    if fmt == "parquet":
+        return r.parquet(path)
+    raise ValueError(f"unsupported format {fmt!r}")

@@ -93,6 +93,47 @@ def load_time_range(
     return df
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    sort_col: str | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ceil(total_bytes / target) files, preserving (or establishing)
+    clustering on `sort_col`. Returns the new file count.
+
+    Streaming ingest (S4) appends one file per micro-batch — after a
+    day a 100 TB warehouse holds millions of KB-sized files and scan
+    planning, not IO, dominates query time. Compaction = one job:
+    repartitionByRange on the sort key (range partitioning keeps each
+    output file a contiguous key range ⇒ parquet min/max row-group
+    skipping stays effective) + sortWithinPartitions, written to a
+    temp location then swapped in. On an object store the swap is a
+    metastore location flip rather than a rename; the rewrite job is
+    identical.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in df.inputFiles()
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = (
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.repartition(n_files)
+    )
+    tmp = path.rstrip("/") + ".compact-tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

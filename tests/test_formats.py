@@ -1,0 +1,24 @@
+"""Round-trip fidelity: every interchange format must re-read its own
+export bit-identically (schema AND values, incl. µs timestamps)."""
+
+from __future__ import annotations
+
+import pytest
+
+from orionld_to_hive_spark.sources.formats import read_table, write_table
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_roundtrip_events(spark, tmp_path, fmt):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / f"events_{fmt}")
+    write_table(ev, path, fmt)
+    back = read_table(spark, path, ev.schema, fmt)
+    assert back.schema == ev.schema
+    key = lambda r: r.event_id
+    orig = sorted(ev.collect(), key=key)
+    rt = sorted(back.collect(), key=key)
+    assert rt == orig  # exact: µs timestamps and doubles survive
