@@ -105,3 +105,63 @@ def test_topk_uses_take_ordered(spark, sf_smoke):
 def test_tumbling_window_prunes_columns(spark, sf_smoke):
     df = temporal.tumbling_window_agg(spark, sf_smoke)
     assert set(read_schema_columns(df)) == {"ts", "event_type", "value"}
+
+
+def test_having_joinback_broadcasts_survivors(spark, sf_smoke):
+    # HAVING survivors are a tiny fraction of orders — both join-backs
+    # must be broadcast; shuffles = per-order agg + final sort only
+    from orionld_to_hive_spark.operators import tpch
+
+    df = tpch.having_large_orders(spark, sf_smoke)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_trailing_hour_range_frame_single_shuffle(spark, sf_smoke):
+    # the RANGE frame must reuse the one (user_id) window exchange
+    from orionld_to_hive_spark.operators import windows
+
+    df = windows.trailing_hour_stats(spark, sf_smoke)
+    assert count_shuffles(df) == 1
+
+
+def test_multi_distinct_is_one_expand_pass(spark, sf_smoke):
+    # two COUNT(DISTINCT) + COUNT(*) ⇒ ONE Expand-based pass, not
+    # self-joined single-distinct aggregates
+    from orionld_to_hive_spark.operators import sqlsurface
+
+    df = sqlsurface.multi_distinct_agg(spark, sf_smoke)
+    plan = formatted(df)
+    assert "Join" not in plan, plan
+    import re
+
+    ops = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+    assert ops.count("Expand") == 1
+
+
+def test_word_freq_combines_before_shuffle(spark, sf_smoke):
+    # explode → partial agg must combine map-side: a HashAggregate sits
+    # below the first exchange, and top-k is TakeOrderedAndProject
+    from orionld_to_hive_spark.operators import sqlsurface
+
+    df = sqlsurface.word_freq_explode(spark, sf_smoke)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    ops = re.findall(r"^\(\d+\) (\S+)", formatted(df), re.M)
+    first_exchange = ops.index("Exchange")
+    assert "HashAggregate" in ops[:first_exchange], ops
+
+
+def test_conditional_agg_single_pass(spark, sf_smoke):
+    # every FILTER-style measure folds into one aggregate: one scan,
+    # agg exchange + final sort at most
+    from orionld_to_hive_spark.operators import stats
+
+    df = stats.conditional_agg_per_type(spark, sf_smoke)
+    import re
+
+    ops = re.findall(r"^\(\d+\) (Scan parquet)", formatted(df), re.M)
+    assert len(ops) == 1, ops
+    assert count_shuffles(df) <= 2

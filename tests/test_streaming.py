@@ -345,3 +345,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
     r = rows[0]
     assert (r.room, r.temperature, r.humidity) == ("kitchen", 20.0, 48)
     assert str(r.t_ts) == "2024-01-01 00:10:00" and str(r.h_ts) == "2024-01-01 00:15:00"
+
+
+def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
+    """Partials appended per micro-batch must merge to exactly the
+    from-scratch batch aggregate over the same events."""
+    from orionld_to_hive_spark.streaming.ingest import (
+        parse_notifications,
+        read_notification_stream,
+    )
+    from orionld_to_hive_spark.streaming.rollup import read_rollup, start_rollup
+
+    in_dir = tmp_path / "rollup_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                _entity_at("Kitchen", "2024-01-01T00:40:00.000Z", temperature=22.0),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    # second micro-batch touches the SAME hour bucket — the rollup must
+    # merge partials across batches, not overwrite
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:50:00.000Z", temperature=24.0),
+                _entity_at("Bathroom", "2024-01-01T01:05:00.000Z", temperature=18.0),
+            ]
+        )
+        + "\n"
+    )
+
+    rollup_path = str(tmp_path / "rollup_table")
+    stream = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = start_rollup(stream, rollup_path, str(tmp_path / "ckpt_rollup"))
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.hour), r.room): (r.n_readings, r.avg_temperature)
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "kitchen"): (3, 22.0),
+        ("2024-01-01 01:00:00", "bathroom"): (1, 18.0),
+    }
+    # ≥2 partial rows for kitchen hour 00 proves incremental merge
+    partials = spark.read.parquet(rollup_path)
+    kitchen_partials = partials.filter(partials.room == "kitchen").collect()
+    assert len(kitchen_partials) == 2
