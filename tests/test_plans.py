@@ -165,3 +165,26 @@ def test_conditional_agg_single_pass(spark, sf_smoke):
     ops = re.findall(r"^\(\d+\) (Scan parquet)", formatted(df), re.M)
     assert len(ops) == 1, ops
     assert count_shuffles(df) <= 2
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    # partition-by-room design (SURVEY §7): a room predicate must prune
+    # at planning time — PartitionFilters, zero data files read from
+    # other partitions — replacing the reference's six separate tables
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.warehouse import load_table, write_partitioned
+
+    ev = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, partition_cols=("event_type",), mode="overwrite")
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = formatted(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan
+    # and the pruned scan must actually read only the one partition
+    clicks = df.select("event_id").collect()
+    one_part = spark.read.parquet(path + "/event_type=click").count()
+    assert len(clicks) == one_part
