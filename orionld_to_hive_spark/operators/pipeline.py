@@ -110,10 +110,68 @@ ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/validation split. RNG-based splits are
+# irreproducible across engines and re-runs; the standard fix is
+# content-addressed assignment: hash a stable id, compare against a
+# quantile of the hash space. Here: first md5 hex byte < 'cd' ⇒ train
+# (205/256 ≈ 80.1% expected share). Hex digits compare LEXICALLY the
+# same everywhere, so the exact same docs land in the same split in
+# Spark, DuckDB, or any future engine — no seed to drift, no shuffle
+# to assign (the split predicate is a row-local expression the scan
+# stage evaluates). New documents never reshuffle old assignments —
+# the property that keeps a 100 TB training corpus's eval set stable
+# across incremental refreshes.
+def train_val_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "cd", "train").otherwise("val")
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        docs.select(split.alias("split"), "lang", F.size(toks).alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'train' ELSE 'val' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sample: per-stratum Bernoulli fractions (downsample the
+# dominant language, keep the tail) — `sampleBy` pushes the seeded
+# coin-flip into the scan stage; no shuffle, no state. Engine RNG ⇒
+# rows-only driver check (like P6); determinism pinned by unit test.
+STRATA_FRACTIONS = {"en": 0.2, "de": 0.8, "fr": 0.8}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
+    "train_val_split_report": train_val_split_report,
+    "stratified_sample_docs": stratified_sample_docs,
 }
 
 ORACLES = {
     "pipeline_curation_report": PIPELINE_SQL,
+    "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
 }

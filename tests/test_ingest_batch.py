@@ -99,3 +99,17 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     # partition filter must reach the scan (pruning, not post-filter)
     assert "PartitionFilters" in plan and "room" in plan
     assert df.count() == 4
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from orionld_to_hive_spark.operators.pipeline import (
+        STRATA_FRACTIONS,
+        stratified_sample_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(r.doc_id for r in stratified_sample_docs(spark, sf).collect())
+    b = sorted(r.doc_id for r in stratified_sample_docs(spark, sf).collect())
+    assert a == b and len(a) > 0  # same seed ⇒ identical sample
+    langs = {r.lang for r in stratified_sample_docs(spark, sf).collect()}
+    assert langs <= set(STRATA_FRACTIONS)  # unlisted strata excluded
