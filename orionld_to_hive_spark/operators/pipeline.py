@@ -43,10 +43,27 @@ def _quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    input_obs=None,
+    gated_obs=None,
+) -> DataFrame:
     """Survivor set after quality gate + exact dedup, with per-doc
-    token count and quality score."""
-    docs = _quality_gate(load_table(spark, sf_dir, "documents"))
+    token count and quality score.
+
+    Pass two `pyspark.sql.Observation` objects to get stage-yield
+    telemetry (rows seen / rows surviving the gate) measured ON THE
+    SAME JOB — production pipelines need per-stage yields, and a
+    second counting scan of a 100 TB input is not an option.
+    `observe()` aggregates ride the existing stage like any other
+    partial aggregate; read `obs.get` after an action."""
+    raw = load_table(spark, sf_dir, "documents")
+    if input_obs is not None:
+        raw = raw.observe(input_obs, F.count(F.lit(1)).alias("n_input"))
+    docs = _quality_gate(raw)
+    if gated_obs is not None:
+        docs = docs.observe(gated_obs, F.count(F.lit(1)).alias("n_gated"))
     hashed = docs.withColumn("text_hash", F.sha2(F.col("text").cast("binary"), 256))
     survivors = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
     toks = F.split(F.trim("text"), r"\s+")

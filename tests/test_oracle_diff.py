@@ -31,3 +31,23 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_curation_observed_metrics_ride_the_job(spark):
+    """Stage-yield telemetry via observe(): input and post-gate counts
+    must come from the one curation job, no second scan."""
+    from pyspark.sql import Observation
+
+    from orionld_to_hive_spark.operators.pipeline import (
+        _quality_gate,
+        curate_documents,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    sf = "/root/testdata/sf0.001"
+    inp, gated = Observation("in"), Observation("gated")
+    curate_documents(spark, sf, input_obs=inp, gated_obs=gated).collect()
+    docs = load_table(spark, sf, "documents")
+    assert inp.get["n_input"] == docs.count()
+    assert gated.get["n_gated"] == _quality_gate(docs).count()
+    assert 0 < gated.get["n_gated"] <= inp.get["n_input"]
