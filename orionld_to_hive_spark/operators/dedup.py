@@ -337,12 +337,119 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends
+    up labeled with the smallest doc_id reachable from it (the cluster
+    canonical). Returns (node, label).
+
+    Pairwise near-dup output is NOT a dedup answer — similarity is not
+    transitive, so a→b and b→c pairs must collapse into one {a,b,c}
+    cluster before survivors are chosen. That closure is an iterative
+    fixpoint no single SQL pass expresses.
+
+    Scale: each iteration is one join + one min-aggregate (two
+    shuffles) on (node, label) pairs — never materializing the
+    transitive closure. Iteration count is the cluster diameter, and
+    near-dup clusters are shallow (dozens of iterations would mean a
+    chain of thousands of pairwise-similar docs). `localCheckpoint`
+    truncates lineage so plans don't grow per iteration; the
+    convergence test is a count(), i.e. a scalar to the driver, not
+    data.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not pairs): 3-gram Jaccard >= 0.5 pairs →
+    connected components → one row per cluster with its canonical
+    (min doc_id) and size. The oracle computes the same fixpoint with
+    a recursive CTE — closing the loop on an iterative algorithm."""
+    pairs = _exact_jaccard_pairs(
+        shingles(_docs(spark, sf_dir)), JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("label").alias("canonical_doc_id"), "cluster_size")
+        .orderBy("canonical_doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, peer) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+),
+labels AS (
+  SELECT node, MIN(peer) AS label FROM reach GROUP BY node
+)
+SELECT label AS canonical_doc_id, COUNT(*) AS cluster_size
+FROM labels
+GROUP BY label
+ORDER BY canonical_doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters_ngram": dedup_clusters_ngram,
 }
 
 ORACLES = {
@@ -351,4 +458,5 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     # dedup_simhash: engine-specific 64-bit hash — rows-only check
+    "dedup_clusters_ngram": DEDUP_CLUSTERS_SQL,
 }

@@ -51,3 +51,18 @@ def test_curation_observed_metrics_ride_the_job(spark):
     assert inp.get["n_input"] == docs.count()
     assert gated.get["n_gated"] == _quality_gate(docs).count()
     assert 0 < gated.get["n_gated"] <= inp.get["n_input"]
+
+
+def test_connected_components_min_label_fixpoint(spark):
+    """Chain + separate pair + transitivity: a-b, b-c, c-d collapse to
+    one component labeled min(a..d) even though a,d were never paired."""
+    from orionld_to_hive_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (8, 9)], ["doc_a", "doc_b"]
+    )
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert labels == {2: 2, 3: 2, 4: 2, 5: 2, 8: 8, 9: 8}
