@@ -121,14 +121,70 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# CROSS JOIN surface: the (region × nation) grid with a membership
+# flag. Cartesian products are legitimate for small-dim scaffolding
+# (calendars, bucket grids); both sides here are broadcast-size so the
+# product never shuffles. Anything × a fact table would be a bug, not
+# a query — hence only dims appear here.
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return (
+        region.crossJoin(nation)
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_member"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+CROSS_JOIN_SQL = """
+SELECT r_name, n_name, (n_regionkey = r_regionkey) AS is_member
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Pagination: ORDER BY + LIMIT/OFFSET over a unique total order.
+# Keyset pagination (WHERE key > last_seen) is the scale-correct form —
+# OFFSET must still skip the prefix — but the surface has to exist for
+# SQL compatibility, and with a deterministic total order it is exact.
+def paginate_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .offset(20)
+        .limit(10)
+    )
+
+
+PAGINATE_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_custkey
+LIMIT 10 OFFSET 20
+"""
+
+
 QUERIES = {
     "multi_distinct_agg": multi_distinct_agg,
     "word_freq_explode": word_freq_explode,
     "null_semantics_suite": null_semantics_suite,
+    "cross_join_region_nation": cross_join_region_nation,
+    "paginate_customers": paginate_customers,
 }
 
 ORACLES = {
     "multi_distinct_agg": MULTI_DISTINCT_SQL,
     "word_freq_explode": WORD_FREQ_SQL,
     "null_semantics_suite": NULL_SEMANTICS_SQL,
+    "cross_join_region_nation": CROSS_JOIN_SQL,
+    "paginate_customers": PAGINATE_SQL,
 }
