@@ -66,3 +66,28 @@ def create_readings_table(
 def dump_config(spark: SparkSession) -> DataFrame:
     """D3: `SET -v` — engine configuration dump."""
     return spark.sql("SET -v")
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: tuple[str, ...] = ()
+) -> dict[str, str]:
+    """Collect table (and optionally per-column) statistics into the
+    catalog and return the table-level stats.
+
+    At 100 TB the cost-based optimizer needs rowCount/sizeInBytes to
+    pick join orders and decide broadcastability beyond the static
+    10 MB file-size estimate; column histograms sharpen selectivity
+    estimates for skewed predicates. ANALYZE is a scan-only job —
+    schedule it after large loads/compactions, not per query.
+    """
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stats = next(
+        (r.data_type for r in rows if r.col_name == "Statistics"), ""
+    )
+    return {"statistics": stats}

@@ -136,11 +136,45 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Scalar subquery in the SELECT list: every customer against the
+# global mean balance. DataFrame form: the 1-row aggregate is
+# broadcast-cross-joined onto the scan — exactly the plan Catalyst
+# builds for the SQL scalar subquery; the fact side never shuffles.
+def acctbal_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    global_avg = cust.agg(davg("c_acctbal", "global_avg"))
+    return (
+        cust.select("c_custkey", "c_acctbal")
+        .crossJoin(F.broadcast(global_avg))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.round("global_avg", 6).alias("global_avg"),
+            F.round(F.col("c_acctbal") - F.col("global_avg"), 6).alias(
+                "delta_vs_avg"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SCALAR_SUBQUERY_SQL = f"""
+SELECT c_custkey, c_acctbal,
+       round((SELECT {sql_davg("c_acctbal")} FROM customer), 6) AS global_avg,
+       round(c_acctbal - (SELECT {sql_davg("c_acctbal")} FROM customer), 6)
+         AS delta_vs_avg
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "orders_above_customer_avg": orders_above_customer_avg,
     "orders_of_building_segment": orders_of_building_segment,
     "customers_not_in_urgent": customers_not_in_urgent,
     "top_order_per_customer": top_order_per_customer,
+    "acctbal_vs_global_avg": acctbal_vs_global_avg,
 }
 
 ORACLES = {
@@ -148,4 +182,5 @@ ORACLES = {
     "orders_of_building_segment": IN_SUBQUERY_SQL,
     "customers_not_in_urgent": NOT_IN_SQL,
     "top_order_per_customer": TOP_ORDER_SQL,
+    "acctbal_vs_global_avg": SCALAR_SUBQUERY_SQL,
 }

@@ -42,3 +42,24 @@ def test_create_readings_table_over_warehouse(spark, tmp_path):
         assert rows[0].temperature == 19.2 and rows[1].humidity == 47
     finally:
         spark.sql("DROP TABLE IF EXISTS readings_t")
+
+
+def test_analyze_table_populates_cbo_stats(spark, tmp_path):
+    """ANALYZE must land rowCount + size in the catalog (what the
+    cost-based optimizer reads for join ordering / broadcast checks)."""
+    from orionld_to_hive_spark.catalog import analyze_table, drop_if_exists
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_tbl")
+    docs.write.parquet(path)
+    drop_if_exists(spark, "docs_stats_tbl")
+    spark.sql(
+        f"CREATE TABLE docs_stats_tbl USING parquet LOCATION '{path}'"
+    )
+    try:
+        stats = analyze_table(spark, "docs_stats_tbl", ("doc_id", "lang"))
+        assert f"{docs.count()} rows" in stats["statistics"], stats
+        assert "bytes" in stats["statistics"]
+    finally:
+        drop_if_exists(spark, "docs_stats_tbl")
