@@ -182,13 +182,101 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Deterministic shard assignment: shard = xxhash64(doc_id, seed) mod N.
+# Training jobs need N balanced, reproducible shards whose membership
+# doesn't depend on partitioning or row order — a content-hash mod
+# gives exactly that, as one row-local expression (no shuffle; the
+# subsequent write partitionBy("shard") does the physical routing).
+# Engine-specific hash ⇒ rows-only driver check; balance + determinism
+# pinned by unit test.
+N_SHARDS = 8
+
+
+def shard_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(N_SHARDS))
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        docs.select(shard.alias("shard"), F.size(toks).alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: fill packs of ≤ BUDGET tokens by scanning docs in
+# a fixed order WITHIN each source (contiguous-fill packing: a doc
+# goes to the pack its running prefix lands in; packs can overflow by
+# at most one doc — the standard streaming-packing relaxation).
+# Window is partitioned by source, so packing parallelizes across
+# sources instead of serializing on one global cumulative sum; the
+# (source, doc_id) order makes the result engine-independent, which
+# the DuckDB oracle (same window spec) proves.
+PACK_BUDGET = 2048
+
+
+def pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sized = docs.select("source", "doc_id", toks.alias("n_tokens"))
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_BUDGET})
+              AS BIGINT) AS pack_id
+  FROM sized
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
     "train_val_split_report": train_val_split_report,
     "stratified_sample_docs": stratified_sample_docs,
+    "shard_assignment_report": shard_assignment_report,
+    "pack_sequences_report": pack_sequences_report,
 }
 
 ORACLES = {
     "pipeline_curation_report": PIPELINE_SQL,
     "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
+    # shard_assignment_report: engine-specific xxhash64 — rows-only
+    "pack_sequences_report": PACK_SEQUENCES_SQL,
 }

