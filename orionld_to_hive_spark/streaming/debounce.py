@@ -32,16 +32,26 @@ def _debounce_scan(
     pdf: pd.DataFrame, arrival_col: str, delay_s: float, last_emit: float | None
 ) -> tuple[pd.DataFrame, float | None]:
     """Sequential keep/drop scan in arrival order; returns kept rows and
-    the updated last-accepted time."""
+    the updated last-accepted time.
+
+    Comparisons run in integer MICROSECONDS — Spark timestamps are
+    micro-precision, so float arithmetic here would make events exactly
+    `delay_s` apart flap on double rounding (~2.4e-7 s at 2020s epochs).
+    `last_emit` stays a float epoch-seconds value for the streaming
+    state schema; it is re-quantized to micros on entry.
+    """
     pdf = pdf.sort_values(arrival_col, kind="mergesort")
-    arrivals = pdf[arrival_col].astype("int64") / 1e9  # ns → float seconds
+    arrivals_us = pdf[arrival_col].astype("int64") // 1000  # ns → µs
+    delay_us = round(delay_s * 1_000_000)
+    last_us = None if last_emit is None else round(last_emit * 1_000_000)
     keep_mask = []
-    for t in arrivals:
-        if last_emit is None or t - last_emit >= delay_s:
+    for t_us in arrivals_us:
+        if last_us is None or t_us - last_us >= delay_us:
             keep_mask.append(True)
-            last_emit = t
+            last_us = t_us
         else:
             keep_mask.append(False)
+    last_emit = None if last_us is None else last_us / 1_000_000
     return pdf[pd.Series(keep_mask, index=pdf.index)], last_emit
 
 

@@ -110,17 +110,22 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
 )
 def test_debounce_matches_sequential_scan(spark, arrivals):
     """The distributed debounce must equal the reference's sequential
-    per-entity scan (keep iff >= 50ms since last KEPT event)."""
+    per-entity scan (keep iff >= 50ms since last KEPT event).
+
+    Timestamps are built from exact integer microseconds (Spark's
+    timestamp precision) so the >= boundary at exactly 50ms is
+    deterministic, matching the operator's integer-µs comparison.
+    """
     rows = [
-        (k, 1700000000.0 + ms / 1000.0, float(i))
+        (k, 1700000000_000_000 + ms * 1000, float(i))
         for i, (k, ms) in enumerate(arrivals)
     ]
-    schema = "entityid string, arrival_s double, value double"
+    schema = "entityid string, arrival_us long, value double"
     df = (
         spark.createDataFrame(rows, schema)
         if rows
         else spark.createDataFrame([], schema)
-    ).withColumn("arrival_ts", F.timestamp_seconds("arrival_s"))
+    ).withColumn("arrival_ts", F.timestamp_micros("arrival_us"))
 
     got = sorted(
         (r.entityid, r.value)
@@ -128,9 +133,9 @@ def test_debounce_matches_sequential_scan(spark, arrivals):
     )
 
     expected = []
-    last_kept: dict[str, float] = {}
-    for k, arr, v in sorted(rows, key=lambda r: (r[0], r[1])):
-        if k not in last_kept or arr - last_kept[k] >= 0.05 - 1e-9:
-            last_kept[k] = arr
+    last_kept: dict[str, int] = {}
+    for k, arr_us, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        if k not in last_kept or arr_us - last_kept[k] >= 50_000:
+            last_kept[k] = arr_us
             expected.append((k, v))
     assert got == sorted(expected)
