@@ -1,0 +1,273 @@
+"""Product-analytics operators: ordered funnel, cohort retention,
+linear regression, percentile profile, deterministic mode.
+
+Beyond-reference capability (the reference's analytics stop at
+hour-bucketed averages, `hive.py:55-99`); these are the shapes a
+telemetry/events warehouse is actually asked for, expressed as
+single-plan DataFrame chains.
+
+Scale notes:
+
+- The funnel computes three per-user window minima over the SAME
+  `partitionBy(user_id)` hash partitioning, then aggregates per user
+  and globally: ONE shuffle on `user_id` feeds every stage (Catalyst
+  reuses the exchange; unbounded-frame windows need no sort), plus a
+  final single-row reduce. No self-joins, no per-stage re-scans —
+  at 100 TB the funnel costs the same as one grouped aggregate.
+- Cohort retention dedups (user, day) pairs on the user_id
+  partitioning established by the first-event window, then reduces to
+  (cohort_day, offset) cells — output is O(days²), tiny at any scale.
+- Regression coefficients come from exact decimal power sums
+  (Σx, Σy, Σxy, Σx² — associative, order-independent; same convention
+  as `stats.py`), so the slope/intercept are bit-identical on any
+  engine and any partitioning: one partial-aggregable shuffle.
+- The mode uses an explicit tie-break (max count, then smallest key)
+  rather than the engine's `mode()` whose tie choice is unspecified —
+  determinism is part of the operator contract here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view → click (after first view) → purchase (after
+# that click), per user; global stage-reach counts.
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM t1) AS n_view,
+       (SELECT COUNT(*) FROM t2) AS n_view_click,
+       (SELECT COUNT(*) FROM t3) AS n_full_funnel
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day; how many are
+# active again d days later.
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("day", F.min("ts").over(w))
+    day = F.date_trunc("day", F.col("ts"))
+    cells = (
+        ev.select(
+            "user_id",
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(day, cohort).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        cells.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT e.user_id,
+         strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+         date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM cells
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# Least-squares regression per group from exact decimal power sums.
+
+DEC = "decimal(18,2)"  # quantities/prices are 2-decimal; see stats.py
+
+
+def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit extendedprice ~ quantity: slope, intercept,
+    computed from Σx/Σy/Σxy/Σx² exact decimal sums (engine-portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+REGRESSION_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_items,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentile profile (linear interpolation, the ANSI
+# PERCENTILE_CONT definition both engines implement).
+
+
+def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode: modal hour-of-day per event type, ties broken by
+# the smallest hour (built-in mode() leaves ties unspecified).
+
+
+def modal_hour_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("hr").alias("modal_hour"), F.col("n").alias("n_at_mode"))
+        .orderBy("event_type")
+    )
+
+
+MODAL_HOUR_SQL = """
+WITH counts AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, hr
+),
+ranked AS (
+  SELECT event_type, hr, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hr ASC) AS rk
+  FROM counts
+)
+SELECT event_type, CAST(hr AS INTEGER) AS modal_hour, n AS n_at_mode
+FROM ranked WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+    "regression_price_vs_qty": regression_price_vs_qty,
+    "percentile_profile": percentile_profile,
+    "modal_hour_per_type": modal_hour_per_type,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+    "regression_price_vs_qty": REGRESSION_SQL,
+    "percentile_profile": PERCENTILE_SQL,
+    "modal_hour_per_type": MODAL_HOUR_SQL,
+}

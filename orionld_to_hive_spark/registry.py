@@ -30,6 +30,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.pipeline",
     "orionld_to_hive_spark.operators.stats",
     "orionld_to_hive_spark.operators.sqlsurface",
+    "orionld_to_hive_spark.operators.analytics",
     "orionld_to_hive_spark.functions.udtf",
 )
 
