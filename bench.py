@@ -34,6 +34,8 @@ HEADLINE = (
     "q3_union_cube",
     "q4_join_hourly",
     "tpch_q1_pricing",
+    "tpch_q6_forecast",
+    "tpch_q19_disjunctive",
     "tpch_q3_shipping",
     "regional_revenue",
     "latest_event_per_user",

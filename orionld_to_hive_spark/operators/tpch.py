@@ -296,8 +296,185 @@ ORDER BY total_qty DESC, o_orderkey ASC
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting-revenue-change. A pure scan-filter-agg with
+# THREE selective predicates — the canonical predicate-pushdown probe.
+# Every filter (timestamp range, discount band, quantity cap) reaches the
+# parquet scan as a PushedFilter, so row groups whose min/max miss the
+# band are never decoded; the aggregate itself reduces to one decimal
+# per task. At 100 TB this query is IO-bound on exactly the row groups
+# that can match — nothing else.
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion-effect ratio. lineitem ⋈ part with the fact
+# side pre-filtered to one month; part is broadcast (a dim at any
+# realistic scale). Both the conditional numerator and the denominator
+# come out of ONE aggregate pass — no second scan for the ratio.
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * dsum(F.coalesce(promo, F.lit(0.0)))
+            / dsum(disc_price),
+            6,
+        ).alias("promo_revenue_pct"),
+        dsum(disc_price, "total_revenue"),
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT round(100.0 * {sql_dsum(
+        "CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {sql_dsum("l_extendedprice * (1 - l_discount)")}, 6)
+         AS promo_revenue_pct,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate.
+# The planner must (a) broadcast part, (b) extract the common
+# conjuncts (quantity cap, size floor) OUT of the disjunction so they
+# still reach the lineitem scan as PushedFilters, and (c) keep the
+# disjunction itself as a post-join filter. At 100 TB the difference
+# between "pushdown survived the OR" and "full fact scan" is the whole
+# query cost — this is the regression probe for it.
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(branch).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 30
+  AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier(s). The naive "view +
+# MAX-of-view" plan scans the fact table TWICE (Spark plans the view's
+# two uses independently; exchange reuse is not guaranteed). The
+# single-scan formulation: aggregate once, then take the global MAX as
+# an unpartitioned window over the AGGREGATE — which is |suppliers|
+# rows, not |lineitem|, so the single-partition window is cheap at any
+# fact-table scale. Ties survive (= on the exact-decimal sum is
+# deterministic, unlike a double sum). Supplier dim joins broadcast.
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    w = Window.partitionBy()
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q6_forecast": tpch_q6_forecast,
+    "tpch_q14_promo": tpch_q14_promo,
+    "tpch_q19_disjunctive": tpch_q19_disjunctive,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q3_shipping": tpch_q3_shipping,
     "regional_revenue": regional_revenue,
     "semi_join_urgent_customers": semi_join_urgent_customers,
@@ -309,6 +486,10 @@ QUERIES = {
 ORACLES = {
     "having_large_orders": HAVING_LARGE_ORDERS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
+    "tpch_q6_forecast": TPCH_Q6_SQL,
+    "tpch_q14_promo": TPCH_Q14_SQL,
+    "tpch_q19_disjunctive": TPCH_Q19_SQL,
+    "tpch_q15_top_supplier": TPCH_Q15_SQL,
     "tpch_q3_shipping": TPCH_Q3_SQL,
     "regional_revenue": REGIONAL_REVENUE_SQL,
     "semi_join_urgent_customers": SEMI_JOIN_SQL,

@@ -188,3 +188,35 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     clicks = df.select("event_id").collect()
     one_part = spark.read.parquet(path + "/event_type=click").count()
     assert len(clicks) == one_part
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_smoke):
+    # Q6 is the canonical pushdown probe: every one of the three
+    # selective predicates must reach the parquet scan so row groups
+    # whose min/max miss the band are skipped, not decoded.
+    df = tpch.tpch_q6_forecast(spark, sf_smoke)
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert has_pushed_filter(df, "LessThan(l_shipdate")
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_discount,0.03)")
+    assert has_pushed_filter(df, "LessThan(l_quantity,24")
+    cols = set(read_schema_columns(df))
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_tpch_q19_common_conjuncts_survive_disjunction(spark, sf_smoke):
+    # The OR-of-ANDs must not defeat pushdown of the quantity band that
+    # every branch shares — at 100 TB that band is the scan's only
+    # row-group skip; part stays broadcast.
+    df = tpch.tpch_q19_disjunctive(spark, sf_smoke)
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_quantity,1")
+    assert has_pushed_filter(df, "LessThanOrEqual(l_quantity,30")
+    assert has_broadcast_join(df)
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_smoke):
+    # MAX-of-view must not re-scan the fact table: the window-max
+    # formulation reads lineitem exactly once; the unpartitioned window
+    # runs over the |suppliers|-row aggregate, never the fact rows.
+    df = tpch.tpch_q15_top_supplier(spark, sf_smoke)
+    plan = formatted(df)
+    assert plan.count("lineitem.parquet") == 1, plan
