@@ -191,14 +191,69 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Equi-width histogram. The distribution profile every data-quality
+# report needs, as ONE map-side-combinable aggregate: bin id is a pure
+# scalar expression (floor arithmetic — identical in any engine, unlike
+# width_bucket variants), so the shuffle carries ≤ n_bins rows per task
+# regardless of fact size; empty bins are materialized by a range join
+# against a generated spine so the output shape is stable.
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 400.0, 16
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_id = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(width)),
+    ).cast("int")
+    counts = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") >= HIST_LO))
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .count()
+    )
+    spine = spark.range(HIST_BINS).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(HIST_LO) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH counts AS (
+    SELECT CAST(LEAST({HIST_BINS - 1},
+                CAST(FLOOR((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS BIGINT)) AS INT) AS bin,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE value IS NOT NULL AND value >= {HIST_LO}
+    GROUP BY 1
+)
+SELECT s.bin,
+       {HIST_LO} + s.bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_lo,
+       COALESCE(cnt, 0) AS n
+FROM (SELECT CAST(range AS INT) AS bin FROM range({HIST_BINS})) s
+LEFT JOIN counts ON s.bin = counts.bin
+ORDER BY s.bin
+"""
+
+
 QUERIES = {
     "stats_moments": stats_moments,
     "array_funcs_per_user": array_funcs_per_user,
     "conditional_agg_per_type": conditional_agg_per_type,
+    "value_histogram": value_histogram,
 }
 
 ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "array_funcs_per_user": ARRAY_FUNCS_SQL,
     "conditional_agg_per_type": CONDITIONAL_AGG_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
 }

@@ -160,8 +160,145 @@ GROUP BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# Canonical text normalization — the step every dedup/contamination
+# screen runs FIRST so trivial formatting diffs don't defeat exact-hash
+# matching: lowercase → non-alphanumerics to spaces → collapse runs →
+# trim, then a content hash of the canonical form. Pure codegen string
+# expressions (regexp_replace is JVM-side), embarrassingly parallel,
+# zero shuffle; the md5 doubles as the exact-dedup key at 100 TB.
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+       CAST(len(string_split(norm_text, ' ')) AS INTEGER) AS n_norm_tokens
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination screen. Before training, every corpus must be
+# checked for verbatim overlap with held-out eval sets: here docs from
+# EVAL_SOURCES play the benchmark, the rest the training corpus. The
+# unit of overlap is the 5-token shingle (word n-gram), so formatting
+# can't hide a copied span the way whole-doc hashes can.
+#
+# Scale shape: the eval side of a contamination screen is always tiny
+# (benchmarks are KBs, corpora are TBs) — so its distinct shingle set
+# is BROADCAST and the 100 TB training side is a single scan + explode
+# + semi-join against the broadcast, no shuffle of the corpus at all;
+# the only aggregation runs over eval-side rows. Shingles travel as
+# md5 digests, not raw strings, to bound row width.
+EVAL_SOURCES = ("src0", "src1")
+SHINGLE_N = 5
+
+
+def _shingles(col: str = "text") -> F.Column:
+    # transform over a 1-based index sequence; slice(t, i, n) inside
+    # the lambda keeps the whole thing in codegen — no UDF. The CASE
+    # guards short docs: sequence(1, 0) would DESCEND in Spark, not
+    # come back empty.
+    return F.expr(
+        f"CASE WHEN size(split({col}, ' ')) >= {SHINGLE_N} THEN"
+        f" transform(sequence(1, size(split({col}, ' ')) - {SHINGLE_N - 1}),"
+        f" i -> md5(concat_ws(' ', slice(split({col}, ' '), i, {SHINGLE_N}))))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", _shingles().alias("grams")
+    )
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    eval_g = (
+        docs.filter(is_eval)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train_g = (
+        docs.filter(~is_eval).select(F.explode("grams").alias("g")).distinct()
+    )
+    totals = docs.filter(is_eval).select(
+        "doc_id", F.size(F.array_distinct("grams")).alias("n_grams")
+    )
+    hits = (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, source, md5(array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')) AS g
+    FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(1, len(t) - {SHINGLE_N - 2}))) AS i
+    )
+),
+eval_g AS (
+    SELECT DISTINCT doc_id, g FROM grams WHERE source IN ('src0', 'src1')
+),
+train_g AS (
+    SELECT DISTINCT g FROM grams WHERE source NOT IN ('src0', 'src1')
+),
+totals AS (
+    SELECT doc_id, COUNT(DISTINCT g) AS n_grams
+    FROM grams WHERE source IN ('src0', 'src1') GROUP BY doc_id
+),
+hits AS (
+    SELECT e.doc_id, COUNT(*) AS n_hit
+    FROM eval_g e JOIN train_g t ON e.g = t.g
+    GROUP BY e.doc_id
+)
+SELECT totals.doc_id,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       round(COALESCE(n_hit, 0) / n_grams, 6) AS contamination_rate
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+ORDER BY totals.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_normalize": text_normalize,
+    "contamination_screen": contamination_screen,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -170,6 +307,8 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
+    "contamination_screen": CONTAMINATION_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
