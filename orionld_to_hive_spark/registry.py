@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "orionld_to_hive_spark.operators.parity",
     "orionld_to_hive_spark.operators.tpch",
+    "orionld_to_hive_spark.operators.tpch2",
     "orionld_to_hive_spark.operators.windows",
     "orionld_to_hive_spark.operators.dedup",
     "orionld_to_hive_spark.operators.similarity",
