@@ -429,6 +429,354 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations. Both nation
+# attributions ride in on BROADCAST joins (supplier+nation onto the
+# fact, customer+nation onto orders); the only real shuffle is
+# lineitem⋈orders on the order key. The two-direction pair predicate is
+# a disjunction over already-joined dim columns — evaluated post-join,
+# pushed nowhere, exactly as cheap as it looks.
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share. Numerator (one nation's
+# volume) and denominator (the whole market) come out of ONE
+# conditional-aggregate pass per year — no second scan, no self-join.
+# Both sums use the exact-decimal convention, so the final
+# double-by-double division is bit-identical across engines.
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
+                / dsum(volume)
+            ).alias("mkt_share"),
+            dsum(volume, "total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum("CASE WHEN n1.n_name = 'NATION_7' "
+                  "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {sql_dsum("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_volume
+FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND l_partkey = p_partkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year. The missing
+# ps_supplycost is adapted as half the part's retail price, so profit =
+# revenue − 0.5·p_retailprice·l_quantity. part (name-filtered) and
+# supplier+nation broadcast onto the fact; lineitem⋈orders is the one
+# shuffle; then a small two-key aggregate.
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount)"
+                 " - 0.5 * p_retailprice * l_quantity")} AS sum_profit
+FROM lineitem, orders, part, supplier, nation
+WHERE l_orderkey = o_orderkey
+  AND l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier count by part attributes. The partsupp
+# relation is adapted as DISTINCT (l_partkey, l_suppkey) observed in
+# lineitem — computed by a groupBy (one shuffle, map-side combined).
+# The NOT IN (excluded suppliers) subquery becomes a broadcast LEFT
+# ANTI join (s_suppkey is never NULL, so anti ≡ NOT IN here); part is
+# broadcast. COUNT(DISTINCT) runs over the pair-level relation, so the
+# Expand rewrite never touches raw fact rows.
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with excess shipments (the availqty
+# predicate adapted to "shipped >50 units of some small* part in
+# 1996"). The inner aggregate runs over the part-filtered, date-pruned
+# fact slice (broadcast part keys prune the scan), its HAVING runs on
+# the exact decimal sum, and the surviving supplier keys flow into a
+# LEFT SEMI join against the supplier dim — the IN-subquery made
+# distributed.
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qdec"))
+        .filter(F.col("qdec") > 50)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 50)
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept orders waiting. The textbook form
+# is a triple self-join on lineitem (l1 ⋈ EXISTS l2 ⋈ NOT EXISTS l3) —
+# three fact scans; the oracle keeps it as the differential. Spark-side
+# it collapses to ONE scan: aggregate to (order, supplier) pairs
+# carrying late-row counts, then two window functions over the order
+# key tell each pair how many suppliers the order has and how many were
+# late ("late" = shipped >90 days after the order date, the
+# commit/receipt adaptation). A pair qualifies when it was late, the
+# order is multi-supplier, and it was the ONLY late one — numwait then
+# counts the pair's late rows, matching the row-level textbook count.
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("n_late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_rows") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualified.groupBy("l_suppkey")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_q4_priority": tpch_q4_priority,
     "tpch_q10_returned": tpch_q10_returned,
@@ -438,9 +786,21 @@ QUERIES = {
     "tpch_q11_important_parts": tpch_q11_important_parts,
     "tpch_q22_idle_customers": tpch_q22_idle_customers,
     "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_profit": tpch_q9_profit,
+    "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
 }
 
 ORACLES = {
+    "tpch_q7_nation_volume": TPCH_Q7_SQL,
+    "tpch_q8_market_share": TPCH_Q8_SQL,
+    "tpch_q9_profit": TPCH_Q9_SQL,
+    "tpch_q16_supplier_cnt": TPCH_Q16_SQL,
+    "tpch_q20_excess_shippers": TPCH_Q20_SQL,
+    "tpch_q21_waiting_suppliers": TPCH_Q21_SQL,
     "tpch_q17_small_qty": TPCH_Q17_SQL,
     "tpch_q11_important_parts": TPCH_Q11_SQL,
     "tpch_q22_idle_customers": TPCH_Q22_SQL,
