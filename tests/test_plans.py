@@ -3,7 +3,7 @@ properties that decide whether a plan survives 100× scale."""
 
 from __future__ import annotations
 
-from orionld_to_hive_spark.operators import cubes, parity, sketches, temporal, tpch
+from orionld_to_hive_spark.operators import cubes, parity, sketches, temporal, tpch, tpch2
 from orionld_to_hive_spark.plans.explain import (
     count_shuffles,
     executed_plan,
@@ -220,3 +220,32 @@ def test_tpch_q15_single_fact_scan(spark, sf_smoke):
     df = tpch.tpch_q15_top_supplier(spark, sf_smoke)
     plan = formatted(df)
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q21_single_fact_scan_no_self_join(spark, sf_smoke):
+    # The textbook Q21 is a triple self-join (l1/l2/l3) — three fact
+    # scans. The windowed formulation must read lineitem exactly ONCE;
+    # the per-order supplier counts come from windows over the already
+    # aggregated (order, supplier) pairs.
+    df = tpch2.tpch_q21_waiting_suppliers(spark, sf_smoke)
+    plan = formatted(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q4_exists_is_hash_semi_join(spark, sf_smoke):
+    # EXISTS must plan as a semi join keyed on l_orderkey (the extra
+    # date conjunct rides along), never a nested loop over the fact.
+    df = tpch2.tpch_q4_priority(spark, sf_smoke)
+    plan = formatted(df)
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_tpch_q17_threshold_is_windowed_single_scan(spark, sf_smoke):
+    # The correlated avg-quantity subquery must decorrelate into a
+    # window over the joined (brand-pruned) slice — one lineitem scan,
+    # part broadcast.
+    df = tpch2.tpch_q17_small_qty(spark, sf_smoke)
+    plan = formatted(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert has_broadcast_join(df)
