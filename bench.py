@@ -56,6 +56,9 @@ HEADLINE = (
     "trailing_hour_stats",
     "multi_distinct_agg",
     "word_freq_explode",
+    "tpch_q9_profit",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting_suppliers",
 )
 
 

@@ -266,8 +266,109 @@ ORDER BY source, pack_id
 """
 
 
+# --------------------------------------------------------------------------
+# Mixture resampling: hit a target source-mixture by deterministic
+# downsampling. Training corpora weight sources unequally (curated >
+# crawled); the standard scale trick is the same content-addressed
+# hash as the train/val split — per-source keep thresholds over the
+# hash space, so (a) selection is a row-local scan-stage predicate (no
+# shuffle, no RNG state), (b) re-runs and engine swaps keep the exact
+# same documents, and (c) upweighting a source later only ADDs docs
+# (thresholds grow monotonically — no churn in what was already kept).
+# Tiers here: premium sources keep all, mid keep ~2/3 ('aaab'/'ffff'
+# of the 4-hex-digit space), bulk keep ~1/3 ('5555'/'ffff').
+_MIX_TIERS = (
+    ("premium", ("src0", "src1", "src2", "src3"), "ffff"),
+    ("mid", ("src4", "src5", "src6", "src7", "src8", "src9"), "aaab"),
+)
+_BULK_THRESHOLD = "5555"
+
+
+def mixture_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.lit("bulk")
+    threshold = F.lit(_BULK_THRESHOLD)
+    for name, sources, thr in _MIX_TIERS:
+        tier = F.when(F.col("source").isin(*sources), name).otherwise(tier)
+        threshold = F.when(F.col("source").isin(*sources), thr).otherwise(threshold)
+    bucket = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 4)
+    kept = (bucket < threshold).cast("int")
+    return (
+        docs.select(tier.alias("tier"), "source", kept.alias("kept"))
+        .groupBy("tier", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("tier", "source")
+    )
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 'premium'
+              WHEN source IN ('src4','src5','src6','src7','src8','src9')
+                THEN 'mid'
+              ELSE 'bulk' END AS tier,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 'ffff'
+              WHEN source IN ('src4','src5','src6','src7','src8','src9')
+                THEN 'aaab'
+              ELSE '5555' END AS threshold,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS bucket
+  FROM documents
+)
+SELECT tier, source, COUNT(*) AS n_total,
+       SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS n_kept
+FROM tagged
+GROUP BY tier, source
+ORDER BY tier, source
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group "reservoir": exactly k docs per source,
+# chosen by hash order — a seedless, engine-portable stand-in for
+# reservoir sampling (uniform over the group because md5 order is
+# independent of any data attribute). One shuffle on the group key;
+# at 100 TB, pre-aggregate per partition with a local top-k first —
+# here rank() over the hash order IS that plan (Spark runs a partial
+# TakeOrdered per map task before the exchange for limit-like windows).
+RESERVOIR_K = 5
+
+
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .orderBy("source", "sample_rank")
+    )
+
+
+RESERVOIR_SAMPLE_SQL = f"""
+SELECT source, doc_id, sample_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rsv') ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {RESERVOIR_K}
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
+    "mixture_resample_report": mixture_resample_report,
+    "reservoir_sample_per_source": reservoir_sample_per_source,
     "train_val_split_report": train_val_split_report,
     "stratified_sample_docs": stratified_sample_docs,
     "shard_assignment_report": shard_assignment_report,
@@ -276,6 +377,8 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_curation_report": PIPELINE_SQL,
+    "mixture_resample_report": MIXTURE_RESAMPLE_SQL,
+    "reservoir_sample_per_source": RESERVOIR_SAMPLE_SQL,
     "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
     # shard_assignment_report: engine-specific xxhash64 — rows-only
     "pack_sequences_report": PACK_SEQUENCES_SQL,
