@@ -295,7 +295,164 @@ ORDER BY totals.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic relevance weighting as
+# pure relational algebra: explode → per-(doc,term) counts (the one
+# fact-sized shuffle, map-side combined) → document frequencies over
+# the ALREADY-AGGREGATED pair relation (vocabulary-sized, broadcast
+# back) → window top-3 per doc. The corpus size N rides in as a
+# broadcast one-row aggregate. Scores are round()ed to 6 dp before
+# comparison/ranking: ln() agrees between engines well past 1e-6, and
+# the rounding collapses any last-ulp drift before it can flip an
+# ordering; ties then break on the term itself.
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "word", "score")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, word, score
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval for a fixed term query. Everything the scorer
+# needs is relational: document lengths (one pass), corpus-average
+# length and per-term document frequencies (broadcast one-row / tiny
+# aggregates), term frequencies restricted to the query terms (the
+# explode is filtered BEFORE the shuffle, so only query-term hits move).
+# Per-term contributions are rounded to 6 dp then summed in exact
+# decimal — a sum of doubles would be micro-batch-order dependent.
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1, BM25_B = 1.5, 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.numeric import DECIMAL_T
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avg_dl = doclen.agg(
+        (F.sum(F.col("dl").cast(DECIMAL_T)).cast("double") / F.count("dl")).alias(
+            "avg_dl"
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = words.filter(F.col("word").isin(*BM25_TERMS))
+    tf = hits.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    contrib = F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 6)
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avg_dl))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("contrib").cast(DECIMAL_T)).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+avgdl AS (
+  SELECT CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) / COUNT(dl) AS avg_dl
+  FROM doclen
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word IN {BM25_TERMS!r}
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+contribs AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * doclen.dl / avgdl.avg_dl)), 6) AS contrib
+  FROM tf JOIN df USING (word) JOIN doclen USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+)
+SELECT doc_id,
+       CAST(SUM(CAST(contrib AS DECIMAL(27,6))) AS DOUBLE) AS score
+FROM contribs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "bm25_search": bm25_search,
     "text_token_stats": text_token_stats,
     "text_normalize": text_normalize,
     "contamination_screen": contamination_screen,
@@ -306,6 +463,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tfidf_top_terms": TFIDF_SQL,
+    "bm25_search": BM25_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "contamination_screen": CONTAMINATION_SQL,
