@@ -239,7 +239,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Unsupervised IVF training: Lloyd's k-means over the embedding column,
+# expressed as DataFrame iterations. Per round: assignment is a
+# broadcast cross-join against the k centroids (row-local, scan-stage);
+# the update is a posexplode → (cluster, dim) exact-decimal mean — one
+# map-side-combined shuffle of k·d cells. Centroids (k·d doubles — a
+# few KB at ANY corpus scale) are collected to the driver between
+# rounds and re-broadcast, the same pattern Spark MLlib's KMeans uses;
+# the fact-sized data never leaves the executors. Means use the exact
+# decimal convention, so the fit is bit-deterministic run-to-run —
+# assignment ties can't flap.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+    w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id", "vec", "cid", _l2sq(F.col("vec"), F.col("cvec")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.numeric import DECIMAL_T
+
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in init.collect()]
+    for _ in range(KMEANS_ITERS):
+        cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+        means = (
+            _assign(emb, cdf)
+            .select("cid", F.posexplode("vec").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(DECIMAL_T)).cast("double") / F.count("x")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("cvec"))
+        )
+        centroids = [
+            (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in means.collect()
+        ]
+    cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+    return (
+        _assign(emb, cdf)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.round(F.col("d"), 6).cast(DECIMAL_T)).cast("double"), 6
+            ).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
 QUERIES = {
+    "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -250,4 +327,5 @@ ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
+    # kmeans_embeddings_report: iterative fit — rows-only + units
 }
