@@ -187,13 +187,81 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Frame sampling: the ONE-TO-MANY UDF shape a video pipeline needs
+# (asset row → N frame rows). mapInPandas yields a fanned-out batch —
+# partition-local, no shuffle, no UDTF registration needed, and the
+# output row count is data-dependent (unlike the 1:1 feature/resize
+# ops). The "frame" is a 256-byte window of the payload standing in
+# for the stubbed codec (see decode_asset); hashes make every frame's
+# content oracle-checkable. Payloads are ASCII here, so the DuckDB
+# twin can slice the text directly.
+FRAME_BYTES = 256
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), True),
+        T.StructField("frame_sha256", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, hashes = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range((len(b) + FRAME_BYTES - 1) // FRAME_BYTES):
+                    frame = b[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(asset_id)
+                    idxs.append(k)
+                    lens.append(len(frame))
+                    hashes.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sha256": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(assets_from_documents(spark, sf_dir))
+    return frames.orderBy("asset_id", "frame_index")
+
+
+MULTIMODAL_FRAME_SQL = f"""
+SELECT doc_id AS asset_id,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST(octet_length(encode(substr(text, CAST(i AS INTEGER) * {FRAME_BYTES} + 1,
+                                       {FRAME_BYTES}))) AS INTEGER) AS frame_len,
+       sha256(substr(text, CAST(i AS INTEGER) * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_sha256
+FROM documents,
+     UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)
+                          AS BIGINT))) AS t(i)
+ORDER BY asset_id, frame_index
+"""
+
+
 QUERIES = {
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "multimodal_binary_meta": MULTIMODAL_META_SQL,
     # multimodal_features: Pandas-UDF pipeline — rows-only + pytest value checks
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
