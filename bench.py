@@ -94,6 +94,13 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Reference context (BASELINE.md, PDF Table 5 @100% of its 187K-row
+    # corpus): mean latencies Q1 0.730 + Q2 5.064 + Q3 8.091 + Q4 10.533.
+    # Our q1..q4 parity twins are directly comparable; the rest of the
+    # headline set has no reference counterpart (reference ran 4 queries).
+    parity_total = round(
+        sum(per_query[q] for q in ("q1_time_filter", "q2_hourly_avg",
+                                   "q3_union_cube", "q4_join_hourly")), 4)
     print(
         json.dumps(
             {
@@ -103,6 +110,11 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": REPS,
+                "baseline": {
+                    "reference_parity_total_s_at_100pct": 24.418,
+                    "ours_parity_total_s": parity_total,
+                    "n_headline_queries": len(HEADLINE),
+                },
                 "detail": detail,
             }
         )
