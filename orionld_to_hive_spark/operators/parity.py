@@ -379,8 +379,36 @@ def q2_hourly_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# spark.sql twins of Q1/Q3/Q4 (Q2's lives above): SURVEY §7 requires
+# every flagship query on BOTH the DataFrame API and the SQL-string
+# surface (the reference's whole interface is HiveQL text). The SQL
+# strings are ANSI enough that the very same text is the DuckDB oracle;
+# Catalyst compiles them to the same plans as the DataFrame chains.
+def _sql_on_events(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from orionld_to_hive_spark.catalog import register_warehouse
+
+    register_warehouse(spark, sf_dir, "events")
+    return spark.sql(sql)
+
+
+def q1_time_filter_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_events(spark, sf_dir, Q1_SQL)
+
+
+def q3_union_cube_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_events(spark, sf_dir, Q3_SQL)
+
+
+def q4_join_hourly_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_events(spark, sf_dir, Q4_SQL)
+
+
 QUERIES = {
     "q1_time_filter": q1_time_filter,
+    "q1_time_filter_sql": q1_time_filter_sql,
+    "q3_union_cube_sql": q3_union_cube_sql,
+    "q4_join_hourly_sql": q4_join_hourly_sql,
     "p8_debounce": p8_debounce,
     "f11_json_extract": f11_json_extract,
     "q2_hourly_avg_sql": q2_hourly_avg_sql,
@@ -396,6 +424,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_time_filter": Q1_SQL,
+    "q1_time_filter_sql": Q1_SQL,
+    "q3_union_cube_sql": Q3_SQL,
+    "q4_join_hourly_sql": Q4_SQL,
     "q2_hourly_avg": Q2_SQL,
     "q2_hourly_avg_sql": Q2_SQL,
     "f11_json_extract": F11_SQL,
