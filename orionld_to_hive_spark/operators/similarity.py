@@ -278,7 +278,11 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
 def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orionld_to_hive_spark.functions.numeric import DECIMAL_T
 
-    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    # The working set is re-scanned once per Lloyd round (+ the final
+    # assignment) — cache it: at cluster scale this is the difference
+    # between T parquet scans and one (MEMORY_AND_DISK spills gracefully
+    # when the corpus exceeds executor memory).
+    emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
     init = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("vec").alias("cvec")
     )
