@@ -256,7 +256,70 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Winsorization: clip per-group outliers at the exact p01/p99 before a
+# model ever sees them — standard feature/label hygiene in a training
+# pipeline. Two passes by necessity (a quantile is a global property),
+# but pass one reduces to one tiny row per group which BROADCASTS back
+# onto the fact scan — no second shuffle. Bounds and clipped values are
+# round()ed to 6 dp (the exact-percentile convention above) so the
+# clip comparisons and the winsorized mean are cross-engine stable.
+def winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.numeric import DECIMAL_T, davg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p_lo"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p_hi"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")), 6
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("int")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("int")).alias(
+                "n_clipped_high"
+            ),
+            davg("value", "mean_raw"),
+            (
+                F.sum(clipped.cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_SQL = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+bounds AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS p_lo,
+         round(quantile_cont(value, 0.99), 6) AS p_hi
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       COUNT(*) AS n,
+       SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS n_clipped_low,
+       SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)
+         AS mean_raw,
+       CAST(SUM(CAST(round(least(greatest(value, p_lo), p_hi), 6)
+                     AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         AS mean_winsorized
+FROM ev JOIN bounds USING (event_type)
+GROUP BY ev.event_type
+ORDER BY ev.event_type
+"""
+
+
 QUERIES = {
+    "winsorize_report": winsorize_report,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "regression_price_vs_qty": regression_price_vs_qty,
@@ -265,6 +328,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorize_report": WINSORIZE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
     "regression_price_vs_qty": REGRESSION_SQL,
