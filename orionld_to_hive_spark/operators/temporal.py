@@ -374,7 +374,28 @@ ORDER BY user_id, session_start
 """
 
 
+# --------------------------------------------------------------------------
+# Batch twin of the streaming EWMA anomaly scorer (streaming/ewma.py):
+# per-user online mean/variance in event order, spikes flagged at 3σ.
+# Sequential per key (each score depends on all prior events) ⇒ grouped
+# Pandas scan, rows-only driver check; tests pin stream ≡ batch.
+def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.warehouse import load_table
+    from orionld_to_hive_spark.streaming.ewma import ewma_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    scored = ewma_batch(ev, "user_id", "ts", "value")
+    return scored.filter(F.col("is_anomaly")).select(
+        "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
 QUERIES = {
+    "ewma_anomaly_events": ewma_anomaly_events,
     "asof_click_before_purchase": asof_click_before_purchase,
     "gapfill_hourly_counts": gapfill_hourly_counts,
     "session_window_stats": session_window_stats,
