@@ -244,7 +244,107 @@ ORDER BY s.bin
 """
 
 
+# --------------------------------------------------------------------------
+# Integrity audit: the expectations-style checks a pipeline runs before
+# trusting a snapshot — duplicate primary keys, orphaned foreign keys
+# (LEFT ANTI joins, build side pruned to the key column), null and
+# empty-value rates. Each check is an independent single-row aggregate
+# over a column-pruned scan; the UNION ALL of one-row frames costs
+# nothing. At 100 TB the FK checks are the expensive ones — they are
+# key-only anti joins, so the shuffle carries 8-byte keys, not rows.
+def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def tag(name: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        # two one-row aggregates crossed into one labeled row — fully
+        # lazy, no driver-side count()s; each side stays column-pruned.
+        return (
+            violations.crossJoin(checked)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_violations").cast("long").alias("n_violations"),
+                F.col("n_checked").cast("long").alias("n_checked"),
+            )
+        )
+
+    n = F.count(F.lit(1))
+    pk = orders.groupBy("o_orderkey").agg(n.alias("c")).agg(
+        F.sum((F.col("c") > 1).cast("int")).alias("n_violations"),
+        n.alias("n_checked"),
+    ).select("n_violations").crossJoin(
+        orders.select("o_orderkey").distinct().agg(n.alias("n_checked"))
+    ).select(
+        F.lit("orders_pk_duplicate").alias("check_name"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+    )
+    orphan_li = tag(
+        "lineitem_orphan_orderkey",
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(n.alias("n_violations")),
+        lineitem.agg(n.alias("n_checked")),
+    )
+    orphan_ord = tag(
+        "orders_orphan_custkey",
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(n.alias("n_violations")),
+        orders.agg(n.alias("n_checked")),
+    )
+    null_val = tag(
+        "events_null_value",
+        events.agg(F.sum(F.col("value").isNull().cast("int")).alias("n_violations")),
+        events.agg(n.alias("n_checked")),
+    )
+    empty_doc = tag(
+        "documents_empty_text",
+        docs.agg(F.sum((F.trim("text") == "").cast("int")).alias("n_violations")),
+        docs.agg(n.alias("n_checked")),
+    )
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName, [pk, orphan_li, orphan_ord, null_val, empty_doc]
+    ).orderBy("check_name")
+
+
+INTEGRITY_AUDIT_SQL = """
+SELECT 'orders_pk_duplicate' AS check_name,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+         AS n_violations,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'events_null_value',
+       (SELECT COUNT(*) FROM events WHERE value IS NULL),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'documents_empty_text',
+       (SELECT COUNT(*) FROM documents WHERE trim(text) = ''),
+       (SELECT COUNT(*) FROM documents)
+ORDER BY check_name
+"""
+
+
 QUERIES = {
+    "integrity_audit_report": integrity_audit_report,
     "stats_moments": stats_moments,
     "array_funcs_per_user": array_funcs_per_user,
     "conditional_agg_per_type": conditional_agg_per_type,
@@ -252,6 +352,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "integrity_audit_report": INTEGRITY_AUDIT_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
     "array_funcs_per_user": ARRAY_FUNCS_SQL,
     "conditional_agg_per_type": CONDITIONAL_AGG_SQL,
