@@ -1,0 +1,94 @@
+"""Snapshot-versioned warehouse writes — poor-man's time travel.
+
+A training pipeline must be able to say exactly which bytes a model
+was trained on. Mutable parquet directories can't; versioned immutable
+snapshots can:
+
+    base/v=0000/  part-*.parquet   (never rewritten)
+    base/v=0001/  ...
+    base/_latest                   (pointer file, written LAST)
+
+Write protocol: materialize the new snapshot directory completely,
+then flip the `_latest` pointer — readers either see the old pointer
+(old snapshot, still intact) or the new one; never a half-written
+directory. On a real object store the pointer write is the single
+atomic operation this relies on (same design as Delta/Iceberg's
+commit file, minus the manifest layer). Old snapshots stay readable
+by version for reproducibility / rollback; retention is an explicit
+`vacuum`, never implicit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_latest"
+
+
+def _vdir(base: str, version: int) -> str:
+    return os.path.join(base, f"v={version:04d}")
+
+
+def list_versions(base: str) -> list[int]:
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def latest_version(base: str) -> int | None:
+    """The committed latest — read from the pointer, NOT the listing
+    (a directory may exist for an in-flight, uncommitted write)."""
+    ptr = os.path.join(base, _LATEST)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def write_snapshot(df: DataFrame, base: str) -> int:
+    """Write `df` as the next snapshot version and commit the pointer.
+
+    Returns the new version number. The data write happens entirely
+    before the pointer flip, so a crash mid-write leaves the previous
+    snapshot live and the orphan directory invisible to readers.
+    """
+    versions = list_versions(base)
+    version = (versions[-1] + 1) if versions else 0
+    df.write.mode("errorifexists").parquet(_vdir(base, version))
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, _LATEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(base, _LATEST))  # atomic pointer flip
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific version, or the committed latest."""
+    if version is None:
+        version = latest_version(base)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {base}")
+    return spark.read.parquet(_vdir(base, version))
+
+
+def vacuum(base: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the last `keep_last` versions (never the committed
+    latest). Returns the versions removed. Explicit, so reproducibility
+    is only given up on purpose."""
+    import shutil
+
+    latest = latest_version(base)
+    versions = list_versions(base)
+    removable = [v for v in versions[:-keep_last] if v != latest]
+    for v in removable:
+        shutil.rmtree(_vdir(base, v))
+    return removable

@@ -1,0 +1,45 @@
+"""Units for snapshot-versioned writes (time travel + pointer commit)."""
+
+from __future__ import annotations
+
+import os
+
+from orionld_to_hive_spark.sources.snapshots import (
+    latest_version,
+    list_versions,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+
+def test_snapshot_versions_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "snaps")
+    v0 = write_snapshot(spark.range(3), base)
+    v1 = write_snapshot(spark.range(5), base)
+    assert (v0, v1) == (0, 1)
+    assert latest_version(base) == 1
+    assert read_snapshot(spark, base).count() == 5          # latest
+    assert read_snapshot(spark, base, 0).count() == 3       # time travel
+
+
+def test_uncommitted_directory_is_invisible_to_readers(spark, tmp_path):
+    base = str(tmp_path / "snaps")
+    write_snapshot(spark.range(3), base)
+    # simulate a crash mid-write: data directory exists, pointer not flipped
+    spark.range(9).write.parquet(os.path.join(base, "v=0001"))
+    assert latest_version(base) == 0
+    assert read_snapshot(spark, base).count() == 3
+    # the next successful write skips past the orphan version
+    v = write_snapshot(spark.range(7), base)
+    assert v == 2 and read_snapshot(spark, base).count() == 7
+
+
+def test_vacuum_keeps_latest_and_tail(spark, tmp_path):
+    base = str(tmp_path / "snaps")
+    for n in (1, 2, 3, 4):
+        write_snapshot(spark.range(n), base)
+    removed = vacuum(base, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(base) == [2, 3]
+    assert read_snapshot(spark, base).count() == 4
