@@ -80,6 +80,26 @@ def read_snapshot(
     return spark.read.parquet(_vdir(base, version))
 
 
+def snapshot_diff(
+    spark: SparkSession, base: str, v_old: int, v_new: int, key: str
+) -> DataFrame:
+    """Row-level diff between two snapshots by key column: one row per
+    changed key with change ∈ {added, removed}. Two key-only scans and
+    one anti-join each way — the shuffle carries keys, not rows, so
+    diffing two 100 TB snapshots costs two key-column scans."""
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, base, v_old).select(key)
+    new = read_snapshot(spark, base, v_new).select(key)
+    added = new.join(old, key, "left_anti").select(
+        F.col(key), F.lit("added").alias("change")
+    )
+    removed = old.join(new, key, "left_anti").select(
+        F.col(key), F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
+
+
 def vacuum(base: str, keep_last: int = 2) -> list[int]:
     """Delete all but the last `keep_last` versions (never the committed
     latest). Returns the versions removed. Explicit, so reproducibility

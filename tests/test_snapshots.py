@@ -43,3 +43,14 @@ def test_vacuum_keeps_latest_and_tail(spark, tmp_path):
     assert removed == [0, 1]
     assert list_versions(base) == [2, 3]
     assert read_snapshot(spark, base).count() == 4
+
+
+def test_snapshot_diff_reports_added_and_removed(spark, tmp_path):
+    from orionld_to_hive_spark.sources.snapshots import snapshot_diff
+
+    base = str(tmp_path / "snaps")
+    write_snapshot(spark.range(0, 5), base)      # ids 0..4
+    write_snapshot(spark.range(2, 8), base)      # ids 2..7
+    diff = {(r.id, r.change) for r in snapshot_diff(spark, base, 0, 1, "id").collect()}
+    assert diff == {(5, "added"), (6, "added"), (7, "added"),
+                    (0, "removed"), (1, "removed")}
