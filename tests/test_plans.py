@@ -249,3 +249,24 @@ def test_tpch_q17_threshold_is_windowed_single_scan(spark, sf_smoke):
     plan = formatted(df)
     assert plan.count("lineitem.parquet") == 1, plan
     assert has_broadcast_join(df)
+
+
+def test_winsorize_bounds_are_broadcast(spark, sf_smoke):
+    # pass-one quantile bounds (one row per group) must broadcast back
+    # onto the fact scan — a shuffle join here would be a plan bug.
+    from orionld_to_hive_spark.operators import analytics
+
+    df = analytics.winsorize_report(spark, sf_smoke)
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_docfreq_is_broadcast_and_single_corpus_scan_per_stage(
+    spark, sf_smoke
+):
+    # the vocabulary-sized document-frequency relation joins back via
+    # broadcast; the corpus is scanned for tf and df (aggregation
+    # lineage), never a third time for the join itself.
+    from orionld_to_hive_spark.operators import text
+
+    df = text.tfidf_top_terms(spark, sf_smoke)
+    assert has_broadcast_join(df)
