@@ -155,3 +155,27 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in `df`, leave every other partition untouched (dynamic
+    partition-overwrite mode — static mode would truncate the whole
+    table). This is how a 100 TB warehouse re-processes one bad
+    day/room without rewriting history; re-running the same backfill
+    is a no-op semantically (same input → same partition contents)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = df
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
