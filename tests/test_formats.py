@@ -22,3 +22,19 @@ def test_roundtrip_events(spark, tmp_path, fmt):
     orig = sorted(ev.collect(), key=key)
     rt = sorted(back.collect(), key=key)
     assert rt == orig  # exact: µs timestamps and doubles survive
+
+
+def test_schema_evolution_merge_reads_old_and_new(spark, tmp_path):
+    # additive column evolution: v1 files lack `quality`; a mergeSchema
+    # read surfaces it as NULL for old rows — no rewrite of history.
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.parquet(base + "/batch=0")
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "doc_id long, text string, quality double"
+    ).write.parquet(base + "/batch=1")
+    got = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(got.columns) == {"doc_id", "text", "quality", "batch"}
+    rows = {r.doc_id: r.quality for r in got.collect()}
+    assert rows[1] is None and rows[2] == 0.9
