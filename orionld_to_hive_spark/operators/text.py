@@ -450,7 +450,54 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish regex pre-tokenization (north-star "token counting:
+# whitespace + a BPE-ish regex"): the GPT-2-family pre-tokenizer
+# splits letter runs, digit runs, and punctuation runs before merges;
+# this operator counts those classes with one regexp_extract_all pass
+# — all JVM-side, and the same RE syntax runs verbatim in DuckDB.
+_PRETOK_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def text_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all("text", F.lit(_PRETOK_RE), 0)
+    is_word = lambda t: t.rlike("^[a-zA-Z]")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]")  # noqa: E731
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        F.size(F.filter(toks, is_word)).alias("n_word_runs"),
+        F.size(F.filter(toks, is_num)).alias("n_digit_runs"),
+        (
+            F.size(toks)
+            - F.size(F.filter(toks, is_word))
+            - F.size(F.filter(toks, is_num))
+        ).alias("n_punct_runs"),
+    ).orderBy("doc_id")
+
+
+TEXT_PRETOK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_PRETOK_RE}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_pretokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]')))
+            AS INTEGER) AS n_word_runs,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+            AS INTEGER) AS n_digit_runs,
+       CAST(len(toks)
+            - len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]')))
+            - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+            AS INTEGER) AS n_punct_runs
+FROM t
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_regex_pretokenize": text_regex_pretokenize,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "text_token_stats": text_token_stats,
@@ -463,6 +510,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_regex_pretokenize": TEXT_PRETOK_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": BM25_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
