@@ -365,10 +365,69 @@ ORDER BY source, sample_rank
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis–Spirakis, the
+# standard distributed algorithm (each item gets key u^(1/w); the k
+# largest keys are the sample). Two determinism moves: the uniform u
+# comes from a hash (md5 first 8 hex digits / 16^8 ∈ (0,1]), not an
+# RNG, and the key is kept in log form ln(u)/w (same ordering, no
+# pow() underflow for large weights), rounded to 9 dp — far above any
+# cross-engine libm drift, ties broken by doc_id. Per-group top-k by
+# key = one shuffle on the group key; weights here are document
+# lengths (longer docs proportionally likelier — the usual
+# token-budget-aware choice).
+WEIGHTED_K = 5
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":ws"))), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)  # (0,1]
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    w = Window.partitionBy("source").orderBy(
+        F.col("key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumn("key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WEIGHTED_K)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                                      1, 8) AS UBIGINT) AS DOUBLE) + 1.0)
+                  / 4294967296.0) / n_chars, 9) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, sample_rank, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id ASC) AS sample_rank
+  FROM keyed
+)
+WHERE sample_rank <= {WEIGHTED_K}
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
     "mixture_resample_report": mixture_resample_report,
     "reservoir_sample_per_source": reservoir_sample_per_source,
+    "weighted_sample_docs": weighted_sample_docs,
     "train_val_split_report": train_val_split_report,
     "stratified_sample_docs": stratified_sample_docs,
     "shard_assignment_report": shard_assignment_report,
@@ -382,4 +441,5 @@ ORACLES = {
     "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
     # shard_assignment_report: engine-specific xxhash64 — rows-only
     "pack_sequences_report": PACK_SEQUENCES_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
 }
