@@ -33,6 +33,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.sqlsurface",
     "orionld_to_hive_spark.operators.analytics",
     "orionld_to_hive_spark.functions.udtf",
+    "orionld_to_hive_spark.functions.udfs",
 )
 
 
