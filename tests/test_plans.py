@@ -270,3 +270,22 @@ def test_tfidf_docfreq_is_broadcast_and_single_corpus_scan_per_stage(
 
     df = text.tfidf_top_terms(spark, sf_smoke)
     assert has_broadcast_join(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_smoke):
+    # strategy control surface: the same equi-join planned three ways.
+    # At scale this is how a known-skewed or known-sorted join is
+    # steered when the size estimator guesses wrong.
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey")
+
+    smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+    shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+    bhj = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert has_broadcast_join(bhj)
