@@ -496,7 +496,80 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus drift: token-distribution divergence between two slices (here
+# sources src0-4 vs the rest — in production, last week vs this week).
+# One explode → ONE conditional (word × side) count aggregate → global
+# totals as window sums over the vocabulary-sized frame → KL(P||Q)
+# with add-one smoothing and total-variation distance, each term
+# round()ed to 9 dp before the exact-decimal sum (a double sum over an
+# unordered vocabulary would be partition-order dependent). Scale: the
+# only fact-sized shuffle is the word count; everything after runs on
+# |vocab| rows.
+_DRIFT_A = ("src0", "src1", "src2", "src3", "src4")
+
+
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.col("source"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    in_a = F.col("source").isin(*_DRIFT_A)
+    counts = words.groupBy("word").agg(
+        F.sum(in_a.cast("long")).alias("a"),
+        F.sum((~in_a).cast("long")).alias("b"),
+    )
+    w = Window.partitionBy()
+    v = F.count(F.lit(1)).over(w)  # vocabulary size
+    ta = (F.sum("a").over(w) + v).cast("double")  # add-one smoothed totals
+    tb = (F.sum("b").over(w) + v).cast("double")
+    p = (F.col("a") + 1) / ta
+    q = (F.col("b") + 1) / tb
+    # scale 12 > the 9-dp rounding, so the decimal cast is exact —
+    # DECIMAL_T's scale 6 would re-round the tiny per-term values
+    dec = "decimal(27,12)"
+    kl_term = F.round(p * F.log(p / q), 9).cast(dec)
+    tv_term = F.round(F.abs(p - q), 9).cast(dec)
+    return counts.select("word", v.alias("n_vocab"), kl_term.alias("klt"),
+                         tv_term.alias("tvt")).groupBy("n_vocab").agg(
+        F.round(F.sum("klt").cast("double"), 6).alias("kl_a_to_b"),
+        F.round(F.sum("tvt").cast("double") / 2.0, 6).alias("total_variation"),
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH words AS (
+  SELECT source, w AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+counts AS (
+  SELECT word,
+         SUM(CASE WHEN source IN {_DRIFT_A!r} THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN source IN {_DRIFT_A!r} THEN 0 ELSE 1 END) AS b
+  FROM words GROUP BY word
+),
+terms AS (
+  SELECT COUNT(*) OVER () AS n_vocab,
+         (a + 1) / (SUM(a) OVER () + COUNT(*) OVER ()) AS p,
+         (b + 1) / (SUM(b) OVER () + COUNT(*) OVER ()) AS q
+  FROM counts
+)
+SELECT n_vocab,
+       round(CAST(SUM(CAST(round(p * ln(p / q), 9) AS DECIMAL(27,12))) AS DOUBLE), 6)
+         AS kl_a_to_b,
+       round(CAST(SUM(CAST(round(abs(p - q), 9) AS DECIMAL(27,12))) AS DOUBLE) / 2.0, 6)
+         AS total_variation
+FROM terms
+GROUP BY n_vocab
+"""
+
+
 QUERIES = {
+    "corpus_drift_report": corpus_drift_report,
     "text_regex_pretokenize": text_regex_pretokenize,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
@@ -510,6 +583,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_drift_report": CORPUS_DRIFT_SQL,
     "text_regex_pretokenize": TEXT_PRETOK_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": BM25_SQL,
