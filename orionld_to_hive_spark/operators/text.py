@@ -568,7 +568,72 @@ GROUP BY n_vocab
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring — the "perplexity filter" stage of a
+# training pipeline (KenLM-lite: the LM is the corpus's own unigram
+# distribution). Pipeline: explode → word counts (fact-sized shuffle)
+# → per-word log-prob (window total over the vocabulary) → broadcast
+# the vocabulary-sized table back onto the exploded stream → per-doc
+# mean log-prob and perplexity. Per-token log-probs are rounded to
+# 9 dp then decimal-summed per doc (double summation order over a
+# doc's tokens is not deterministic); the final mean/ppl round to 6.
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(Window.partitionBy()).cast("double")
+    lm = counts.select(
+        "word", F.round(F.log(F.col("c") / total), 9).alias("logp")
+    )
+    dec = "decimal(27,12)"
+    return (
+        words.join(F.broadcast(lm), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(F.col("logp").cast(dec)).cast("double") / F.count(F.lit(1))).alias("avg_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_lp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_lp")), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+lm AS (
+  SELECT word,
+         round(ln(COUNT(*) / (SUM(COUNT(*)) OVER ())::DOUBLE), 9) AS logp
+  FROM words GROUP BY word
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(logp AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM words JOIN lm USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(avg_lp, 6) AS avg_logprob,
+       round(exp(-avg_lp), 6) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "unigram_logprob_score": unigram_logprob_score,
     "corpus_drift_report": corpus_drift_report,
     "text_regex_pretokenize": text_regex_pretokenize,
     "tfidf_top_terms": tfidf_top_terms,
@@ -583,6 +648,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unigram_logprob_score": UNIGRAM_LOGPROB_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
     "text_regex_pretokenize": TEXT_PRETOK_SQL,
     "tfidf_top_terms": TFIDF_SQL,
