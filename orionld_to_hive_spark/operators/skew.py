@@ -122,12 +122,81 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Skew diagnostics: the report you run BEFORE a big join to decide
+# whether it needs salting / AQE skew handling. Per candidate join key:
+# distinct-key count, max and mean rows per key, their ratio (the skew
+# factor — >10 means the hottest task does 10× the average work), and
+# the hottest key itself (ties broken by smallest key). One groupBy
+# per key column; the per-key frame is |keys|-sized, so the summary
+# windows are cheap at any fact scale.
+def skew_diagnostics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    from pyspark.sql import Window
+
+    def diag(key: str) -> DataFrame:
+        per_key = (
+            li.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("mx", F.max("c").over(Window.partitionBy()))
+        )
+        mean = (
+            F.sum(F.col("c").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        return per_key.agg(
+            F.lit(key).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows_per_key"),
+            F.round(mean, 6).alias("mean_rows_per_key"),
+            F.round(F.max("c") / mean, 6).alias("skew_factor"),
+            F.min(F.when(F.col("c") == F.col("mx"), F.col(key))).alias(
+                "hottest_key"
+            ),
+        )
+
+    keys = ("l_orderkey", "l_partkey", "l_suppkey")
+    out = diag(keys[0])
+    for k in keys[1:]:
+        out = out.unionByName(diag(k))
+    return out.orderBy("join_key")
+
+
+SKEW_DIAG_SQL = """
+WITH diag AS (
+  SELECT 'l_orderkey' AS join_key, l_orderkey AS k, COUNT(*) AS c
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', l_partkey, COUNT(*) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY l_suppkey
+),
+marked AS (
+  SELECT *, MAX(c) OVER (PARTITION BY join_key) AS mx FROM diag
+)
+SELECT join_key,
+       COUNT(*) AS n_keys,
+       MAX(c) AS max_rows_per_key,
+       round(CAST(SUM(CAST(c AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_rows_per_key,
+       round(MAX(c) / (CAST(SUM(CAST(c AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)), 6)
+         AS skew_factor,
+       MIN(CASE WHEN c = mx THEN k END) AS hottest_key
+FROM marked
+GROUP BY join_key
+ORDER BY join_key
+"""
+
+
 QUERIES = {
+    "skew_diagnostics_report": skew_diagnostics_report,
     "skew_join_order_revenue": skew_join_order_revenue,
     "salted_agg_user_totals": salted_agg_user_totals,
 }
 
 ORACLES = {
+    "skew_diagnostics_report": SKEW_DIAG_SQL,
     "skew_join_order_revenue": SKEW_JOIN_SQL,
     "salted_agg_user_totals": SALTED_AGG_SQL,
 }
