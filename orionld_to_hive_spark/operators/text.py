@@ -632,7 +632,88 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Collocation mining: top bigrams by pointwise mutual information.
+# Bigrams come from a lead() window over (doc, position) — posexplode
+# keeps token order, the window shuffles on doc_id only, and document
+# boundaries never produce cross-doc pairs. PMI combines the bigram
+# count with the two unigram counts (both broadcast — vocabulary-sized)
+# and is round()ed to 6 dp before the top-k sort; count floor ≥ 10
+# keeps the estimates stable, ties break lexicographically.
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bigrams = words.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_uni = words.agg(F.count(F.lit(1)).alias("n_uni"))
+    n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
+    cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi"))
+            / ((F.col("cu") / F.col("n_uni")) * (F.col("cu2") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        cb.join(F.broadcast(uni), "w")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .filter(F.col("c_ab") >= 10)
+        .select("w", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w", "w2")
+        .limit(20)
+    )
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+words AS (
+  SELECT doc_id, i AS pos, l[i + 1] AS w
+  FROM toks, UNNEST(range(len(l))) AS t(i)
+  WHERE l[i + 1] <> ''
+),
+bigrams AS (
+  SELECT w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+),
+cb AS (
+  SELECT w, w2, COUNT(*) AS c_ab FROM bigrams
+  WHERE w2 IS NOT NULL GROUP BY w, w2
+),
+uni AS (SELECT w, COUNT(*) AS cu FROM words GROUP BY w),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM words) AS n_uni,
+         (SELECT COUNT(*) FROM bigrams WHERE w2 IS NOT NULL) AS n_bi
+)
+SELECT cb.w, cb.w2, c_ab,
+       round(ln((c_ab / (n_bi * 1.0))
+                / ((u1.cu / (n_uni * 1.0)) * (u2.cu / (n_uni * 1.0)))), 6) AS pmi
+FROM cb
+JOIN uni u1 ON cb.w = u1.w
+JOIN uni u2 ON cb.w2 = u2.w
+CROSS JOIN tot
+WHERE c_ab >= 10
+ORDER BY pmi DESC, cb.w, cb.w2
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "bigram_pmi_top": bigram_pmi_top,
     "unigram_logprob_score": unigram_logprob_score,
     "corpus_drift_report": corpus_drift_report,
     "text_regex_pretokenize": text_regex_pretokenize,
@@ -648,6 +729,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bigram_pmi_top": BIGRAM_PMI_SQL,
     "unigram_logprob_score": UNIGRAM_LOGPROB_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
     "text_regex_pretokenize": TEXT_PRETOK_SQL,
