@@ -423,8 +423,46 @@ ORDER BY source, sample_rank
 """
 
 
+# --------------------------------------------------------------------------
+# PII pseudonymization: replace raw identifiers with a keyed hash
+# before data reaches a training corpus. Deterministic (same id → same
+# token, so joins/aggregations still work downstream) but not
+# reversible without the key. Row-local scan-stage expression — zero
+# shuffle; the grouped output proves token cardinality matches the
+# original id cardinality (no collisions collapsed, nothing dropped).
+PSEUDO_KEY = "demo-rotation-2024"  # in production: injected secret, rotated
+
+
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    token = F.substring(
+        F.sha2(
+            F.concat(F.lit(PSEUDO_KEY + ":"), F.col("user_id").cast("string")), 256
+        ),
+        1,
+        16,
+    )
+    return (
+        ev.select(token.alias("user_token"), "event_type")
+        .groupBy("user_token")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_token")
+    )
+
+
+PSEUDONYMIZE_SQL = f"""
+SELECT substr(sha256('{PSEUDO_KEY}:' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS user_token,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_token
+ORDER BY user_token
+"""
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
+    "pseudonymize_events": pseudonymize_events,
     "mixture_resample_report": mixture_resample_report,
     "reservoir_sample_per_source": reservoir_sample_per_source,
     "weighted_sample_docs": weighted_sample_docs,
@@ -442,4 +480,5 @@ ORACLES = {
     # shard_assignment_report: engine-specific xxhash64 — rows-only
     "pack_sequences_report": PACK_SEQUENCES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "pseudonymize_events": PSEUDONYMIZE_SQL,
 }
