@@ -343,8 +343,59 @@ ORDER BY check_name
 """
 
 
+# --------------------------------------------------------------------------
+# Equi-depth (quantile) binning — the feature-bucketization complement
+# to the equi-width histogram above. A global NTILE would be a
+# single-partition sort of the fact table; instead the 9 decile
+# cutpoints (rounded 6 dp — the exact-percentile convention) broadcast
+# onto the scan, and bin assignment is a row-local fold over the
+# 9-element array. Bin populations stay ±1-decile-exact and the whole
+# thing is one aggregate + one scan at any scale.
+def equidepth_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = ev.agg(
+        F.transform(
+            F.percentile("value", probs), lambda c: F.round(c, 6)
+        ).alias("cuts")
+    )
+    bin_ = 1 + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col("value") > c).cast("int"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(bin_.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+EQUIDEPTH_SQL = """
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           c -> round(c, 6)) AS cuts
+  FROM events WHERE value IS NOT NULL
+)
+SELECT 1 + len(list_filter(cuts, c -> value > c)) AS bin,
+       COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM events, cuts
+WHERE value IS NOT NULL
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "integrity_audit_report": integrity_audit_report,
+    "equidepth_bins_value": equidepth_bins_value,
     "stats_moments": stats_moments,
     "array_funcs_per_user": array_funcs_per_user,
     "conditional_agg_per_type": conditional_agg_per_type,
@@ -353,6 +404,7 @@ QUERIES = {
 
 ORACLES = {
     "integrity_audit_report": INTEGRITY_AUDIT_SQL,
+    "equidepth_bins_value": EQUIDEPTH_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
     "array_funcs_per_user": ARRAY_FUNCS_SQL,
     "conditional_agg_per_type": CONDITIONAL_AGG_SQL,
