@@ -318,7 +318,105 @@ ORDER BY ev.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary scoring, the classic
+# customer-value cube. Per-customer metrics come from ONE aggregate
+# over orders; the three quartile cutpoint sets (rounded 6 dp, the
+# exact-percentile convention) broadcast back onto the |customers|-row
+# frame; scores are row-local folds. Output is the segment rollup —
+# at any scale only the customer-level aggregate shuffles.
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    # recency in integer DAYS from a fixed anchor, not epoch seconds:
+    # quartile interpolation of small integers is binary-exact in both
+    # engines, where ~1e9-second magnitudes leave last-ulp drift that
+    # survives the 6-dp rounding and can flip a boundary score.
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "recency_d"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    cuts = per_cust.agg(
+        *[
+            F.transform(
+                F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
+                lambda x: F.round(x, 6),
+            ).alias(f"{c}_cuts")
+            for c in ("recency_d", "frequency", "monetary")
+        ]
+    )
+
+    def score(metric: str) -> F.Column:
+        return 1 + F.aggregate(
+            F.col(f"{metric}_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + (F.col(metric) > c).cast("int"),
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(
+            "monetary",
+            F.concat(
+                score("recency_d").cast("string"),
+                score("frequency").cast("string"),
+                score("monetary").cast("string"),
+            ).alias("segment"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # exact decimal TOTAL, not an average: round()ing a ~1e6
+            # double to 6 dp is the one op Spark (BigDecimal HALF_UP)
+            # and DuckDB (float multiply) disagree on at tie ulps
+            F.sum(F.col("monetary").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1995-01-01', CAST(MAX(o_orderdate) AS DATE))
+           AS recency_d,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT list_transform(quantile_cont(recency_d, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS r_cuts,
+         list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS f_cuts,
+         list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS m_cuts
+  FROM per_cust
+),
+scored AS (
+  SELECT monetary,
+         CAST(1 + len(list_filter(r_cuts, c -> recency_d > c)) AS VARCHAR)
+         || CAST(1 + len(list_filter(f_cuts, c -> frequency > c)) AS VARCHAR)
+         || CAST(1 + len(list_filter(m_cuts, c -> monetary > c)) AS VARCHAR)
+           AS segment
+  FROM per_cust, cuts
+)
+SELECT segment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "winsorize_report": winsorize_report,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
@@ -328,6 +426,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": RFM_SQL,
     "winsorize_report": WINSORIZE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
