@@ -305,8 +305,10 @@ bounds AS (
 )
 SELECT ev.event_type,
        COUNT(*) AS n,
-       SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS n_clipped_low,
-       SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)
          AS mean_raw,
        CAST(SUM(CAST(round(least(greatest(value, p_lo), p_hi), 6)

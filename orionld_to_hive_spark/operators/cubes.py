@@ -93,7 +93,7 @@ def grouping_sets_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT grouping_id(event_type, day) AS gid,
                event_type,
                day,
-               COALESCE(SUM(_n), 0) AS n,
+               CAST(COALESCE(SUM(_n), 0) AS BIGINT) AS n,
                CAST(SUM(_s) AS DOUBLE) AS sum_value
         FROM base
         GROUP BY GROUPING SETS ((event_type, day), (event_type), ())

@@ -119,7 +119,7 @@ curated AS (
 )
 SELECT lang, source,
        COUNT(*) AS docs_kept,
-       SUM(n_tokens) AS tokens_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
        {sql_davg("quality")} AS mean_quality
 FROM curated
 GROUP BY lang, source
@@ -160,7 +160,8 @@ SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
             THEN 'train' ELSE 'val' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens
 FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
@@ -259,7 +260,8 @@ packed AS (
   WINDOW w AS (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed
 GROUP BY source, pack_id
 ORDER BY source, pack_id
@@ -319,7 +321,8 @@ WITH tagged AS (
   FROM documents
 )
 SELECT tier, source, COUNT(*) AS n_total,
-       SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
 FROM tagged
 GROUP BY tier, source
 ORDER BY tier, source

@@ -384,7 +384,7 @@ WITH cuts AS (
            c -> round(c, 6)) AS cuts
   FROM events WHERE value IS NOT NULL
 )
-SELECT 1 + len(list_filter(cuts, c -> value > c)) AS bin,
+SELECT CAST(1 + len(list_filter(cuts, c -> value > c)) AS INTEGER) AS bin,
        COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
 FROM events, cuts
 WHERE value IS NOT NULL

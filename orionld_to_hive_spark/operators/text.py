@@ -153,7 +153,7 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_CORPUS_STATS_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS total_tokens,
+       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
        SUM(n_chars)::DOUBLE / COUNT(*) AS mean_chars
 FROM documents
 GROUP BY lang, source

@@ -54,10 +54,33 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(dtype) -> str:
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return "other"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     """Return list of mismatch descriptions; empty == pass."""
     sp = spark_df.toPandas()
     problems: list[str] = []
+    # Driver-hash proxy: int-vs-float dtype-kind mismatch is fatal to the
+    # driver's value hash even when values are numerically equal. The
+    # classic cause: a bare integer SUM in the DuckDB oracle returns
+    # HUGEINT, which fetchdf() renders as float64, while Spark emits
+    # bigint (r1: tpch_q12, sessionize_events). Fix the oracle with
+    # CAST(... AS BIGINT), never by loosening this check.
+    for c in sp.columns:
+        if c in oracle_df.columns:
+            ks, ko = _kind(sp[c].dtype), _kind(oracle_df[c].dtype)
+            if {ks, ko} == {"int", "float"}:
+                problems.append(
+                    f"column {c}: dtype kind mismatch spark={sp[c].dtype} "
+                    f"oracle={oracle_df[c].dtype} (driver hash would fail; "
+                    f"likely HUGEINT from bare integer SUM — cast the oracle)"
+                )
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(
             f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
