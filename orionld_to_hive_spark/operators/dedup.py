@@ -68,39 +68,74 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataF
     )
 
 
-def _exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
-    """All-pairs Jaccard >= threshold via inverted-index join.
+# Document-frequency cap for the inverted-index candidate join: shingles
+# occurring in more than this many documents are excluded from candidate
+# generation (a single stop-phrase shingle shared by 1M docs would emit
+# 10^12 join rows). Verification is exact over the full shingle arrays,
+# so the cap bounds which pairs get *scored*, never the score itself.
+JACCARD_DF_CAP = 256
 
-    posting(sh, doc) self-join on sh gives |intersection| per pair with
-    a single shuffle on the shingle; union = |A|+|B|-|A∩B|. At scale,
-    drop ultra-frequent shingles first (document-frequency cap) to
-    bound posting-list blowup — not needed at test SF.
+
+def _jaccard_candidates(sh_df: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing >= 1 sub-cap shingle.
+
+    The self-join shuffles once on the shingle; the DF cap bounds every
+    posting list at df_cap, so join fan-out per shingle is <= df_cap²
+    regardless of corpus size. A true pair is missed only when EVERY
+    shared shingle exceeds the cap — i.e. the overlap is pure
+    boilerplate; at near-dup thresholds (>= 0.5) real pairs share many
+    document-specific shingles.
     """
-    sizes = sh_df.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh_df.select("doc_id", F.explode("sh").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    capped = posting.join(rare, "shingle")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _verify_jaccard(candidates: DataFrame, sh_df: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over full shingle arrays for a candidate pair set."""
+    sh_a = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                inter / (F.size("sh_a") + F.size("sh_b") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _exact_jaccard_pairs(sh_df: DataFrame, threshold: float,
+                         df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """All-pairs Jaccard >= threshold: DF-capped inverted-index candidate
+    generation + exact verification (same two-phase shape as the
+    MinHash/LSH path, with the inverted index as the candidate source).
+    """
+    sh_df = sh_df.cache()  # reused by candidate index + both verify joins
+    return _verify_jaccard(_jaccard_candidates(sh_df, df_cap), sh_df, threshold)
 
 
 # --------------------------------------------------------------------------

