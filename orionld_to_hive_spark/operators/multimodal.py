@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,17 +91,27 @@ def extract_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            # Vectorized per batch: concatenate payloads into one uint8
+            # buffer, take segment sums via cumsum differences (safe for
+            # empty payloads, unlike reduceat), divide by lengths.
+            lens = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+            )
+            ends = lens.cumsum()
+            starts = ends - lens
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(
+                ([0], buf.cumsum(dtype=np.int64))
+            )
+            sums = csum[ends] - csum[starts]
+            mean_byte = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "byte_len": payloads.map(len).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
+                    "byte_len": lens.astype("int32"),
+                    "mean_byte": mean_byte,
                     # fake "frame sampling": one frame per 256-byte window
-                    "n_frames": payloads.map(
-                        lambda b: (len(b) + 255) // 256
-                    ).astype("int32"),
+                    "n_frames": ((lens + 255) // 256).astype("int32"),
                 }
             )
 

@@ -395,6 +395,47 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB oracle for the recursive EWMA: a recursive CTE replays the
+# EXACT float operations of streaming/ewma.py::_ewma_scan in the same
+# order (score with prior state, then ewma' = a*x + (1-a)*ewma,
+# ewvar' = a*resid^2 + (1-a)*ewvar), so doubles come out bit-identical
+# cross-engine. Two things make that exactness possible: (user_id, ts)
+# has no duplicates in the testdata (order is total), and the SQL
+# computes (1.0 - alpha) instead of folding it to a literal 0.8 —
+# 1 - 0.2 != 0.8 in IEEE doubles, and a folded literal would diverge
+# from the Python loop after a few iterations.
+from orionld_to_hive_spark.streaming.ewma import (  # noqa: E402
+    EWMA_ALPHA,
+    EWMA_THRESHOLD,
+    EWMA_WARMUP,
+)
+
+EWMA_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+scan AS (
+  SELECT user_id, ts, x, rn,
+         x AS ewma, CAST(0.0 AS DOUBLE) AS ewvar, 1 AS n,
+         FALSE AS is_anomaly
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.x, o.rn,
+         {EWMA_ALPHA!r} * o.x + (1.0 - {EWMA_ALPHA!r}) * s.ewma,
+         {EWMA_ALPHA!r} * (o.x - s.ewma) * (o.x - s.ewma)
+           + (1.0 - {EWMA_ALPHA!r}) * s.ewvar,
+         s.n + 1,
+         s.n >= {EWMA_WARMUP}
+           AND abs(o.x - s.ewma) > {EWMA_THRESHOLD!r} * sqrt(s.ewvar)
+  FROM scan s JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT user_id, ts, x AS value, round(ewma, 6) AS ewma
+FROM scan WHERE is_anomaly
+"""
+
+
 QUERIES = {
     "ewma_anomaly_events": ewma_anomaly_events,
     "asof_click_before_purchase": asof_click_before_purchase,
@@ -406,6 +447,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma_anomaly_events": EWMA_SQL,
     "asof_click_before_purchase": ASOF_SQL,
     "gapfill_hourly_counts": GAPFILL_SQL,
     "session_window_stats": SESSION_WINDOW_SQL,
