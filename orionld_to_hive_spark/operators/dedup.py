@@ -478,6 +478,63 @@ ORDER BY canonical_doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POST-dedup corpus: every doc except non-canonical members of
+    a near-dup cluster (3-gram Jaccard >= 0.5 → connected components →
+    keep min doc_id per cluster). This is the materialization step a
+    pipeline actually ships — the reports above only describe it. The
+    anti-join ships (doc_id, label) pairs, never text."""
+    docs = _docs(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(
+        shingles(docs), JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, peer) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+),
+labels AS (
+  SELECT node, MIN(peer) AS label FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node != label)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
@@ -485,6 +542,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters_ngram": dedup_clusters_ngram,
+    "dedup_survivors": dedup_survivors,
 }
 
 ORACLES = {
@@ -494,4 +552,5 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     # dedup_simhash: engine-specific 64-bit hash — rows-only check
     "dedup_clusters_ngram": DEDUP_CLUSTERS_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_SQL,
 }

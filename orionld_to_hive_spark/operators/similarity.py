@@ -387,6 +387,89 @@ def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: LSH-candidate pairs (same result as
+    exact — see embedding_neardup_lsh) → min-label connected components
+    → one row per cluster (canonical = min vec_id, size). Cosine is not
+    transitive, so pair output alone is not a dedup answer; the oracle
+    computes the same fixpoint with a recursive CTE over exact pairs."""
+    from orionld_to_hive_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("label").alias("canonical_vec_id"), "cluster_size")
+        .orderBy("canonical_vec_id")
+    )
+
+
+_COS_EXPR = """
+  list_sum(list_transform(range(1, len(a.embedding)+1),
+           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+     * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))
+"""
+
+EMBEDDING_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_EXPR} >= {NEARDUP_COS}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, peer) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+),
+labels AS (
+  SELECT node, MIN(peer) AS label FROM reach GROUP BY node
+)
+SELECT label AS canonical_vec_id, COUNT(*) AS cluster_size
+FROM labels
+GROUP BY label
+ORDER BY canonical_vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm audit of the embedding column: per-vector norm, dim, and
+    a normalized? flag — the sanity gate before any cosine/IVF indexing
+    (un-normalized vectors silently break inner-product shortcuts).
+    Pure column expressions over one scan; the fold order matches
+    DuckDB's list_sum, so norms are bit-identical cross-engine."""
+    from orionld_to_hive_spark.functions.vectors import norm2
+
+    emb = _emb(spark, sf_dir)
+    nrm = norm2(F.col("vec"))
+    return emb.select(
+        "vec_id",
+        F.size("vec").alias("dim"),
+        F.round(nrm, 6).alias("l2_norm"),
+        (F.abs(nrm - F.lit(1.0)) < F.lit(1e-6)).alias("is_unit"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_NORM_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6)
+         AS l2_norm,
+       abs(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) - 1.0)
+         < 1e-6 AS is_unit
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -394,6 +477,8 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "embedding_dedup_clusters": embedding_dedup_clusters,
+    "embedding_norm_report": embedding_norm_report,
 }
 
 ORACLES = {
@@ -404,6 +489,8 @@ ORACLES = {
     # seeded planes make recall deterministic — verified complete on
     # the test corpora, so it must match the exact answer.
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_SQL,
+    "embedding_dedup_clusters": EMBEDDING_CLUSTERS_SQL,
+    "embedding_norm_report": EMBEDDING_NORM_SQL,
     # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
     # kmeans_embeddings_report: iterative fit — rows-only + units
 }

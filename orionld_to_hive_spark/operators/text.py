@@ -712,6 +712,225 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style within-document repetition metrics: fraction of 2-gram
+# occurrences that are repeats, and the share of the single most
+# frequent 2-gram. High values flag boilerplate/spam docs a training
+# pipeline drops. Single explode + two-level aggregate; no joins.
+def doc_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    n = F.size(toks)
+    # sequence(1, n-1) DESCENDS when n < 2 (Spark quirk) — guard it.
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            F.round(
+                (F.col("n_2grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_2grams"),
+                6,
+            ).alias("dup_2gram_frac"),
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_2grams"), 6
+            ).alias("top_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' '
+                     || string_split(text, ' ')[i+1])) AS gram
+  FROM documents
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_2grams,
+       round((SUM(c) - COUNT(*))::DOUBLE / SUM(c), 6) AS dup_2gram_frac,
+       round(MAX(c)::DOUBLE / SUM(c), 6) AS top_2gram_frac
+FROM c
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-span detection (exact-substring dedup at
+# fixed granularity): tile each doc into consecutive 8-token blocks,
+# report blocks appearing in >= 2 distinct docs. The shuffle carries
+# block hashes + ids, not documents; the block relation is linear in
+# corpus size (n_tokens/8 rows per doc).
+SPAN_TOKENS = 8
+
+
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    n_blocks = F.floor(F.size(toks) / SPAN_TOKENS).cast("int")
+    blocks = F.when(
+        n_blocks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(blocks).alias("span")
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("span", "n_docs", "n_occurrences", "first_doc_id")
+        .orderBy("span")
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(floor(len(string_split(text,' ')) / {SPAN_TOKENS})
+                    AS BIGINT)),
+           i -> array_to_string(
+                  list_slice(string_split(text,' '),
+                             i*{SPAN_TOKENS} + 1, (i+1)*{SPAN_TOKENS}),
+                  ' '))) AS span
+  FROM documents
+)
+SELECT span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM b
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY span
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-doc unigram entropy H = -Σ (c/n)·ln(c/n): a compression-adjacent
+# quality signal (low entropy ⇒ repetitive/template docs). Cross-engine
+# exactness: c/n is one exact-rounded double division, ln agrees
+# bit-for-bit, and each term is rounded to 9 dp then summed as
+# DECIMAL(27,12) so summation ORDER cannot flap the total (the KL /
+# log-prob convention — floats only re-enter at the final cast).
+def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_per_doc = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(27,12)")
+    return (
+        counts.join(n_per_doc, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(term).cast("double"), 9).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM c GROUP BY doc_id, tok),
+n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id)
+SELECT counts.doc_id,
+       round(-CAST(SUM(CAST(round((c::DOUBLE / n) * ln(c::DOUBLE / n), 9)
+                            AS DECIMAL(27,12))) AS DOUBLE), 9) AS entropy,
+       COUNT(*) AS n_distinct_tokens
+FROM counts JOIN n ON counts.doc_id = n.doc_id
+GROUP BY counts.doc_id
+ORDER BY counts.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide top-K 3-grams (memorization / boilerplate audit): one
+# explode + map-side-combined count, then a K-row total order — the
+# orderBy collapses to a single reduction because LIMIT pushes TopK
+# into the partial aggregation (TakeOrderedAndProject).
+NGRAM_TOPK = 20
+
+
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(NGRAM_TOPK)
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+SELECT gram, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+              || ' ' || string_split(text,' ')[i+2])) AS gram
+  FROM documents
+)
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
 QUERIES = {
     "bigram_pmi_top": bigram_pmi_top,
     "unigram_logprob_score": unigram_logprob_score,
@@ -726,6 +945,10 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "text_corpus_stats": text_corpus_stats,
+    "doc_repetition_report": doc_repetition_report,
+    "span_dedup_report": span_dedup_report,
+    "doc_entropy_report": doc_entropy_report,
+    "ngram_topk_corpus": ngram_topk_corpus,
 }
 
 ORACLES = {
@@ -742,4 +965,8 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
+    "doc_repetition_report": DOC_REPETITION_SQL,
+    "span_dedup_report": SPAN_DEDUP_SQL,
+    "doc_entropy_report": DOC_ENTROPY_SQL,
+    "ngram_topk_corpus": NGRAM_TOPK_SQL,
 }
