@@ -65,6 +65,14 @@ HEADLINE = (
     "tpch_q9_profit",
     "tpch_q13_custdist",
     "tpch_q21_waiting_suppliers",
+    # round-2 operator families (embedding_neardup_lsh is deliberately
+    # NOT here: at the corpus's low 0.4 cosine threshold banded LSH
+    # cannot prune below ~n² candidates — see similarity.py — so it
+    # benches as a slower exact join; the family is represented by
+    # ann_bruteforce_topk above)
+    "doc_repetition_report",
+    "span_dedup_report",
+    "doc_entropy_report",
 )
 
 

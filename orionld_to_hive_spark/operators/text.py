@@ -846,6 +846,8 @@ ORDER BY span
 # DECIMAL(27,12) so summation ORDER cannot flap the total (the KL /
 # log-prob convention — floats only re-enter at the final cast).
 def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     toks = _toks()
     counts = (
         _docs(spark, sf_dir)
@@ -853,14 +855,17 @@ def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_per_doc = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c").cast("double") / F.col("n").cast("double")
+    # doc total via an unordered window over doc_id instead of a
+    # groupBy+self-join: the window's (doc_id) partitioning is then
+    # reused by the final aggregate — 2 exchanges total, not 6.
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n.cast("double")
     term = F.round(p * F.log(p), 9).cast("decimal(27,12)")
     return (
-        counts.join(n_per_doc, "doc_id")
+        counts.withColumn("term", term)
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum(term).cast("double"), 9).alias("entropy"),
+            F.round(-F.sum("term").cast("double"), 9).alias("entropy"),
             F.count(F.lit(1)).alias("n_distinct_tokens"),
         )
         .orderBy("doc_id")
