@@ -68,7 +68,7 @@ cleaned AS (
   SELECT doc_id, sent_idx, rtrim(trim(raw), '.') AS sentence
   FROM split
 )
-SELECT doc_id, sent_idx, sentence,
+SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
        CAST(length(sentence) AS INTEGER) AS n_chars
 FROM cleaned
 WHERE sentence <> ''

@@ -354,7 +354,7 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RESERVOIR_SAMPLE_SQL = f"""
-SELECT source, doc_id, sample_rank
+SELECT source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
 FROM (
   SELECT source, doc_id,
          ROW_NUMBER() OVER (
@@ -414,7 +414,7 @@ WITH keyed AS (
                   / 4294967296.0) / n_chars, 9) AS key
   FROM documents WHERE n_chars > 0
 )
-SELECT source, sample_rank, doc_id, n_chars
+SELECT source, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, n_chars
 FROM (
   SELECT source, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source

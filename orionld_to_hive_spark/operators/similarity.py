@@ -95,7 +95,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 6) AS cos
 FROM ranked WHERE rank <= {TOP_K}
 """
 

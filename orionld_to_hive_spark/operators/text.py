@@ -358,7 +358,7 @@ ranked AS (
                             ORDER BY score DESC, word ASC) AS term_rank
   FROM scored
 )
-SELECT doc_id, term_rank, word, score
+SELECT doc_id, CAST(term_rank AS INTEGER) AS term_rank, word, score
 FROM ranked WHERE term_rank <= 3
 ORDER BY doc_id, term_rank
 """

@@ -476,7 +476,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
        {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM supplier, lineitem, orders, customer, nation n1, nation n2
 WHERE s_suppkey = l_suppkey
@@ -543,7 +543,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q8_SQL = f"""
-SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
        {sql_dsum("CASE WHEN n1.n_name = 'NATION_7' "
                   "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
        / {sql_dsum("l_extendedprice * (1 - l_discount)")} AS mkt_share,
@@ -599,7 +599,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q9_SQL = f"""
 SELECT n_name AS nation,
-       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
        {sql_dsum("l_extendedprice * (1 - l_discount)"
                  " - 0.5 * p_retailprice * l_quantity")} AS sum_profit
 FROM lineitem, orders, part, supplier, nation

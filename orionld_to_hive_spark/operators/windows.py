@@ -192,7 +192,7 @@ def top_spenders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_SPENDERS_SQL = """
-SELECT c_mktsegment, rank, c_custkey, c_name, c_acctbal
+SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, c_custkey, c_name, c_acctbal
 FROM (
   SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -238,11 +238,11 @@ WITH per_user AS (
   FROM events GROUP BY event_type, user_id
 )
 SELECT event_type, user_id, n_events,
-       rank()         OVER w AS rnk,
-       dense_rank()   OVER w AS drnk,
+       CAST(rank()       OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
        percent_rank() OVER w AS prnk,
        cume_dist()    OVER w AS cdist,
-       ntile(4)       OVER w AS quartile,
+       CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
        lag(n_events, 1)  OVER w AS prev_n,
        lead(n_events, 1) OVER w AS next_n
 FROM per_user
