@@ -470,6 +470,117 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale = max|x|/127,
+    q_i = round(x_i/scale). Reports the quantized checksum (sum of int8
+    codes) and L1 code mass — the pre-flight audit before shipping a
+    quantized ANN index. One scan, pure column expressions, no shuffle
+    but the output sort; at 100 TB this is embarrassingly parallel.
+
+    Cross-engine exactness: float32→double is exact, max/abs/division
+    are IEEE-deterministic, and both engines round halves away from
+    zero, so the integer codes match bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    max_abs = F.array_max(F.transform(F.col("vec"), F.abs))
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / F.lit(127.0))
+    codes = F.transform(F.col("vec"), lambda x: F.round(x / scale).cast("long"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("vec").alias("dim"),
+            F.round(scale, 9).alias("scale"),
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+            ).alias("q_l1"),
+            F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.when(F.abs(x) == 127, 1).otherwise(0),
+            ).alias("n_saturated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+         END AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, scale,
+         CAST(len(v) AS INTEGER) AS dim,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+  FROM scaled
+)
+SELECT vec_id, dim, round(scale, 9) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(q, x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS n_saturated
+FROM coded
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode →
+    partial-aggregated sum per (label, pos). The shuffle carries only
+    |labels|×dim×|partitions| partial rows (map-side combine), not the
+    corpus — the standard distributed-centroid plan (same shape MLlib
+    uses inside k-means).
+
+    Exactness: each component is rounded to 9 dp and summed as
+    DECIMAL(27,12) — order-independent, so Spark's unordered partial
+    aggregation matches DuckDB exactly; the mean divides in DOUBLE."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode("vec").alias("pos", "x")
+    )
+    term = F.round(F.col("x"), 9).cast("decimal(27,12)")
+    return (
+        ex.withColumn("term", term)
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # no final round: decimal→double cast and the division are
+            # both IEEE-deterministic, so the raw double matches DuckDB
+            # bit-for-bit (decimal-rounding a double at 9 dp does NOT —
+            # the engines disagree by 1 ulp on edge values)
+            (F.sum("term").cast("double") / F.count(F.lit(1))).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMBEDDING_CENTROID_SQL = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(x, 9) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+         AS centroid
+FROM ex
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -479,6 +590,8 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "embedding_dedup_clusters": embedding_dedup_clusters,
     "embedding_norm_report": embedding_norm_report,
+    "embedding_quantization_report": embedding_quantization_report,
+    "embedding_centroid_by_label": embedding_centroid_by_label,
 }
 
 ORACLES = {
@@ -491,6 +604,8 @@ ORACLES = {
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_SQL,
     "embedding_dedup_clusters": EMBEDDING_CLUSTERS_SQL,
     "embedding_norm_report": EMBEDDING_NORM_SQL,
+    "embedding_quantization_report": EMBEDDING_QUANT_SQL,
+    "embedding_centroid_by_label": EMBEDDING_CENTROID_SQL,
     # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
     # kmeans_embeddings_report: iterative fit — rows-only + units
 }

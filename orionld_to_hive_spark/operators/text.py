@@ -730,30 +730,48 @@ def doc_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_gram = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Every metric is within-document, so no explode + (doc_id, gram)
+    # shuffle is needed: sort the gram array and fold once to find the
+    # longest equal-run (= max gram count), count distinct via
+    # array_distinct. The whole query is scan -> project -> sort: ZERO
+    # aggregation exchanges, and at 100 TB the shuffle that used to
+    # carry |docs|×|grams| rows disappears entirely.
+    sorted_grams = F.array_sort(grams)
+    top_c = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+    n_2grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
     return (
-        per_gram.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_2grams"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_c"),
-        )
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) >= 2)
         .select(
             "doc_id",
-            "n_2grams",
+            n_2grams.alias("n_2grams"),
             F.round(
-                (F.col("n_2grams") - F.col("n_distinct")).cast("double")
-                / F.col("n_2grams"),
-                6,
+                (n_2grams - n_distinct).cast("double") / n_2grams, 6
             ).alias("dup_2gram_frac"),
-            F.round(
-                F.col("top_c").cast("double") / F.col("n_2grams"), 6
-            ).alias("top_2gram_frac"),
+            F.round(top_c.cast("double") / n_2grams, 6).alias(
+                "top_2gram_frac"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -936,6 +954,80 @@ LIMIT {NGRAM_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 shape): word-count
+    bounds, mean-word-length bounds, fraction of words containing an
+    alphabetic character, and symbol-to-word ratio (#/ellipsis), with a
+    composite keep flag. All per-row column expressions — one scan, no
+    shuffle, whole-stage codegen; the canonical first-pass corpus filter
+    at 100 TB."""
+    toks = _toks()
+    n = F.size(toks)
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MWL)
+        & (mean_wl <= GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        keep.alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_wl,
+         len(list_filter(string_split(text, ' '),
+             t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           / len(string_split(text, ' ')) AS alpha_frac,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+           / len(string_split(text, ' ')) AS symbol_ratio
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+        AND mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS gopher_keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bigram_pmi_top": bigram_pmi_top,
     "unigram_logprob_score": unigram_logprob_score,
@@ -954,6 +1046,7 @@ QUERIES = {
     "span_dedup_report": span_dedup_report,
     "doc_entropy_report": doc_entropy_report,
     "ngram_topk_corpus": ngram_topk_corpus,
+    "gopher_quality_report": gopher_quality_report,
 }
 
 ORACLES = {
@@ -974,4 +1067,5 @@ ORACLES = {
     "span_dedup_report": SPAN_DEDUP_SQL,
     "doc_entropy_report": DOC_ENTROPY_SQL,
     "ngram_topk_corpus": NGRAM_TOPK_SQL,
+    "gopher_quality_report": GOPHER_QUALITY_SQL,
 }
