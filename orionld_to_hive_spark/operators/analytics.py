@@ -417,8 +417,79 @@ ORDER BY segment
 """
 
 
+# --------------------------------------------------------------------------
+ZSCORE_CUT = 2.5
+
+
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier screen: events whose value sits
+    more than ZSCORE_CUT sample stddevs from the type mean. Moments come
+    from exact decimal power sums broadcast back onto the fact scan —
+    one map-side-combined aggregate over |types| groups plus one
+    broadcast join; the fact table never shuffles.
+
+    Determinism: mean/var/z are derived from the decimal sums with the
+    IDENTICAL expression tree on both engines (a fixed sequence of IEEE
+    double ops), so even the > cut membership test agrees bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    sums = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(
+            (F.col("value").cast("decimal(27,6)")
+             * F.col("value").cast("decimal(27,6)"))
+        ).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    stats = sums.select(
+        "event_type", mean.alias("mean"), F.sqrt(var).alias("std")
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("mean", 6).alias("type_mean"),
+            F.round("std", 6).alias("type_std"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(z) > ZSCORE_CUT)
+        .orderBy("event_id")
+    )
+
+
+ZSCORE_SQL = f"""
+WITH sums AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))
+                  * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, sx / CAST(n AS DOUBLE) AS mean,
+         sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+           AS std
+  FROM sums
+)
+SELECT event_id, event_type, value,
+       round(mean, 6) AS type_mean,
+       round(std, 6) AS type_std,
+       round((value - mean) / std, 6) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE abs((value - mean) / std) > {ZSCORE_CUT}
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "rfm_segments": rfm_segments,
+    "zscore_outlier_events": zscore_outlier_events,
     "winsorize_report": winsorize_report,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
@@ -429,6 +500,7 @@ QUERIES = {
 
 ORACLES = {
     "rfm_segments": RFM_SQL,
+    "zscore_outlier_events": ZSCORE_SQL,
     "winsorize_report": WINSORIZE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,

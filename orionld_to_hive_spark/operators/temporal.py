@@ -436,8 +436,61 @@ FROM scan WHERE is_anomaly
 """
 
 
+# --------------------------------------------------------------------------
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the kdb+/TimescaleDB `ohlc`
+    rollup: open/close = first/last value by (ts, event_id), high/low =
+    min/max, plus volume (count) and an exact-decimal VWAP-style mean.
+    ONE groupBy (map-side combined min_by/max_by carry (value, key)
+    pairs, not rows); event_id breaks ts ties so open/close are
+    deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("bar_ts"),
+            "event_type",
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("bar_ts", "event_type")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            davg("value", "mean_value"),
+        )
+        .orderBy("bar_ts", "event_type")
+    )
+
+
+OHLC_SQL = f"""
+WITH ordered AS (
+  SELECT date_trunc('hour', ts) AS bar_ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT bar_ts, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+       COUNT(*) AS volume,
+       {sql_davg("value")} AS mean_value
+FROM ordered
+GROUP BY bar_ts, event_type
+ORDER BY bar_ts, event_type
+"""
+
+
 QUERIES = {
     "ewma_anomaly_events": ewma_anomaly_events,
+    "ohlc_bars_hourly": ohlc_bars_hourly,
     "asof_click_before_purchase": asof_click_before_purchase,
     "gapfill_hourly_counts": gapfill_hourly_counts,
     "session_window_stats": session_window_stats,
@@ -448,6 +501,7 @@ QUERIES = {
 
 ORACLES = {
     "ewma_anomaly_events": EWMA_SQL,
+    "ohlc_bars_hourly": OHLC_SQL,
     "asof_click_before_purchase": ASOF_SQL,
     "gapfill_hourly_counts": GAPFILL_SQL,
     "session_window_stats": SESSION_WINDOW_SQL,

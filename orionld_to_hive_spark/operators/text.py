@@ -955,6 +955,73 @@ LIMIT {NGRAM_TOPK}
 
 
 # --------------------------------------------------------------------------
+VOCAB_SIZE = 100
+
+
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-V corpus vocabulary
+    (count desc, word asc), then report per-doc in-vocab token count and
+    OOV rate — the audit run before committing to a tokenizer vocab.
+
+    Scale plan: the vocab is a corpus-wide top-V (two map-side-combined
+    aggregations over exploded tokens), then a BROADCAST semi-join back
+    against the exploded corpus — the corpus never shuffles by word for
+    the coverage pass, only by doc_id for the final per-doc rollup."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_toks()).alias("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(VOCAB_SIZE)
+        .select("word")
+    )
+    tagged = toks.join(F.broadcast(vocab), "word", "left_semi")
+    in_vocab = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_in_vocab")
+    )
+    totals = docs.select("doc_id", F.size(_toks()).cast("long").alias("n_tokens"))
+    return (
+        totals.join(in_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_in_vocab", F.lit(0)).alias("n_in_vocab"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce("n_in_vocab", F.lit(0)))
+                .cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM toks GROUP BY word
+  ORDER BY COUNT(*) DESC, word ASC LIMIT {VOCAB_SIZE}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_in_vocab
+  FROM toks WHERE word IN (SELECT word FROM vocab)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_in_vocab, 0) AS n_in_vocab,
+       round((len(string_split(d.text, ' ')) - COALESCE(p.n_in_vocab, 0))::DOUBLE
+             / len(string_split(d.text, ' ')), 6) AS oov_rate
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MWL = 3.0
@@ -1047,6 +1114,7 @@ QUERIES = {
     "doc_entropy_report": doc_entropy_report,
     "ngram_topk_corpus": ngram_topk_corpus,
     "gopher_quality_report": gopher_quality_report,
+    "vocab_coverage_report": vocab_coverage_report,
 }
 
 ORACLES = {
@@ -1068,4 +1136,5 @@ ORACLES = {
     "doc_entropy_report": DOC_ENTROPY_SQL,
     "ngram_topk_corpus": NGRAM_TOPK_SQL,
     "gopher_quality_report": GOPHER_QUALITY_SQL,
+    "vocab_coverage_report": VOCAB_COVERAGE_SQL,
 }
