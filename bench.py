@@ -73,6 +73,11 @@ HEADLINE = (
     "doc_repetition_report",
     "span_dedup_report",
     "doc_entropy_report",
+    "gopher_quality_report",
+    "vocab_coverage_report",
+    "ohlc_bars_hourly",
+    "zscore_outlier_events",
+    "embedding_quantization_report",
 )
 
 

@@ -426,26 +426,27 @@ WHERE l_quantity >= 1 AND l_quantity <= 30
 # --------------------------------------------------------------------------
 # TPC-H Q15 shape: top-revenue supplier(s). The naive "view +
 # MAX-of-view" plan scans the fact table TWICE (Spark plans the view's
-# two uses independently; exchange reuse is not guaranteed). The
-# single-scan formulation: aggregate once, then take the global MAX as
-# an unpartitioned window over the AGGREGATE — which is |suppliers|
-# rows, not |lineitem|, so the single-partition window is cheap at any
-# fact-table scale. Ties survive (= on the exact-decimal sum is
-# deterministic, unlike a double sum). Supplier dim joins broadcast.
+# two uses independently; exchange reuse is not guaranteed), and the
+# window-max alternative funnels ALL |suppliers| aggregate rows through
+# one partition (1B rows at SF100k — a real straggler). Single-scan AND
+# no single-partition step: aggregate once, CACHE the skinny
+# (suppkey, revenue) frame — MBs even at 100 TB fact scale — then take
+# the global MAX as a map-side-combined aggregate (one row per
+# partition reaches the final reduce) and broadcast the 1-row result
+# back. Ties survive (= on the exact-decimal sum is deterministic,
+# unlike a double sum). Supplier dim joins broadcast.
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    )
-    w = Window.partitionBy()
+    ).cache()
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
+        revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
