@@ -23,14 +23,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+# TIMESTAMP and TIMESTAMP_NTZ columns are formatted by different options;
+# set both so µs precision survives regardless of the column's zone-ness.
+_TS_OPTS = {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT}
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     w = df.write.mode("overwrite")
     if fmt == "csv":
-        w.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+        w.option("header", True).options(**_TS_OPTS).csv(path)
     elif fmt == "json":
-        w.option("timestampFormat", _TS_FMT).json(path)
+        w.options(**_TS_OPTS).json(path)
     elif fmt == "parquet":
         w.parquet(path)
     else:
@@ -42,9 +45,9 @@ def read_table(
 ) -> DataFrame:
     r = spark.read.schema(schema)
     if fmt == "csv":
-        return r.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
+        return r.option("header", True).options(**_TS_OPTS).csv(path)
     if fmt == "json":
-        return r.option("timestampFormat", _TS_FMT).json(path)
+        return r.options(**_TS_OPTS).json(path)
     if fmt == "parquet":
         return r.parquet(path)
     raise ValueError(f"unsupported format {fmt!r}")

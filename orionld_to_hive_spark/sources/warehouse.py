@@ -6,11 +6,14 @@ format is columnar parquet, which gives Catalyst predicate pushdown,
 column pruning, and min/max row-group skipping that the reference's
 string-cell HBase scan could never have (SURVEY.md §4).
 
-Also handles a physical-format quirk of the driver testdata: `events.ts`
-is written as INT64 TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects. We read nanos as long (legacy conf) and truncate to microsecond
-timestamps — the same truncation DuckDB applies — so both engines see
-identical values.
+Also normalizes physical-format variation in the driver testdata's
+`events.ts` across regenerations: INT64 TIMESTAMP(NANOS) (r1; Spark's
+vectorized reader rejects it — read nanos as long via legacy conf, then
+truncate to µs) and TIMESTAMP(MICROS) without UTC adjustment (r2; Spark
+reads TIMESTAMP_NTZ). Both are cast to the session-UTC TIMESTAMP type so
+every downstream operator (epoch math via unix_micros, range frames,
+window() buckets) sees one stable type with values identical to what
+DuckDB's reader produces.
 """
 
 from __future__ import annotations
@@ -33,20 +36,27 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Columns stored as INT64 TIMESTAMP(NANOS) in the testdata parquet.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical encoding varies across testdata
+# regenerations (INT64 nanos / µs without UTC adjustment); normalized to
+# session-UTC TIMESTAMP on load.
+_NORM_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one warehouse table; normalizes nano-timestamp columns."""
-    nano_cols = _NANO_TS_COLS.get(name, ())
-    if nano_cols:
+    """Read one warehouse table; normalizes variant timestamp columns."""
+    norm_cols = _NORM_TS_COLS.get(name, ())
+    if norm_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+    for c in norm_cols:
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             # nanos → micros, truncating like DuckDB's reader does.
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            # naive µs → session-UTC instant (same epoch value DuckDB
+            # computes for the naive timestamp).
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -60,12 +70,14 @@ def load_time_range(
 ) -> DataFrame:
     """Time-range scan that keeps the predicate pushable.
 
-    For nano-long-backed timestamp columns, a filter on the CONVERTED
+    For variant-encoded timestamp columns, a filter on the NORMALIZED
     column is a function of the raw column and cannot reach the parquet
-    scan. Instead we compare the raw int64 nanos against the boundary
-    (exact: floor(ns/1000) >= B·10⁶ ⟺ ns >= B·10⁹ for whole-second B),
-    which Catalyst pushes as a plain long comparison — min/max row-group
-    stats then skip everything outside the window. Native timestamp
+    scan. Instead the predicate is phrased against the raw stored type —
+    int64 nanos vs the boundary in nanos (exact: floor(ns/1000) >= B·10⁶
+    ⟺ ns >= B·10⁹ for whole-second B), or a TIMESTAMP_NTZ literal vs the
+    naive column — which Catalyst pushes into the scan, where min/max
+    row-group stats skip everything outside the window; the
+    normalization cast happens above the filtered scan. Native timestamp
     columns just get the direct pushable comparison.
     """
     from datetime import datetime, timezone
@@ -74,17 +86,28 @@ def load_time_range(
         dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
         return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
 
-    nano_cols = _NANO_TS_COLS.get(name, ())
-    if ts_col in nano_cols:
+    if ts_col in _NORM_TS_COLS.get(name, ()):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if lower_iso is not None:
-            df = df.filter(F.col(ts_col) >= F.lit(_nanos(lower_iso)))
-        if upper_iso is not None:
-            df = df.filter(F.col(ts_col) < F.lit(_nanos(upper_iso)))
-        return df.withColumn(
-            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
-        )
+        raw_dt = dict(df.dtypes).get(ts_col)
+        if raw_dt == "bigint":
+            if lower_iso is not None:
+                df = df.filter(F.col(ts_col) >= F.lit(_nanos(lower_iso)))
+            if upper_iso is not None:
+                df = df.filter(F.col(ts_col) < F.lit(_nanos(upper_iso)))
+            return df.withColumn(
+                ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+            )
+        if raw_dt == "timestamp_ntz":
+            if lower_iso is not None:
+                df = df.filter(
+                    F.col(ts_col) >= F.lit(lower_iso).cast("timestamp_ntz")
+                )
+            if upper_iso is not None:
+                df = df.filter(
+                    F.col(ts_col) < F.lit(upper_iso).cast("timestamp_ntz")
+                )
+            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     df = load_table(spark, sf_dir, name)
     if lower_iso is not None:
         df = df.filter(F.col(ts_col) >= F.lit(lower_iso).cast("timestamp"))
