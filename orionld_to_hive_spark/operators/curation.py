@@ -1,0 +1,288 @@
+"""Corpus-curation operators: the model-based-filter / chunking /
+incremental-dedup stages of a training-data pipeline.
+
+Beyond-reference capability (the reference — `hive.py:49-99` — has no
+document processing at all; these extend the north-star LLM-pipeline
+families already in `text.py` / `dedup.py` / `pipeline.py`). All
+deterministic, all built-in JVM expressions (no Python in the hot
+path), all oracle-checked.
+
+Scale notes per operator live on the functions; the common theme: every
+op is a single scan of `documents` plus at most one digest-keyed
+shuffle — document BODIES never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+from .text import STOPWORDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filter: a fixed linear classifier (fastText /
+# FineWeb-Edu-style quality model stand-in) over cheap lexical features.
+# The weights are frozen constants, so the whole scorer is one codegen'd
+# projection — zero shuffles, zero Python. We output the raw logit
+# (sums/products of doubles are IEEE-exact cross-engine; a sigmoid's
+# exp() is not guaranteed bit-identical, and the decision only needs the
+# sign) rounded to 6 dp, plus the keep decision logit >= 0.
+CLF_W0 = -2.0  # bias
+CLF_W_LOGN = 0.9  # ln(1 + n_tokens)
+CLF_W_STOP = -3.5  # stopword ratio
+CLF_W_MWL = 0.15  # mean word length
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    mean_wl = (F.length("text") - (n - 1)) / n
+    logit = (
+        F.lit(CLF_W0)
+        + F.lit(CLF_W_LOGN) * F.log(n + F.lit(1))
+        + F.lit(CLF_W_STOP) * sw_ratio
+        + F.lit(CLF_W_MWL) * mean_wl
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(logit, 6).alias("clf_logit"),
+        (logit >= 0).alias("clf_keep"),
+    )
+
+
+QUALITY_CLF_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+           / len(string_split(text, ' ')) AS sw_ratio,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_wl
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(mean_wl, 6) AS mean_word_len,
+       round({CLF_W0} + {CLF_W_LOGN} * ln(n + 1)
+             + {CLF_W_STOP} * sw_ratio + {CLF_W_MWL} * mean_wl, 6)
+         AS clf_logit,
+       ({CLF_W0} + {CLF_W_LOGN} * ln(n + 1)
+        + {CLF_W_STOP} * sw_ratio + {CLF_W_MWL} * mean_wl) >= 0 AS clf_keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Fixed-window chunking with overlap — the context-window/RAG-embedding
+# preparation step. Each document fans out to ceil(n/stride) chunks of
+# up to CHUNK_TOKENS tokens, consecutive chunks overlapping by
+# CHUNK_TOKENS - CHUNK_STRIDE tokens. The fan-out is a generated
+# sequence + explode inside one projection: partition-local, no
+# shuffle, and the per-row output is bounded (chunk text ≤ 64 tokens)
+# regardless of document length — a 1 GB document becomes many small
+# rows, never one giant one.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    chunk = F.slice(toks, F.col("start"), CHUNK_TOKENS)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(len(toks[s:s + {CHUNK_TOKENS - 1}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       md5(array_to_string(toks[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+FROM t, unnest(generate_series(1, n, {CHUNK_STRIDE})) AS u(s)
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: screen a NEW batch of documents against the
+# already-ingested corpus without re-deduplicating the corpus itself —
+# the steady-state mode of a growing 100 TB warehouse, where the daily
+# batch is ~0.1% of the corpus. Only 32-char digests are joined (bodies
+# stay put); the corpus side reduces to distinct digests (map-side
+# combined), and because the batch side is small relative to the
+# corpus, a production deployment would broadcast the BATCH digests and
+# stream the corpus past them — no corpus shuffle at all. The batch
+# here is the deterministic doc_id % 5 == 0 slice so the oracle can
+# reproduce it.
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("corpus_hash"))
+        .distinct()
+    )
+    return (
+        batch.join(
+            corpus_hashes,
+            batch.content_hash == corpus_hashes.corpus_hash,
+            "left",
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.when(F.col("corpus_hash").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS corpus_hash
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT d.doc_id, md5(d.text) AS content_hash,
+       CAST(CASE WHEN c.corpus_hash IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS is_dup
+FROM documents d LEFT JOIN corpus c ON md5(d.text) = c.corpus_hash
+WHERE d.doc_id % 5 = 0
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence-length curriculum bins: power-of-two token-length buckets per
+# source (bin = floor(log2 n) + 1, computed as the bit-length of the
+# integer — exact integer arithmetic, no cross-engine float log). One
+# map-side-combined aggregate over ≤ sources × 64 keys.
+def seq_len_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.length(F.bin(n)).cast("int").alias("len_bin"), n.alias("n"))
+        .groupBy("source", "len_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+SEQ_LEN_CURRICULUM_SQL = """
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(length(printf('%b', n)) AS INTEGER) AS len_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(MIN(n) AS INTEGER) AS min_tokens,
+       CAST(MAX(n) AS INTEGER) AS max_tokens
+FROM t
+GROUP BY source, len_bin
+ORDER BY source, len_bin
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source content-overlap matrix: how many documents each pair of
+# sources shares — the "which crawls duplicate each other" diagnostic
+# that decides mixture weights. The key is an 8-token prefix
+# fingerprint (cheap near-dup key: re-crawled pages keep their opening
+# even when boilerplate shifts the tail; exact-body equality finds
+# nothing across sources in this corpus). Reduces to distinct (source,
+# digest) pairs first (map-side combine), then a digest-keyed
+# self-join; only digests shuffle, and the a.source < b.source
+# predicate halves the pair space.
+PREFIX_FP_TOKENS = 8
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = F.md5(
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, PREFIX_FP_TOKENS), " "
+        )
+    )
+    hashes = _docs(spark, sf_dir).select("source", fp.alias("h")).distinct()
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count_distinct(F.col("a.h")).alias("n_shared"))
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH h AS (SELECT DISTINCT source,
+             md5(array_to_string(
+               string_split(text, ' ')[1:{PREFIX_FP_TOKENS}], ' ')) AS h
+           FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(DISTINCT a.h) AS n_shared
+FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
+    "doc_chunks": doc_chunks,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "seq_len_curriculum": seq_len_curriculum,
+    "cross_source_overlap": cross_source_overlap,
+}
+
+ORACLES = {
+    "quality_classifier_score": QUALITY_CLF_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "seq_len_curriculum": SEQ_LEN_CURRICULUM_SQL,
+    "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
+}

@@ -475,32 +475,40 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     """Symmetric int8 quantization audit: per-vector scale = max|x|/127,
     q_i = round(x_i/scale). Reports the quantized checksum (sum of int8
     codes) and L1 code mass — the pre-flight audit before shipping a
-    quantized ANN index. One scan, pure column expressions, no shuffle
-    but the output sort; at 100 TB this is embarrassingly parallel.
+    quantized ANN index.
+
+    Formulated as explode → per-vector window max (the scale) → one
+    aggregate on the same key, so the window's (vec_id) exchange is
+    reused by the groupBy — one shuffle total, everything inside
+    whole-stage codegen. An array-local variant (three higher-order
+    aggregate() folds) was tried and lost ~5×: HOF lambdas evaluate
+    interpreted, and the scale subtree re-evaluated per element made it
+    O(d²) per vector.
 
     Cross-engine exactness: float32→double is exact, max/abs/division
-    are IEEE-deterministic, and both engines round halves away from
-    zero, so the integer codes match bit-for-bit."""
-    emb = _emb(spark, sf_dir)
-    max_abs = F.array_max(F.transform(F.col("vec"), F.abs))
+    are IEEE-deterministic, integer code sums are order-independent,
+    and both engines round halves away from zero, so the integer codes
+    match bit-for-bit."""
+    from pyspark.sql import Window
+
+    flat = _emb(spark, sf_dir).select("vec_id", F.explode("vec").alias("x"))
+    max_abs_w = F.max(F.abs("x")).over(Window.partitionBy("vec_id"))
+    scale_w = F.when(max_abs_w == 0.0, F.lit(1.0)).otherwise(
+        max_abs_w / F.lit(127.0)
+    )
+    coded = flat.withColumn("q", F.round(F.col("x") / scale_w).cast("long"))
+    max_abs = F.max(F.abs("x"))
     scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / F.lit(127.0))
-    codes = F.transform(F.col("vec"), lambda x: F.round(x / scale).cast("long"))
     return (
-        emb.select(
-            "vec_id",
-            F.size("vec").alias("dim"),
+        coded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dim"),
             F.round(scale, 9).alias("scale"),
-            F.aggregate(
-                codes, F.lit(0).cast("long"), lambda a, x: a + x
-            ).alias("q_sum"),
-            F.aggregate(
-                codes, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
-            ).alias("q_l1"),
-            F.aggregate(
-                codes,
-                F.lit(0).cast("long"),
-                lambda a, x: a + F.when(F.abs(x) == 127, 1).otherwise(0),
-            ).alias("n_saturated"),
+            F.sum("q").alias("q_sum"),
+            F.sum(F.abs("q")).alias("q_l1"),
+            F.sum(F.when(F.abs("q") == 127, 1).otherwise(0))
+            .cast("long")
+            .alias("n_saturated"),
         )
         .orderBy("vec_id")
     )

@@ -720,56 +720,39 @@ LIMIT 20
 def doc_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _toks()
     n = F.size(toks)
-    # sequence(1, n-1) DESCENDS when n < 2 (Spark quirk) — guard it.
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # Every metric is within-document, so no explode + (doc_id, gram)
-    # shuffle is needed: sort the gram array and fold once to find the
-    # longest equal-run (= max gram count), count distinct via
-    # array_distinct. The whole query is scan -> project -> sort: ZERO
-    # aggregation exchanges, and at 100 TB the shuffle that used to
-    # carry |docs|×|grams| rows disappears entirely.
-    sorted_grams = F.array_sort(grams)
-    top_c = F.aggregate(
-        sorted_grams,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    n_2grams = F.size(grams).cast("long")
-    n_distinct = F.size(F.array_distinct(grams)).cast("long")
-    return (
+    # Adjacent-pair construction via arrays_zip of two shifted slices —
+    # regular codegen expressions. Both a shuffle-free run-length fold
+    # (higher-order aggregate with a struct accumulator) and a
+    # transform(sequence(...), element_at) gram builder were tried and
+    # lost by ~100× / ~3×: higher-order lambdas evaluate interpreted,
+    # outside codegen. Then explode + two-level aggregate; at scale the
+    # (doc_id, gram) shuffle is bounded by distinct grams per doc
+    # (map-side combine collapses within-doc repeats — each doc's grams
+    # are partition-local), the standard plan for corpus repetition
+    # stats.
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    counts = (
         _docs(spark, sf_dir)
         .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("z"))
         .select(
             "doc_id",
+            F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_2grams = F.sum("c")
+    n_distinct = F.count(F.lit(1))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
             n_2grams.alias("n_2grams"),
             F.round(
                 (n_2grams - n_distinct).cast("double") / n_2grams, 6
             ).alias("dup_2gram_frac"),
-            F.round(top_c.cast("double") / n_2grams, 6).alias(
+            F.round(F.max("c").cast("double") / n_2grams, 6).alias(
                 "top_2gram_frac"
             ),
         )

@@ -33,6 +33,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.analytics",
     "orionld_to_hive_spark.functions.udtf",
     "orionld_to_hive_spark.functions.udfs",
+    "orionld_to_hive_spark.operators.curation",
     "orionld_to_hive_spark.operators.tpch2",
     "orionld_to_hive_spark.operators.windows",
     "orionld_to_hive_spark.operators.parity",
