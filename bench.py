@@ -78,6 +78,9 @@ HEADLINE = (
     "ohlc_bars_hourly",
     "zscore_outlier_events",
     "embedding_quantization_report",
+    "quality_classifier_score",
+    "doc_chunks",
+    "dwell_time_profile",
 )
 
 

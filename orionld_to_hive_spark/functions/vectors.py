@@ -1,10 +1,13 @@
 """Vector (embedding) column helpers.
 
 Embeddings are plain `array<float>` columns; all math is done in DOUBLE
-with JVM-side higher-order functions (`zip_with` + `aggregate`), which
-stay inside codegen — no Python in the hot path. The fold is a strict
-left-to-right accumulation, the same order DuckDB's list functions use,
-so cosine values match the oracle bit-for-bit.
+with JVM-side expressions — no Python in the hot path. The widening
+cast is a plain array Cast (codegen); dot/norm use higher-order folds,
+which evaluate interpreted but keep a strict left-to-right accumulation
+order — the same order DuckDB's list functions use — so cosine values
+match the oracle bit-for-bit (don't "optimize" these into a different
+association order; bulk scoring paths use the Arrow-batched numpy
+kernels in `operators/similarity.py` instead).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -487,7 +487,148 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: counts and
+# row-normalized probabilities of event_type -> next event_type. One
+# (user_id) shuffle for the lag window; the transition aggregate is
+# |types|² keys and the normalizing window runs over that tiny result.
+# The (ts, event_id) ordering key makes lag deterministic under
+# timestamp ties on both engines.
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    row_tot = F.sum("n_trans").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(F.col("n_trans") / row_tot, 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_trans,
+       round(n_trans::DOUBLE / SUM(n_trans) OVER (PARTITION BY prev_type), 6)
+         AS p
+FROM t ORDER BY prev_type, next_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Dwell-time profile: time between consecutive events of a user,
+# attributed to the earlier event's type, with EXACT discrete p50/p90.
+# The quantiles use the two-phase histogram form — aggregate to
+# (type, gap) counts first (map-side combined), then a cumulative sum
+# over the DISTINCT gap values only — so no per-type total sort of raw
+# rows ever happens; with 5 types, sorting raw gaps would funnel 1/5 of
+# a 100 TB table through one task, while distinct-value histograms stay
+# bounded by value cardinality. Quantile definition (smallest value
+# with cumulative count >= ceil(q*n)) is tie-free by construction and
+# phrased identically on both engines.
+def dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            (
+                F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    hist = gaps.groupBy("prev_type", "gap_us").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("prev_type")
+    wcum = wt.orderBy("gap_us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("c").over(wcum)
+    tot = F.sum("c").over(wt)
+    sized = hist.select(
+        "prev_type",
+        "gap_us",
+        "c",
+        cum.alias("cum"),
+        tot.alias("tot"),
+    )
+    q = lambda frac: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.col("tot") * F.lit(frac)), F.col("gap_us")
+        )
+    )
+    return (
+        sized.groupBy("prev_type")
+        .agg(
+            F.sum("c").alias("n_gaps"),
+            F.round(
+                (F.sum(F.col("c") * F.col("gap_us")) / F.lit(1000000.0))
+                / F.sum("c"),
+                6,
+            ).alias("mean_gap_s"),
+            q(0.5).alias("p50_gap_us"),
+            q(0.9).alias("p90_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+DWELL_SQL = """
+WITH gaps AS (
+  SELECT event_type AS prev_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+),
+hist AS (
+  SELECT prev_type, gap_us, COUNT(*) AS c
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY prev_type, gap_us
+),
+sized AS (
+  SELECT prev_type, gap_us, c,
+         SUM(c) OVER (PARTITION BY prev_type ORDER BY gap_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY prev_type) AS tot
+  FROM hist
+)
+SELECT prev_type,
+       CAST(SUM(c) AS BIGINT) AS n_gaps,
+       round((CAST(SUM(c * gap_us) AS DOUBLE) / 1000000.0)
+             / CAST(SUM(c) AS DOUBLE), 6) AS mean_gap_s,
+       CAST(MIN(CASE WHEN cum >= ceil(tot * 0.5) THEN gap_us END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(MIN(CASE WHEN cum >= ceil(tot * 0.9) THEN gap_us END) AS BIGINT)
+         AS p90_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM sized
+GROUP BY prev_type
+ORDER BY prev_type
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
+    "dwell_time_profile": dwell_time_profile,
     "rfm_segments": rfm_segments,
     "zscore_outlier_events": zscore_outlier_events,
     "winsorize_report": winsorize_report,
@@ -499,6 +640,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": TRANSITION_SQL,
+    "dwell_time_profile": DWELL_SQL,
     "rfm_segments": RFM_SQL,
     "zscore_outlier_events": ZSCORE_SQL,
     "winsorize_report": WINSORIZE_SQL,

@@ -289,3 +289,41 @@ def test_join_strategy_hints_are_honored(spark, sf_smoke):
 
     bhj = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
     assert has_broadcast_join(bhj)
+
+
+def test_doc_repetition_no_interpreted_lambdas(spark, sf_smoke):
+    # r2 regression gate: the 2-gram build must stay in codegen
+    # (arrays_zip of slices), not higher-order transform/aggregate
+    # lambdas — the interpreted fold cost 15× at sf0.1.
+    from orionld_to_hive_spark.operators import text
+
+    df = text.doc_repetition_report(spark, sf_smoke)
+    plan = formatted(df)
+    assert "lambdafunction" not in plan.lower(), plan[:2000]
+    assert count_shuffles(df) <= 3  # (doc,gram) agg + (doc) agg + orderBy
+
+
+def test_quantization_reuses_window_exchange(spark, sf_smoke):
+    # explode -> per-vec window max -> same-key aggregate: the groupBy
+    # must ride the window's (vec_id) exchange, not add its own.
+    from orionld_to_hive_spark.operators import similarity
+
+    df = similarity.embedding_quantization_report(spark, sf_smoke)
+    assert count_shuffles(df) <= 2, formatted(df)[:2000]  # window + orderBy
+    assert "lambdafunction" not in formatted(df).lower()
+
+
+def test_curation_scorer_and_chunking_are_shuffle_free(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import curation
+
+    assert count_shuffles(curation.quality_classifier_score(spark, sf_smoke)) == 0
+    assert count_shuffles(curation.doc_chunks(spark, sf_smoke)) == 0
+
+
+def test_dwell_profile_final_agg_reuses_type_partitioning(spark, sf_smoke):
+    # lag window (user) + histogram agg (type,gap) + cumsum window
+    # (type) + final agg (type, rides the cumsum exchange) + orderBy.
+    from orionld_to_hive_spark.operators import analytics
+
+    df = analytics.dwell_time_profile(spark, sf_smoke)
+    assert count_shuffles(df) <= 4, formatted(df)[:2000]
