@@ -139,3 +139,111 @@ def test_debounce_matches_sequential_scan(spark, arrivals):
             last_kept[k] = arr_us
             expected.append((k, v))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# curation / sequence operators vs pure-Python references
+
+import math
+
+from orionld_to_hive_spark.operators.analytics import (
+    dwell_time_profile,
+    event_transition_matrix,
+)
+from orionld_to_hive_spark.operators.curation import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    doc_chunks,
+)
+
+_word = st.text(alphabet="ab", min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(st.lists(_word, min_size=1, max_size=150), min_size=1, max_size=4))
+def test_doc_chunks_match_python_chunker(spark, tmp_path_factory, docs):
+    tmp = tmp_path_factory.mktemp("chunks")
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text.split(" ")
+        for r in doc_chunks(spark, str(tmp)).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        for ci, s in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            want[(i, ci)] = toks[s : s + CHUNK_TOKENS]
+    assert got == want
+
+
+# (user, ts_offset, type) — duplicate timestamps allowed; event_id breaks ties
+_ev = st.tuples(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=300),
+    st.sampled_from(["a", "b", "c"]),
+)
+
+
+def _write_events(spark, tmp, evs):
+    rows = [
+        (i, BASE + timedelta(seconds=ts), u, t, 0.0, "{}")
+        for i, (u, ts, t) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+
+def _sequences(evs):
+    by_user = {}
+    for eid, (u, ts, t) in enumerate(evs):
+        by_user.setdefault(u, []).append((ts, eid, t))
+    return {u: sorted(s) for u, s in by_user.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(evs=st.lists(_ev, min_size=2, max_size=30))
+def test_transition_matrix_matches_python_reference(spark, tmp_path_factory, evs):
+    tmp = tmp_path_factory.mktemp("trans")
+    _write_events(spark, tmp, evs)
+    want = {}
+    for seq in _sequences(evs).values():
+        for (_, _, p), (_, _, n) in zip(seq, seq[1:]):
+            want[(p, n)] = want.get((p, n), 0) + 1
+    got = {}
+    for r in event_transition_matrix(spark, str(tmp)).collect():
+        got[(r.prev_type, r.next_type)] = r.n_trans
+        row_tot = sum(v for (p, _), v in want.items() if p == r.prev_type)
+        assert r.p == round(r.n_trans / row_tot, 6)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(evs=st.lists(_ev, min_size=2, max_size=30))
+def test_dwell_quantiles_match_discrete_definition(spark, tmp_path_factory, evs):
+    tmp = tmp_path_factory.mktemp("dwell")
+    _write_events(spark, tmp, evs)
+    gaps_by_type = {}
+    for seq in _sequences(evs).values():
+        for (ts0, _, p), (ts1, _, _) in zip(seq, seq[1:]):
+            gaps_by_type.setdefault(p, []).append((ts1 - ts0) * 1_000_000)
+
+    def dq(vals, q):
+        return sorted(vals)[math.ceil(q * len(vals)) - 1]
+
+    rows = {r.prev_type: r for r in dwell_time_profile(spark, str(tmp)).collect()}
+    assert set(rows) == set(gaps_by_type)
+    for t, gaps in gaps_by_type.items():
+        r = rows[t]
+        assert r.n_gaps == len(gaps)
+        assert r.p50_gap_us == dq(gaps, 0.5)
+        assert r.p90_gap_us == dq(gaps, 0.9)
+        assert r.max_gap_us == max(gaps)
