@@ -535,6 +535,87 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    LONGEST member (most tokens; ties → smallest doc_id) instead of the
+    arbitrary min-id — the FineWeb-style policy that near-dup groups
+    keep their most complete copy. max_by on a (n_tokens, -doc_id)
+    struct makes the tie-break explicit and engine-portable. Costs the
+    clusters themselves plus one (label) aggregate over (id, int)
+    pairs — text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    pairs = _exact_jaccard_pairs(
+        shingles(docs), JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    members = labels.join(
+        ntok, labels["node"] == ntok["doc_id"]
+    ).select("label", "doc_id", "n_tokens")
+    return (
+        members.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_tokens"), -F.col("doc_id"))
+            ).alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max("n_tokens").alias("kept_n_tokens"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, peer) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+),
+labels AS (
+  SELECT node, MIN(peer) AS label FROM reach GROUP BY node
+),
+members AS (
+  SELECT l.label, l.node AS doc_id,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+),
+mx AS (
+  SELECT label, MAX(n_tokens) AS kept_n_tokens, COUNT(*) AS cluster_size
+  FROM members GROUP BY label
+)
+SELECT m.label AS cluster_id,
+       MIN(mem.doc_id) AS kept_doc_id,
+       m.cluster_size,
+       CAST(m.kept_n_tokens AS INTEGER) AS kept_n_tokens
+FROM mx m JOIN members mem
+  ON mem.label = m.label AND mem.n_tokens = m.kept_n_tokens
+GROUP BY m.label, m.cluster_size, m.kept_n_tokens
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
@@ -543,6 +624,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters_ngram": dedup_clusters_ngram,
     "dedup_survivors": dedup_survivors,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -553,4 +635,5 @@ ORACLES = {
     # dedup_simhash: engine-specific 64-bit hash — rows-only check
     "dedup_clusters_ngram": DEDUP_CLUSTERS_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
 }
