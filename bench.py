@@ -81,6 +81,7 @@ HEADLINE = (
     "quality_classifier_score",
     "doc_chunks",
     "dwell_time_profile",
+    "quality_ensemble_report",
 )
 
 

@@ -19,7 +19,15 @@ from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.sources.warehouse import load_table
 
-from .text import STOPWORDS
+from .text import (
+    GOPHER_MAX_MWL,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MWL,
+    GOPHER_MIN_WORDS,
+    STOPWORDS,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,12 +279,177 @@ ORDER BY source_a, source_b
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-filter ensemble: the three filter families this engine
+# implements individually — Gopher rules (text.py), the linear
+# classifier (above), and the unigram perplexity filter (text.py) —
+# composed into ONE fused plan with per-source yield accounting, the
+# way a production pipeline actually gates a corpus. The rule and
+# classifier gates are projections on the document scan; the
+# perplexity gate joins the per-doc avg-logprob branch (explode →
+# vocab aggregate → broadcast LM → per-doc decimal sum) back on
+# doc_id. The gate threshold compares the exactly-reproducible
+# avg_logprob (decimal-summed, rounded) rather than exp(·) of it, so
+# no cross-engine transcendental sits on a decision boundary.
+PPL_LOGPROB_CUT = -3.405  # ≈ perplexity 30.1 on this corpus
+
+
+def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    gopher_keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MWL)
+        & (mean_wl <= GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    sw_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    clf_keep = (
+        F.lit(CLF_W0)
+        + F.lit(CLF_W_LOGN) * F.log(n + F.lit(1))
+        + F.lit(CLF_W_STOP) * sw_ratio
+        + F.lit(CLF_W_MWL) * mean_wl
+    ) >= 0
+    gates = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        gopher_keep.alias("g"),
+        clf_keep.alias("c"),
+    )
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(Window.partitionBy()).cast("double")
+    lm = counts.select(
+        "word", F.round(F.log(F.col("c") / total), 9).alias("logp")
+    )
+    perdoc = (
+        words.join(F.broadcast(lm), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_lp")
+        )
+    )
+
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    p = F.col("avg_lp") >= PPL_LOGPROB_CUT
+    keep_all = F.col("g") & F.col("c") & p
+    return (
+        gates.join(perdoc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(F.col("g")).alias("n_pass_gopher"),
+            flag(F.col("c")).alias("n_pass_clf"),
+            flag(p).alias("n_pass_ppl"),
+            flag(keep_all).alias("n_pass_all"),
+            F.round(
+                F.sum(F.when(keep_all, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("yield_frac"),
+            F.sum(F.when(keep_all, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_ENSEMBLE_SQL = f"""
+WITH gates AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_wl,
+         len(list_filter(string_split(text, ' '),
+             t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           / len(string_split(text, ' ')) AS alpha_frac,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+           / len(string_split(text, ' ')) AS symbol_ratio,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+           / len(string_split(text, ' ')) AS sw_ratio
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source, n,
+         (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+          AND mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}
+          AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+          AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS g,
+         ({CLF_W0} + {CLF_W_LOGN} * ln(n + 1)
+          + {CLF_W_STOP} * sw_ratio + {CLF_W_MWL} * mean_wl) >= 0 AS c
+  FROM gates
+),
+words AS (
+  SELECT doc_id, w AS word
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+lm AS (
+  SELECT word,
+         round(ln(COUNT(*) / (SUM(COUNT(*)) OVER ())::DOUBLE), 9) AS logp
+  FROM words GROUP BY word
+),
+perdoc AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(logp AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_lp
+  FROM words JOIN lm USING (word)
+  GROUP BY doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher,
+       CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_clf,
+       CAST(SUM(CASE WHEN avg_lp >= {PPL_LOGPROB_CUT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_ppl,
+       CAST(SUM(CASE WHEN g AND c AND avg_lp >= {PPL_LOGPROB_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+       round(SUM(CASE WHEN g AND c AND avg_lp >= {PPL_LOGPROB_CUT}
+                 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS yield_frac,
+       CAST(SUM(CASE WHEN g AND c AND avg_lp >= {PPL_LOGPROB_CUT}
+                THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flags JOIN perdoc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "doc_chunks": doc_chunks,
     "dedup_incremental_batch": dedup_incremental_batch,
     "seq_len_curriculum": seq_len_curriculum,
     "cross_source_overlap": cross_source_overlap,
+    "quality_ensemble_report": quality_ensemble_report,
 }
 
 ORACLES = {
@@ -285,4 +458,5 @@ ORACLES = {
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "seq_len_curriculum": SEQ_LEN_CURRICULUM_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
+    "quality_ensemble_report": QUALITY_ENSEMBLE_SQL,
 }
