@@ -26,6 +26,25 @@ def _toks() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
+def _word_grams(toks: F.Column, k: int, hashed: bool = False) -> F.Column:
+    """Array of overlapping k-word grams via arrays_zip of k shifted
+    slices + one concat per element. ~10× faster than the
+    transform(sequence(...), element_at/slice) form (per-element random
+    access inside an interpreted lambda) with bit-identical output;
+    empty array below k tokens (sequence(1, 0) would DESCEND)."""
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, m) for j in range(k)])
+
+    def mk(s: F.Column) -> F.Column:
+        g = F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+        return F.md5(g) if hashed else g
+
+    return F.when(n >= k, F.transform(zipped, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 # --------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, distinct count, type-token ratio, plus a
@@ -214,16 +233,7 @@ SHINGLE_N = 5
 
 
 def _shingles(col: str = "text") -> F.Column:
-    # transform over a 1-based index sequence; slice(t, i, n) inside
-    # the lambda keeps the whole thing in codegen — no UDF. The CASE
-    # guards short docs: sequence(1, 0) would DESCEND in Spark, not
-    # come back empty.
-    return F.expr(
-        f"CASE WHEN size(split({col}, ' ')) >= {SHINGLE_N} THEN"
-        f" transform(sequence(1, size(split({col}, ' ')) - {SHINGLE_N - 1}),"
-        f" i -> md5(concat_ws(' ', slice(split({col}, ' '), i, {SHINGLE_N}))))"
-        f" ELSE CAST(array() AS array<string>) END"
-    )
+    return _word_grams(F.split(F.col(col), " "), SHINGLE_N, hashed=True)
 
 
 def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,23 +909,9 @@ NGRAM_TOPK = 20
 
 
 def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _toks()
-    n = F.size(toks)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
         _docs(spark, sf_dir)
-        .select(F.explode(grams).alias("gram"))
+        .select(F.explode(_word_grams(_toks(), 3)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
