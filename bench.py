@@ -135,7 +135,10 @@ def main() -> None:
     ladder_dirs = [
         d
         for d in os.environ.get(
-            "SPARK_GRAFT_SF_LADDER", "/root/testdata/sf0.01"
+            "SPARK_GRAFT_SF_LADDER",
+            os.pathsep.join(
+                ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+            ),
         ).split(os.pathsep)
         if d and os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(sf_dir)
     ]
