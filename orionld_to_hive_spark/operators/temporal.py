@@ -488,7 +488,42 @@ ORDER BY bar_ts, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2-style validity intervals: each per-user event opens a
+# [valid_from, valid_to) state interval closed by the next event; the
+# newest row stays open (valid_to NULL, is_current). This is the
+# type-2 slowly-changing-dimension view of an event log — the batch
+# twin of `streaming/upsert.py`'s type-1 latest-wins compaction. One
+# (user_id) window shuffle; (ts, event_id) ordering makes interval
+# boundaries deterministic under timestamp ties.
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 QUERIES = {
+    "scd2_user_history": scd2_user_history,
     "ewma_anomaly_events": ewma_anomaly_events,
     "ohlc_bars_hourly": ohlc_bars_hourly,
     "asof_click_before_purchase": asof_click_before_purchase,
@@ -500,6 +535,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_user_history": SCD2_SQL,
     "ewma_anomaly_events": EWMA_SQL,
     "ohlc_bars_hourly": OHLC_SQL,
     "asof_click_before_purchase": ASOF_SQL,

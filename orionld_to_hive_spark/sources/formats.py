@@ -13,8 +13,10 @@ the options that make round-trips exact:
   - microsecond timestamp format on CSV/JSON (default truncates);
   - header on CSV so column order is self-describing.
 
-Parquet needs no options — it is the warehouse format (warehouse.py);
-it appears here only so callers can treat format choice as data.
+Parquet and ORC need no options — both are µs-timestamp columnar
+formats with native schemas; parquet is the warehouse format
+(warehouse.py) and appears here only so callers can treat format
+choice as data.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         w.options(**_TS_OPTS).json(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -50,4 +54,6 @@ def read_table(
         return r.options(**_TS_OPTS).json(path)
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
     raise ValueError(f"unsupported format {fmt!r}")

@@ -9,7 +9,7 @@ from orionld_to_hive_spark.sources.formats import read_table, write_table
 from orionld_to_hive_spark.sources.warehouse import load_table
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip_events(spark, tmp_path, fmt):
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
