@@ -443,6 +443,100 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Token-budget corpus selection: keep the highest-quality documents
+# until a global token budget is reached ("fill the training budget
+# with the best data"). A naive global ORDER BY quality + running sum
+# funnels the corpus through one task; instead quality is bucketed to
+# 0.1-logit bins and the cumulative token mass per bin (a ~100-row
+# frame) picks the threshold bin B* = the lowest bin whose
+# best-first cumulative mass still fits the budget; every doc in a bin
+# >= B* is kept (whole-bin granularity keeps the rule deterministic
+# and engine-portable — no within-bin ordering is ever needed). The
+# scalar B* joins back by broadcast. Same two-phase histogram pattern
+# as dwell_time_profile's quantiles. Budget is a fraction of total
+# corpus tokens, so the operator is scale-free.
+BUDGET_FRAC = 0.4
+
+
+def budget_select_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    mean_wl = (F.length("text") - (n - 1)) / n
+    logit = (
+        F.lit(CLF_W0)
+        + F.lit(CLF_W_LOGN) * F.log(n + F.lit(1))
+        + F.lit(CLF_W_STOP) * sw_ratio
+        + F.lit(CLF_W_MWL) * mean_wl
+    )
+    scored = docs.select(
+        "source",
+        n.alias("n_tokens"),
+        F.floor(logit * 10).cast("int").alias("bin"),
+    )
+
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("bin").agg(F.sum("n_tokens").alias("tok"))
+    cum_desc = F.sum("tok").over(
+        Window.orderBy(F.col("bin").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    total = F.sum("tok").over(Window.partitionBy())
+    thresh = (
+        hist.select(
+            "bin", cum_desc.alias("cum"), (total * F.lit(BUDGET_FRAC)).alias("budget")
+        )
+        .filter(F.col("cum") <= F.col("budget"))
+        .agg(F.min("bin").alias("b_star"))
+    )
+    return (
+        scored.join(F.broadcast(thresh), F.col("bin") >= F.col("b_star"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+            F.min("b_star").alias("threshold_bin"),
+        )
+        .orderBy("source")
+    )
+
+
+BUDGET_SELECT_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(floor(({CLF_W0} + {CLF_W_LOGN} * ln(len(string_split(text, ' ')) + 1)
+               + {CLF_W_STOP} * (len(list_filter(string_split(text, ' '),
+                     t -> t IN ({", ".join(repr(s) for s in STOPWORDS)})))::DOUBLE
+                   / len(string_split(text, ' ')))
+               + {CLF_W_MWL} * ((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' ')))) * 10) AS INTEGER) AS bin
+  FROM documents
+),
+hist AS (SELECT bin, SUM(n_tokens) AS tok FROM scored GROUP BY bin),
+ranked AS (
+  SELECT bin,
+         SUM(tok) OVER (ORDER BY bin DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(tok) OVER () * {BUDGET_FRAC} AS budget
+  FROM hist
+),
+thresh AS (SELECT MIN(bin) AS b_star FROM ranked WHERE cum <= budget)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(MIN(b_star) AS INTEGER) AS threshold_bin
+FROM scored, thresh
+WHERE bin >= b_star
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "doc_chunks": doc_chunks,
@@ -450,6 +544,7 @@ QUERIES = {
     "seq_len_curriculum": seq_len_curriculum,
     "cross_source_overlap": cross_source_overlap,
     "quality_ensemble_report": quality_ensemble_report,
+    "budget_select_report": budget_select_report,
 }
 
 ORACLES = {
@@ -459,4 +554,5 @@ ORACLES = {
     "seq_len_curriculum": SEQ_LEN_CURRICULUM_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
     "quality_ensemble_report": QUALITY_ENSEMBLE_SQL,
+    "budget_select_report": BUDGET_SELECT_SQL,
 }

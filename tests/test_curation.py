@@ -96,3 +96,28 @@ def test_classifier_keep_matches_logit_sign(spark, sf_smoke):
     # the frozen weights must actually split the corpus, not rubber-stamp it
     kinds = {r.clf_keep for r in df.select("clf_keep").distinct().collect()}
     assert kinds == {True, False}
+
+
+def test_budget_selection_respects_token_budget(spark, sf_smoke):
+    from pyspark.sql import functions as F2
+
+    from orionld_to_hive_spark.operators.curation import (
+        BUDGET_FRAC,
+        budget_select_report,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    kept = (
+        budget_select_report(spark, sf_smoke)
+        .agg(F2.sum("kept_tokens").alias("k"))
+        .collect()[0]
+        .k
+    )
+    total = (
+        load_table(spark, sf_smoke, "documents")
+        .select(F2.size(F2.split("text", " ")).alias("n"))
+        .agg(F2.sum("n").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert 0 < kept <= BUDGET_FRAC * total
