@@ -340,9 +340,12 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = F.sum("c").over(Window.partitionBy()).cast("double")
-    lm = counts.select(
-        "word", F.round(F.log(F.col("c") / total), 9).alias("logp")
+    # corpus total via 1-row agg broadcast, not a global window (which
+    # would move the whole vocabulary frame through one task at scale)
+    total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))
+    lm = counts.crossJoin(F.broadcast(total_df)).select(
+        "word",
+        F.round(F.log(F.col("c") / F.col("corpus_total")), 9).alias("logp"),
     )
     perdoc = (
         words.join(F.broadcast(lm), "word")
@@ -477,20 +480,22 @@ def budget_select_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(logit * 10).cast("int").alias("bin"),
     )
 
-    from pyspark.sql import Window
-
+    # hist is bin-count-sized (~100 rows), so the descending cumulative
+    # sum is a broadcast triangular self-join and the grand total a
+    # 1-row aggregate — no WindowExec at all (even an ordered
+    # unpartitioned window over a tiny frame logs the single-partition
+    # warning, which drowns out real warnings in the bench tail).
     hist = scored.groupBy("bin").agg(F.sum("n_tokens").alias("tok"))
-    cum_desc = F.sum("tok").over(
-        Window.orderBy(F.col("bin").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+    totals = hist.agg(F.sum("tok").alias("total_tok"))
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.bin") >= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.tok").alias("cum"))
     )
-    total = F.sum("tok").over(Window.partitionBy())
     thresh = (
-        hist.select(
-            "bin", cum_desc.alias("cum"), (total * F.lit(BUDGET_FRAC)).alias("budget")
-        )
-        .filter(F.col("cum") <= F.col("budget"))
+        cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("cum") <= F.col("total_tok") * F.lit(BUDGET_FRAC))
         .agg(F.min("bin").alias("b_star"))
     )
     return (

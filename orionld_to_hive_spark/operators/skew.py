@@ -128,32 +128,36 @@ ORDER BY user_id
 # distinct-key count, max and mean rows per key, their ratio (the skew
 # factor — >10 means the hottest task does 10× the average work), and
 # the hottest key itself (ties broken by smallest key). One groupBy
-# per key column; the per-key frame is |keys|-sized, so the summary
-# windows are cheap at any fact scale.
+# per key column, then ONE 1-row summary aggregate per key column —
+# the hottest key rides along as max(struct(c, -key)), so the per-key
+# frame is never pushed through a global window (which would funnel
+# billions of per-key rows into a single WindowExec task at 100 TB —
+# ironic for the skew-diagnostics op).
 def skew_diagnostics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
-    from pyspark.sql import Window
-
     def diag(key: str) -> DataFrame:
-        per_key = (
-            li.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("mx", F.max("c").over(Window.partitionBy()))
-        )
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
         mean = (
             F.sum(F.col("c").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         )
+        # struct max orders by (c, -key): highest count, then smallest key
+        hot = F.max(F.struct(F.col("c").alias("c"), (-F.col(key)).alias("negk")))
         return per_key.agg(
             F.lit(key).alias("join_key"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("c").alias("max_rows_per_key"),
             F.round(mean, 6).alias("mean_rows_per_key"),
             F.round(F.max("c") / mean, 6).alias("skew_factor"),
-            F.min(F.when(F.col("c") == F.col("mx"), F.col(key))).alias(
-                "hottest_key"
-            ),
+            hot.alias("_hot"),
+        ).select(
+            "join_key",
+            "n_keys",
+            "max_rows_per_key",
+            "mean_rows_per_key",
+            "skew_factor",
+            (-F.col("_hot.negk")).alias("hottest_key"),
         )
 
     keys = ("l_orderkey", "l_partkey", "l_suppkey")

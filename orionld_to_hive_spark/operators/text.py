@@ -510,18 +510,18 @@ ORDER BY doc_id
 # Corpus drift: token-distribution divergence between two slices (here
 # sources src0-4 vs the rest — in production, last week vs this week).
 # One explode → ONE conditional (word × side) count aggregate → global
-# totals as window sums over the vocabulary-sized frame → KL(P||Q)
-# with add-one smoothing and total-variation distance, each term
-# round()ed to 9 dp before the exact-decimal sum (a double sum over an
-# unordered vocabulary would be partition-order dependent). Scale: the
-# only fact-sized shuffle is the word count; everything after runs on
-# |vocab| rows.
+# totals as a 1-row aggregate broadcast back over the vocabulary (a
+# global window here would funnel the entire 1e8-row vocabulary frame
+# through one WindowExec task at 100 TB) → KL(P||Q) with add-one
+# smoothing and total-variation distance, each term round()ed to 9 dp
+# before the exact-decimal sum (a double sum over an unordered
+# vocabulary would be partition-order dependent). Scale: the only
+# fact-sized shuffle is the word count; everything after runs on
+# |vocab| rows, fully partitioned.
 _DRIFT_A = ("src0", "src1", "src2", "src3", "src4")
 
 
 def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
     words = docs.select(
         F.col("source"),
@@ -532,10 +532,15 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_a.cast("long")).alias("a"),
         F.sum((~in_a).cast("long")).alias("b"),
     )
-    w = Window.partitionBy()
-    v = F.count(F.lit(1)).over(w)  # vocabulary size
-    ta = (F.sum("a").over(w) + v).cast("double")  # add-one smoothed totals
-    tb = (F.sum("b").over(w) + v).cast("double")
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("a").alias("tot_a"),
+        F.sum("b").alias("tot_b"),
+    )
+    counts = counts.crossJoin(F.broadcast(totals))
+    v = F.col("n_vocab")  # vocabulary size
+    ta = (F.col("tot_a") + v).cast("double")  # add-one smoothed totals
+    tb = (F.col("tot_b") + v).cast("double")
     p = (F.col("a") + 1) / ta
     q = (F.col("b") + 1) / tb
     # scale 12 > the 9-dp rounding, so the decimal cast is exact —
@@ -582,22 +587,23 @@ GROUP BY n_vocab
 # Unigram log-probability scoring — the "perplexity filter" stage of a
 # training pipeline (KenLM-lite: the LM is the corpus's own unigram
 # distribution). Pipeline: explode → word counts (fact-sized shuffle)
-# → per-word log-prob (window total over the vocabulary) → broadcast
-# the vocabulary-sized table back onto the exploded stream → per-doc
-# mean log-prob and perplexity. Per-token log-probs are rounded to
-# 9 dp then decimal-summed per doc (double summation order over a
-# doc's tokens is not deterministic); the final mean/ppl round to 6.
+# → per-word log-prob (corpus total via 1-row aggregate broadcast —
+# NOT a global window, which would push the vocabulary frame through
+# one task) → broadcast the vocabulary-sized table back onto the
+# exploded stream → per-doc mean log-prob and perplexity. Per-token
+# log-probs are rounded to 9 dp then decimal-summed per doc (double
+# summation order over a doc's tokens is not deterministic); the
+# final mean/ppl round to 6.
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = F.sum("c").over(Window.partitionBy()).cast("double")
-    lm = counts.select(
-        "word", F.round(F.log(F.col("c") / total), 9).alias("logp")
+    total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))
+    lm = counts.crossJoin(F.broadcast(total_df)).select(
+        "word",
+        F.round(F.log(F.col("c") / F.col("corpus_total")), 9).alias("logp"),
     )
     dec = "decimal(27,12)"
     return (

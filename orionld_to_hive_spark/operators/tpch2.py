@@ -254,20 +254,24 @@ WHERE p_partkey = l_partkey
 
 # --------------------------------------------------------------------------
 # TPC-H Q11 shape: important parts (partsupp value → lineitem revenue
-# adaptation). The global-total scalar subquery decorrelates into an
-# unpartitioned window over the ALREADY-AGGREGATED per-part values
-# (≤|parts| rows — cheap at any fact scale), and the total is summed in
-# exact decimal so it equals the oracle's recomputed-from-scratch total
-# bit-for-bit. Threshold: parts carrying > 0.1% of total revenue.
+# adaptation). The global-total scalar subquery decorrelates into a
+# 1-row exact-decimal re-aggregate of the per-part values, broadcast
+# back via cross join (NOT a global window — the per-part frame scales
+# with |parts|, easily 1e9 rows at 100 TB, and an unpartitioned
+# WindowExec would push it all through one task). The decimal re-sum
+# equals the oracle's recomputed-from-scratch total bit-for-bit.
+# Threshold: parts carrying > 0.1% of total revenue.
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orionld_to_hive_spark.functions.numeric import DECIMAL_T
 
     li = _t(spark, sf_dir, "lineitem")
     value = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DECIMAL_T)
     per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("pv_dec"))
-    total = F.sum("pv_dec").over(Window.partitionBy()).cast("double")
+    total_df = per_part.agg(
+        F.sum("pv_dec").cast("double").alias("total_value")
+    )
     return (
-        per_part.withColumn("total_value", total)
+        per_part.crossJoin(F.broadcast(total_df))
         .filter(F.col("pv_dec").cast("double") > 0.001 * F.col("total_value"))
         .select("l_partkey", F.col("pv_dec").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())

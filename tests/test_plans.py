@@ -327,3 +327,24 @@ def test_dwell_profile_final_agg_reuses_type_partitioning(spark, sf_smoke):
 
     df = analytics.dwell_time_profile(spark, sf_smoke)
     assert count_shuffles(df) <= 4, formatted(df)[:2000]
+
+
+def test_no_unpartitioned_window_exec(spark, sf_smoke):
+    # A Window with no partition spec funnels its ENTIRE input frame
+    # through one task — fatal on vocabulary- or key-cardinality frames
+    # at 100 TB (VERDICT r2 items 1-2). Global scalars must instead be
+    # 1-row aggregates broadcast back via crossJoin. Gate every query
+    # whose frame scales with data size; these previously used
+    # Window.partitionBy().
+    from orionld_to_hive_spark.operators import curation, pipeline, skew, text, tpch2
+
+    for fn in (
+        text.corpus_drift_report,
+        text.unigram_logprob_score,
+        skew.skew_diagnostics_report,
+        curation.budget_select_report,
+        pipeline.pipeline_curation_report,
+        tpch2.tpch_q11_important_parts,
+    ):
+        plan = executed_plan(fn(spark, sf_smoke))
+        assert "Window " not in plan, (fn.__name__, plan[:1500])

@@ -4,8 +4,10 @@ exact values, AND flag integer-width mismatches between the two engines
 (the driver's value hash is width-sensitive — r1 lesson: DuckDB HUGEINT
 vs Spark BIGINT hash-failed despite equal values).
 
-Usage: python tools/sweep.py [sf_dir]    (default /root/testdata/sf0.01)
-Prints one line per query; exits nonzero if any strict failure.
+Usage: python tools/sweep.py [sf_dir] [--only name1,name2,...]
+(default sf_dir /root/testdata/sf0.01; --only restricts to the named
+queries for fast iteration). Prints one line per query; exits nonzero
+if any strict failure.
 """
 
 from __future__ import annotations
@@ -37,10 +39,21 @@ def int_width_mismatches(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> lis
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(app_name="sweep")
     queries = registry.all_queries()
     oracles = registry.all_oracles()
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
+        queries = {n: f for n, f in queries.items() if n in only}
     n_pass = n_noracle = 0
     failures: list[str] = []
     for name, fn in queries.items():
