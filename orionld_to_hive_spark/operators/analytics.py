@@ -579,8 +579,16 @@ def dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized.groupBy("prev_type")
         .agg(
             F.sum("c").alias("n_gaps"),
+            # sum c·gap_us in DECIMAL(38,0): a BIGINT sum overflows at
+            # the 100 TB scale this op targets (µs gaps ~1e9 × counts
+            # ~1e12 > 2^63; ANSI mode would raise). Exact like the
+            # oracle's HUGEINT sum, then cast to double for the mean.
             F.round(
-                (F.sum(F.col("c") * F.col("gap_us")) / F.lit(1000000.0))
+                (
+                    F.sum((F.col("c") * F.col("gap_us")).cast("decimal(38,0)"))
+                    .cast("double")
+                    / F.lit(1000000.0)
+                )
                 / F.sum("c"),
                 6,
             ).alias("mean_gap_s"),

@@ -101,9 +101,30 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Hard ceiling for the exact all-pairs oracle baseline below. 1e6 rows
+# → ≤5e11 candidate pairs, already days of compute; anything bigger is
+# certainly a mistake (use the LSH sibling).
+_NEARDUP_EXACT_MAX_ROWS = 1_000_000
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (embedding near-dup dedup)."""
+    """=== EXACT O(n²) ORACLE BASELINE — NOT FOR PRODUCTION SCALE ===
+
+    Exact all-pairs cosine >= threshold (embedding near-dup dedup).
+    This is the sf-scale correctness baseline that `embedding_neardup_lsh`
+    is verified against; it cross-joins the corpus with itself, so cost
+    grows quadratically and it MUST NOT be pointed at a large corpus.
+    A row-count guard refuses inputs above _NEARDUP_EXACT_MAX_ROWS
+    (1,000,000) — at any real scale call `embedding_neardup_lsh`, which
+    returns the identical result through a banded equi-join plan."""
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n > _NEARDUP_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(n^2) oracle baseline "
+            f"({n:,} rows > guard {_NEARDUP_EXACT_MAX_ROWS:,}); "
+            f"use embedding_neardup_lsh for production-scale corpora"
+        )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
@@ -488,7 +509,9 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     Cross-engine exactness: float32→double is exact, max/abs/division
     are IEEE-deterministic, integer code sums are order-independent,
     and both engines round halves away from zero, so the integer codes
-    match bit-for-bit."""
+    match bit-for-bit. Zero-length embeddings are excluded (explode of
+    an empty array emits nothing; the oracle filters len(v) > 0 to
+    agree)."""
     from pyspark.sql import Window
 
     flat = _emb(spark, sf_dir).select("vec_id", F.explode("vec").alias("x"))
@@ -522,6 +545,9 @@ WITH scaled AS (
               ELSE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
          END AS scale
   FROM embeddings
+  -- zero-length vectors are excluded on BOTH engines: Spark's explode
+  -- emits no row for an empty array, so the oracle must drop them too
+  WHERE len(embedding::DOUBLE[]) > 0
 ),
 coded AS (
   SELECT vec_id, scale,

@@ -54,9 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos → micros, truncating like DuckDB's reader does.
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif dt == "timestamp_ntz":
-            # naive µs → session-UTC instant (same epoch value DuckDB
-            # computes for the naive timestamp).
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # naive µs → the instant whose UTC wall time equals the
+            # naive value (what DuckDB's epoch_us computes). A bare
+            # cast(timestamp) would interpret the naive value in the
+            # SESSION timezone — correct only when that happens to be
+            # UTC; routing through convert_timezone('UTC', session, c)
+            # makes the epoch value timezone-independent.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"cast(convert_timezone('UTC', current_timezone(), {c})"
+                    " as timestamp)"
+                ),
+            )
     return df
 
 
@@ -107,12 +117,25 @@ def load_time_range(
                 df = df.filter(
                     F.col(ts_col) < F.lit(upper_iso).cast("timestamp_ntz")
                 )
-            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            # same tz-independent normalization as load_table
+            return df.withColumn(
+                ts_col,
+                F.expr(
+                    f"cast(convert_timezone('UTC', current_timezone(), {ts_col})"
+                    " as timestamp)"
+                ),
+            )
     df = load_table(spark, sf_dir, name)
+    # boundary literals are UTC instants — build them from epoch micros so
+    # a non-UTC session timezone cannot shift the cut points
     if lower_iso is not None:
-        df = df.filter(F.col(ts_col) >= F.lit(lower_iso).cast("timestamp"))
+        df = df.filter(
+            F.col(ts_col) >= F.timestamp_micros(F.lit(_nanos(lower_iso) // 1000))
+        )
     if upper_iso is not None:
-        df = df.filter(F.col(ts_col) < F.lit(upper_iso).cast("timestamp"))
+        df = df.filter(
+            F.col(ts_col) < F.timestamp_micros(F.lit(_nanos(upper_iso) // 1000))
+        )
     return df
 
 

@@ -90,13 +90,17 @@ def heavyhitters_batch(
     item_col: str,
     ts_col: str,
     capacity: int = HH_CAPACITY,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Static-frame twin: one space-saving pass per key in event-time
     order (sorted, event order = arrival order of the replayed
-    stream)."""
+    stream). Pass `tiebreak_col` (e.g. an event id) to pin the fold
+    order of equal-timestamp rows — sketch eviction is order-sensitive,
+    so without it results can differ run-to-run on ts ties."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        pdf = pdf.sort_values(cols, kind="mergesort")
         counters = _fold(list(pdf[item_col]), {}, capacity)
         return _emit(str(pdf[key_col].iloc[0]), counters)
 
@@ -109,11 +113,13 @@ def heavyhitters_stream(
     item_col: str,
     ts_col: str,
     capacity: int = HH_CAPACITY,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming sketch; state = the counter arrays, carried across
     micro-batches (NoTimeout — heavy hitters accumulate for the run's
     lifetime). Output mode `update`: each batch re-emits the key's
-    current top-K estimate."""
+    current top-K estimate. `tiebreak_col` pins equal-ts fold order
+    (see heavyhitters_batch)."""
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
@@ -125,7 +131,8 @@ def heavyhitters_stream(
         else:
             counters = {}
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(cols, kind="mergesort")
             counters = _fold(list(pdf[item_col]), counters, capacity)
         its = sorted(counters)
         state.update(

@@ -40,9 +40,17 @@ def _out_schema(df: DataFrame, type_col: str) -> T.StructType:
 
 
 def _scan(
-    pdf: pd.DataFrame, ts_col: str, type_col: str, last: str | None
+    pdf: pd.DataFrame,
+    ts_col: str,
+    type_col: str,
+    last: str | None,
+    tiebreak_col: str | None = None,
 ) -> tuple[pd.DataFrame, str | None]:
-    pdf = pdf.sort_values(ts_col, kind="mergesort")
+    # rows with equal timestamps would otherwise keep Spark's
+    # nondeterministic shuffle order — sort by (ts, tiebreak) so
+    # prev-attribution is stable run-to-run and batch ≡ stream
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    pdf = pdf.sort_values(sort_cols, kind="mergesort")
     vals = list(pdf[type_col])
     out = pdf.copy()
     out[f"prev_{type_col}"] = [last] + vals[:-1]
@@ -50,19 +58,27 @@ def _scan(
 
 
 def transitions_batch(
-    df: DataFrame, key_col: str, ts_col: str, type_col: str
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Static-frame twin via applyInPandas (grouped map)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        out, _ = _scan(pdf, ts_col, type_col, None)
+        out, _ = _scan(pdf, ts_col, type_col, None, tiebreak_col)
         return out
 
     return df.groupBy(key_col).applyInPandas(fn, _out_schema(df, type_col))
 
 
 def transitions_stream(
-    df: DataFrame, key_col: str, ts_col: str, type_col: str
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming lag via applyInPandasWithState (NoTimeout: a key's
     predecessor stays valid however long it goes quiet)."""
@@ -72,7 +88,7 @@ def transitions_stream(
     def fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
-            out, last = _scan(pdf, ts_col, type_col, last)
+            out, last = _scan(pdf, ts_col, type_col, last, tiebreak_col)
             if len(out):
                 yield out
         if last is not None:

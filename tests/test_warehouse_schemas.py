@@ -57,3 +57,29 @@ def test_date_columns_are_timestamp_like(spark, sf_smoke):
     for tbl, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
         dt = dict(load_table(spark, sf_smoke, tbl).dtypes)[col]
         assert dt in ("timestamp", "timestamp_ntz", "date"), (tbl, col, dt)
+
+
+def test_ts_normalization_is_session_tz_independent(spark, sf_smoke):
+    # ADVICE r2: the NTZ→TIMESTAMP normalization must yield the SAME
+    # epoch values whatever the session timezone — the driver's vanilla
+    # session inherits the JVM tz, and parity must not depend on the
+    # host being UTC. Session tz is runtime-mutable, so flip it in place.
+    from pyspark.sql import functions as F
+
+    def epochs():
+        df = load_table(spark, sf_smoke, "events")
+        r = df.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        ).collect()[0]
+        return r.mn, r.mx
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = epochs()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = epochs()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert utc == ny, (utc, ny)
