@@ -32,6 +32,27 @@ from orionld_to_hive_spark.session import get_spark
 
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
+# Per-query rep OVERRIDES at the headline scale (max of this and REPS).
+# The reference methodology runs 30 reps (hive.py:105-138); running the
+# whole headline set at 30 would cost ~25 min, so the budget goes where
+# variance matters: the four baseline-parity queries (the official 2×
+# gate) at the full 30, and the six queries that regressed >10% r1→r2
+# with no code change (suspected JVM/GC noise at n=2) at 15 — enough to
+# shrink the CI below the observed 10-50% swings.
+HIGH_REPS = {
+    "q1_time_filter": 30,
+    "q2_hourly_avg": 30,
+    "q3_union_cube": 30,
+    "q4_join_hourly": 30,
+    "trailing_hour_stats": 15,
+    "multi_distinct_agg": 15,
+    "having_large_orders": 15,
+    "pipeline_curation_report": 15,
+    "session_window_stats": 15,
+    "word_freq_explode": 15,
+    "tpch_q21_waiting_suppliers": 15,
+}
+
 # Headline set: the four reference-parity queries plus one representative
 # of each scale-relevant operator family.
 HEADLINE = (
@@ -85,14 +106,14 @@ HEADLINE = (
 )
 
 
-def time_query(fn, spark, sf_dir: str) -> dict:
+def time_query(fn, spark, sf_dir: str, reps: int | None = None) -> dict:
     def once() -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         return time.perf_counter() - t0
 
     warmup = once()
-    times = [once() for _ in range(REPS)]
+    times = [once() for _ in range(reps if reps is not None else REPS)]
     mean = statistics.mean(times)
     stdev = statistics.stdev(times) if len(times) > 1 else 0.0
     return {
@@ -108,21 +129,22 @@ def _sf_of(sf_dir: str) -> float | str:
     return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
-def run_scale(spark, sf_dir: str, reps: int) -> tuple[dict, dict]:
-    """Time the headline set at one scale; returns (per_query, detail)."""
-    global REPS
-    saved, REPS = REPS, reps
-    try:
-        queries = registry.all_queries()
-        detail: dict[str, dict] = {}
-        per_query: dict[str, float] = {}
-        for name in HEADLINE:
-            stats = time_query(queries[name], spark, sf_dir)
-            detail[name] = stats
-            per_query[name] = stats["mean"]
-        return per_query, detail
-    finally:
-        REPS = saved
+def run_scale(
+    spark, sf_dir: str, reps: int, high_reps: bool = False
+) -> tuple[dict, dict]:
+    """Time the headline set at one scale; returns (per_query, detail).
+    With high_reps (the headline scale only), queries in HIGH_REPS get
+    max(HIGH_REPS[name], reps) repetitions."""
+    queries = registry.all_queries()
+    detail: dict[str, dict] = {}
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        n = max(HIGH_REPS.get(name, 0), reps) if high_reps else reps
+        stats = time_query(queries[name], spark, sf_dir, reps=n)
+        stats["reps"] = n
+        detail[name] = stats
+        per_query[name] = stats["mean"]
+    return per_query, detail
 
 
 def main() -> None:
@@ -162,8 +184,12 @@ def main() -> None:
         ladder[str(_sf_of(d))] = round(sum(pq.values()), 4)
         ladder_detail[str(_sf_of(d))] = det
 
-    per_query, detail = run_scale(spark, sf_dir, REPS)
+    per_query, detail = run_scale(spark, sf_dir, REPS, high_reps=True)
     total = round(sum(per_query.values()), 4)
+    # headline scale is the third ladder point (BASELINE.md Tables 1-5
+    # style 3-point scaling curve) — measured once, reported in both.
+    ladder[str(_sf_of(sf_dir))] = total
+    ladder_detail[str(_sf_of(sf_dir))] = detail
     # Reference context (BASELINE.md, PDF Table 5 @100% of its 187K-row
     # corpus): mean latencies Q1 0.730 + Q2 5.064 + Q3 8.091 + Q4 10.533.
     # Our q1..q4 parity twins are directly comparable; the rest of the
