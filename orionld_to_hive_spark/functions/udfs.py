@@ -65,5 +65,62 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"udf_sql_surface": udf_sql_surface}
-ORACLES = {"udf_sql_surface": UDF_SQL_SURFACE_SQL}
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF — the custom-aggregate escape hatch.
+# The function receives each group's column as ONE Arrow batch and
+# returns a scalar; np.median sorts the group internally, so the result
+# is independent of partition/shuffle order — which is what makes an
+# exact DuckDB oracle (quantile_cont 0.5, same even-count midpoint
+# interpolation) possible for a UDAF at all.
+#
+# Scale note: a grouped-agg UDAF materializes the WHOLE group in one
+# executor batch — fine for bounded group cardinalities like
+# event_type, wrong for unbounded ones (there, use the mergeable
+# percentile_approx; `operators/sketches.py` shows both stances).
+def _median(v: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.median(v.to_numpy()))
+
+
+def _size(v: pd.Series) -> int:
+    return int(len(v))
+
+
+def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    # Catalyst refuses to mix pandas and JVM aggregates in one Aggregate
+    # node ([INVALID_PANDAS_UDF_PLACEMENT]), so the row count is a
+    # pandas UDAF as well — both run in the same Arrow batch per group.
+    median_agg = pandas_udf(_median, "double")
+    count_agg = pandas_udf(_size, "long")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(median_agg("value"), 6).alias("median_value"),
+            count_agg("value").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+UDAF_MEDIAN_SQL = """
+SELECT event_type,
+       round(median(value), 6) AS median_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "udf_sql_surface": udf_sql_surface,
+    "udaf_median_value": udaf_median_value,
+}
+ORACLES = {
+    "udf_sql_surface": UDF_SQL_SURFACE_SQL,
+    "udaf_median_value": UDAF_MEDIAN_SQL,
+}

@@ -169,6 +169,200 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch — frequency estimation with a PORTABLE hash family
+# (h_i(u) = ((a_i·(u mod p) + b_i) mod p) mod w, p = 2³¹−1), so the
+# sketch is bit-identical across engines and the DuckDB oracle checks
+# the ESTIMATES exactly, not just "plausible" — rare for a sketch op.
+# depth 4 × width 1024 ⇒ 16 K counters total regardless of input size;
+# the counter table is groupBy (row, bucket) with full map-side combine,
+# then broadcast (≤4096 rows) against the probe set. Estimates
+# overcount only (est ≥ exact, ε ≈ e/w of total mass) — the unit test
+# asserts both bounds; the oracle asserts exact equality.
+_CM_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_CM_W = 1024
+_CM_HASHES = ((1000003, 12345), (999979, 54321), (1000033, 7777), (999983, 31337))
+
+
+def _cm_bucket(col: F.Column, a: int, b: int) -> F.Column:
+    return ((F.lit(a) * (col % _CM_P) + F.lit(b)) % _CM_P) % _CM_W
+
+
+def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    u = F.col("user_id")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cm_bucket(u, a, b).cast("long").alias("bucket")
+            )
+            for i, (a, b) in enumerate(_CM_HASHES)
+        ]
+    )
+    cm = (
+        ev.select(F.explode(probes).alias("ib"))
+        .select("ib.i", "ib.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probed = top.select("user_id", "exact_n", F.explode(probes).alias("ib")).select(
+        "user_id", "exact_n", "ib.i", "ib.bucket"
+    )
+    return (
+        probed.join(F.broadcast(cm), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("bucket_n").alias("cm_est"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    )
+
+
+_CM_HASH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CM_HASHES))
+
+COUNTMIN_SQL = f"""
+WITH h(i, a, b) AS (VALUES {_CM_HASH_VALUES}),
+hx AS (
+    SELECT e.user_id, h.i,
+           ((h.a * (e.user_id % {_CM_P}) + h.b) % {_CM_P}) % {_CM_W} AS bucket
+    FROM events e CROSS JOIN h
+),
+cm AS (
+    SELECT i, bucket, COUNT(*) AS bucket_n FROM hx GROUP BY i, bucket
+),
+top AS (
+    SELECT user_id, COUNT(*) AS exact_n
+    FROM events GROUP BY user_id
+    ORDER BY exact_n DESC, user_id ASC LIMIT 20
+)
+SELECT t.user_id, t.exact_n, MIN(c.bucket_n) AS cm_est
+FROM top t
+CROSS JOIN h
+JOIN cm c ON c.i = h.i
+         AND c.bucket = ((h.a * (t.user_id % {_CM_P}) + h.b) % {_CM_P}) % {_CM_W}
+GROUP BY t.user_id, t.exact_n
+ORDER BY t.exact_n DESC, t.user_id ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership screen — the "bloom pre-filter semi-join"
+# pattern: build an m-bit filter over a small key set (customers with an
+# URGENT order), probe the full dimension through it, and report the
+# measured false-positive rate vs the exact semi-join. Same portable
+# hash family as the count-min sketch, so the bit positions — and hence
+# every pass/fail decision — are engine-identical and exactly
+# oracle-checked. At 100 TB the filter (m/8 bytes, here 1 KB) is the
+# broadcast side; the giant probe side streams through it without a
+# shuffle — the manual twin of Spark's runtime bloom-filter join.
+_BF_M = 8192
+_BF_HASHES = ((1000003, 999), (999979, 4242), (1000033, 90210))
+
+
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def positions(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                (((F.lit(a) * (col % _CM_P) + F.lit(b)) % _CM_P) % _BF_M).cast(
+                    "long"
+                )
+                for a, b in _BF_HASHES
+            ]
+        )
+
+    bits = members.select(
+        F.explode(positions(F.col("key"))).alias("pos")
+    ).distinct()
+    probe = cust.select(
+        "key", F.explode(positions(F.col("key"))).alias("pos")
+    )
+    # A probe key passes iff all k = 3 of its position rows hit a set bit
+    # (duplicate positions within one key produce duplicate rows, so the
+    # row count per key is always exactly 3 — sum of hits == 3 ⇔ pass).
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn("passed", (F.col("n_hits") == 3).cast("int"))
+    )
+    exact = members.withColumn("is_member", F.lit(1))
+    return (
+        hits.join(F.broadcast(exact), "key", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.coalesce("is_member", F.lit(0))).alias("n_members"),
+            F.sum("passed").alias("n_pass"),
+            F.sum(
+                F.when(
+                    (F.col("passed") == 1) & F.col("is_member").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+        .select(
+            "n_probed",
+            "n_members",
+            "n_pass",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos")
+                / F.greatest(F.col("n_probed") - F.col("n_members"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+_BF_HASH_VALUES = ", ".join(f"({a}, {b})" for a, b in _BF_HASHES)
+
+BLOOM_SQL = f"""
+WITH h(a, b) AS (VALUES {_BF_HASH_VALUES}),
+members AS (
+    SELECT DISTINCT o_custkey AS key FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+    SELECT DISTINCT ((h.a * (m.key % {_CM_P}) + h.b) % {_CM_P}) % {_BF_M} AS pos
+    FROM members m CROSS JOIN h
+),
+probe AS (
+    SELECT c.c_custkey AS key,
+           ((h.a * (c.c_custkey % {_CM_P}) + h.b) % {_CM_P}) % {_BF_M} AS pos
+    FROM customer c CROSS JOIN h
+),
+hits AS (
+    SELECT p.key,
+           CASE WHEN SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 3
+                THEN 1 ELSE 0 END AS passed
+    FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY p.key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN m.key IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_members,
+       CAST(SUM(h.passed) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN h.passed = 1 AND m.key IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN h.passed = 1 AND m.key IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) /
+             GREATEST(COUNT(*) - SUM(CASE WHEN m.key IS NULL THEN 0 ELSE 1 END), 1),
+             6) AS fp_rate
+FROM hits h LEFT JOIN members m ON h.key = m.key
+"""
+
+
 QUERIES = {
     "ndv_exact_users_per_type": ndv_exact_users_per_type,
     "ndv_approx_users_per_type": ndv_approx_users_per_type,
@@ -176,10 +370,14 @@ QUERIES = {
     "freq_topk_users": freq_topk_users,
     "quantile_summary": quantile_summary,
     "quantile_approx_value": quantile_approx_value,
+    "countmin_freq_estimate": countmin_freq_estimate,
+    "bloom_membership_report": bloom_membership_report,
 }
 
 ORACLES = {
     "ndv_exact_users_per_type": NDV_EXACT_SQL,
     "freq_topk_users": FREQ_TOPK_SQL,
     "quantile_summary": QUANTILE_SQL,
+    "countmin_freq_estimate": COUNTMIN_SQL,
+    "bloom_membership_report": BLOOM_SQL,
 }

@@ -522,6 +522,134 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Linear interpolation over a gap-filled hourly grid — the sibling of
+# gapfill_hourly_counts' forward-fill: missing hours get the straight
+# line between the surrounding observed hourly means (edges clamp to the
+# nearest observed value). Timeseries-warehouse staple (TimescaleDB's
+# `interpolate()`, InfluxDB `fill(linear)`) that GROUP BY hour can't
+# express.
+#
+# Scale: identical to the gapfill stance — the spine is generated, the
+# only fact-scale pass is the hourly pre-aggregate, and the per-type
+# window walks spine rows (time-range-bounded, not data-bounded). The
+# neighbor lookup rides ONE window pair per direction: last/first
+# ignorenulls over a struct of (epoch, value), so no self-join against
+# the observed set. Determinism: hourly means are exact-decimal davg;
+# the interpolation weight is an integer-epoch ratio — one deterministic
+# double expression, bit-equal to the oracle.
+def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(davg("value", "v"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour"
+            ),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "obs",
+        F.when(
+            F.col("v").isNotNull(),
+            F.struct(F.col("hour").cast("long").alias("e"), F.col("v").alias("v")),
+        ),
+    )
+    w_back = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev = F.last("obs", ignorenulls=True).over(w_back)
+    nxt = F.first("obs", ignorenulls=True).over(w_fwd)
+    h = F.col("hour").cast("long")
+    interp = F.when(
+        prev.isNull(), nxt["v"]
+    ).when(
+        nxt.isNull(), prev["v"]
+    ).when(
+        nxt["e"] == prev["e"], prev["v"]
+    ).otherwise(
+        prev["v"]
+        + (nxt["v"] - prev["v"])
+        * ((h - prev["e"]) / (nxt["e"] - prev["e"]))
+    )
+    return (
+        grid.select(
+            "event_type",
+            "hour",
+            F.round("v", 6).alias("v_obs"),
+            F.round(interp, 6).alias("v_interp"),
+            F.col("v").isNull().alias("is_interpolated"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+INTERPOLATE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, {sql_davg("value")} AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) s
+),
+grid AS (
+  SELECT spine.event_type, spine.hour, hourly.v,
+         CASE WHEN hourly.v IS NOT NULL THEN
+           struct_pack(e := CAST(epoch(spine.hour) AS BIGINT), v := hourly.v)
+         END AS obs
+  FROM spine LEFT JOIN hourly
+    ON spine.event_type = hourly.event_type AND spine.hour = hourly.hour
+),
+nbrs AS (
+  SELECT event_type, hour, v,
+         last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM grid
+)
+SELECT event_type, hour,
+       ROUND(v, 6) AS v_obs,
+       ROUND(CASE
+         WHEN prev IS NULL THEN nxt.v
+         WHEN nxt IS NULL THEN prev.v
+         WHEN nxt.e = prev.e THEN prev.v
+         ELSE prev.v + (nxt.v - prev.v) *
+              ((CAST(epoch(hour) AS BIGINT) - prev.e) /
+               CAST(nxt.e - prev.e AS DOUBLE))
+       END, 6) AS v_interp,
+       v IS NULL AS is_interpolated
+FROM nbrs
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "scd2_user_history": scd2_user_history,
     "ewma_anomaly_events": ewma_anomaly_events,
@@ -532,6 +660,7 @@ QUERIES = {
     "range_join_daily_windows": range_join_daily_windows,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
+    "interpolate_hourly_values": interpolate_hourly_values,
 }
 
 ORACLES = {
@@ -544,4 +673,5 @@ ORACLES = {
     "range_join_daily_windows": RANGE_JOIN_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,
+    "interpolate_hourly_values": INTERPOLATE_SQL,
 }

@@ -1080,6 +1080,176 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Tokenizer fertility — the tokenizer-efficiency audit every LLM corpus
+# runs before committing to a vocab: per language, how many BPE-ish
+# pretokens does a whitespace word explode into (fertility), and how
+# many chars/bytes ride per pretoken. High fertility on a language
+# means the tokenizer underserves it (UTF-8 multi-byte scripts blow up
+# first — octet_length vs length catches that even though this
+# testdata is ASCII). Pure codegen column expressions + one tiny
+# aggregate; ratios are single double divisions of exact BIGINTs.
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(_PRETOK_RE), 0)
+    ws = F.split(F.trim("text"), r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_pretok"),
+        F.size(F.filter(ws, lambda t: t != "")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pretok").alias("total_pretokens"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_pretokens",
+            "total_words",
+            F.round(F.col("total_pretokens") / F.col("total_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("total_chars") / F.col("total_pretokens"), 6).alias(
+                "chars_per_pretoken"
+            ),
+            F.round(F.col("total_bytes") / F.col("total_pretokens"), 6).alias(
+                "bytes_per_pretoken"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '{_PRETOK_RE}')) AS BIGINT) AS n_pretok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pretok) AS BIGINT) AS total_pretokens,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       round(CAST(SUM(n_pretok) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pretok), 6)
+         AS chars_per_pretoken,
+       round(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_pretok), 6)
+         AS bytes_per_pretoken
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM scoring with add-one smoothing — one rung up the KenLM
+# ladder from unigram_logprob_score: p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).
+# The bigram table is NOT broadcast (it outgrows the vocabulary);
+# instead per-doc bigram counts shuffle-join the global bigram counts
+# on the same (w, w2) key — co-partitioned, one exchange — and only the
+# vocabulary-sized unigram table and the two scalars (V, via 1-row agg
+# broadcast) ride as broadcasts. Docs shorter than 2 tokens carry no
+# bigrams and drop out (both engines). Per-doc term products are
+# rounded then decimal-summed (shuffle-order independence, as
+# unigram_logprob_score).
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bigrams = words.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
+    db = bigrams.groupBy("doc_id", "w", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    vocab = words.agg(F.countDistinct("w").cast("long").alias("v"))
+    logp = F.round(
+        F.log((F.col("c_ab") + 1) / (F.col("c_w") + F.col("v"))), 9
+    )
+    dec = "decimal(27,12)"
+    return (
+        db.join(cb, ["w", "w2"])
+        .join(F.broadcast(cu), "w")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("term", F.round(F.col("c") * logp, 9))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (
+                F.sum(F.col("term").cast(dec)).cast("double") / F.sum("c")
+            ).alias("avg_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_lp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_lp")), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+),
+words AS (
+  SELECT doc_id, i AS pos, l[i + 1] AS w
+  FROM toks, UNNEST(range(len(l))) AS t(i)
+  WHERE l[i + 1] <> ''
+),
+bigrams AS (
+  SELECT doc_id, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+),
+db AS (
+  SELECT doc_id, w, w2, COUNT(*) AS c FROM bigrams
+  WHERE w2 IS NOT NULL GROUP BY doc_id, w, w2
+),
+cb AS (
+  SELECT w, w2, COUNT(*) AS c_ab FROM bigrams
+  WHERE w2 IS NOT NULL GROUP BY w, w2
+),
+cu AS (SELECT w, COUNT(*) AS c_w FROM words GROUP BY w),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM words),
+terms AS (
+  SELECT db.doc_id, db.c,
+         round(db.c * round(ln((cb.c_ab + 1) / ((cu.c_w + vocab.v) * 1.0)), 9),
+               9) AS term
+  FROM db
+  JOIN cb ON db.w = cb.w AND db.w2 = cb.w2
+  JOIN cu ON db.w = cu.w
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) / SUM(c) AS avg_lp
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(avg_lp, 6) AS avg_logprob,
+       round(exp(-avg_lp), 6) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bigram_pmi_top": bigram_pmi_top,
     "unigram_logprob_score": unigram_logprob_score,
@@ -1100,6 +1270,8 @@ QUERIES = {
     "ngram_topk_corpus": ngram_topk_corpus,
     "gopher_quality_report": gopher_quality_report,
     "vocab_coverage_report": vocab_coverage_report,
+    "tokenizer_fertility_report": tokenizer_fertility_report,
+    "bigram_logprob_score": bigram_logprob_score,
 }
 
 ORACLES = {
@@ -1122,4 +1294,6 @@ ORACLES = {
     "ngram_topk_corpus": NGRAM_TOPK_SQL,
     "gopher_quality_report": GOPHER_QUALITY_SQL,
     "vocab_coverage_report": VOCAB_COVERAGE_SQL,
+    "tokenizer_fertility_report": TOKENIZER_FERTILITY_SQL,
+    "bigram_logprob_score": BIGRAM_LOGPROB_SQL,
 }

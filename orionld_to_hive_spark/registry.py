@@ -37,6 +37,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.parity",
     "orionld_to_hive_spark.operators.tpch",
     "orionld_to_hive_spark.operators.dedup",
+    "orionld_to_hive_spark.operators.graph",
 )
 
 # Driver grading covers a ~50-query PREFIX of the queries() dict order

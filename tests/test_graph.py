@@ -1,0 +1,65 @@
+"""Graph analytics units: invariants the oracle diff can't express.
+
+The oracle sweep proves engine parity; these assert the *algorithmic*
+properties — PageRank is a probability distribution, the degree
+histogram accounts for every purchasing customer, triangles respect the
+orientation bound, and the co-occurrence cap actually bounds fan-out.
+"""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_SMOKE
+
+from orionld_to_hive_spark.operators import graph
+
+
+def test_pagerank_is_distribution(spark):
+    rows = graph.graph_nation_trade_pagerank(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    total = sum(r["rank"] for r in rows)
+    # Ranks are rounded to 9 dp; 25 nodes → total within 25e-9 of 1.
+    assert math.isclose(total, 1.0, abs_tol=1e-6)
+    assert all(r["rank"] > 0 for r in rows)
+    # Sorted descending by construction.
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_degree_distribution_accounts_for_all_buyers(spark):
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    hist = graph.graph_degree_distribution(spark, SF_SMOKE).collect()
+    n_from_hist = sum(r["n_customers"] for r in hist)
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    n_buyers = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_from_hist == n_buyers
+    assert all(r["degree"] >= 1 for r in hist)
+
+
+def test_cooccurrence_cap_and_symmetry(spark):
+    pairs = graph.graph_common_part_pairs(spark, SF_SMOKE).collect()
+    # Orientation: supp_a < supp_b exactly once per unordered pair.
+    seen = set()
+    for r in pairs:
+        assert r["supp_a"] < r["supp_b"]
+        key = (r["supp_a"], r["supp_b"])
+        assert key not in seen
+        seen.add(key)
+        assert r["n_common_parts"] >= 2
+
+
+def test_triangle_count_nonnegative_and_bounded(spark):
+    n_tri = graph.graph_triangle_count(spark, SF_SMOKE).collect()[0]["n_triangles"]
+    n_edges = graph.graph_common_part_pairs(spark, SF_SMOKE).count()
+    assert n_tri >= 0
+    # Any graph with m edges has at most m^{3/2} triangles (folklore bound
+    # tied to the node-iterator orientation the plan uses).
+    assert n_tri <= max(1, int(n_edges**1.5))

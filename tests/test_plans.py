@@ -348,3 +348,34 @@ def test_no_unpartitioned_window_exec(spark, sf_smoke):
     ):
         plan = executed_plan(fn(spark, sf_smoke))
         assert "Window " not in plan, (fn.__name__, plan[:1500])
+
+
+def test_pagerank_scalars_are_broadcast_not_windowed(spark, sf_smoke):
+    # PageRank's dangling mass and per-iteration totals are global
+    # scalars; they must ride 1-row agg broadcasts, never an
+    # unpartitioned WindowExec over the rank frame. (The bigram LM's
+    # lead() window is partitioned by doc_id — fine — so only the
+    # window-free pagerank gets the strict no-Window gate.)
+    from orionld_to_hive_spark.operators import graph
+
+    plan = executed_plan(graph.graph_nation_trade_pagerank(spark, sf_smoke))
+    assert "Window " not in plan, plan[:1500]
+
+
+def test_bloom_and_countmin_probe_sides_broadcast(spark, sf_smoke):
+    # The sketch tables (≤ 4096 counter rows / ≤ m bit positions) are
+    # the broadcast side; the big probe stream must not shuffle to them.
+    from orionld_to_hive_spark.operators import sketches
+
+    for fn in (sketches.countmin_freq_estimate, sketches.bloom_membership_report):
+        df = fn(spark, sf_smoke)
+        df.collect()
+        assert has_broadcast_join(df), fn.__name__
+
+
+def test_graph_edge_derivation_broadcasts_dims(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import graph
+
+    df = graph.graph_degree_distribution(spark, sf_smoke)
+    df.collect()
+    assert has_broadcast_join(df)

@@ -53,3 +53,21 @@ def test_approx_quantiles_bounded_by_min_max(spark, sf_smoke):
     for r in rows:
         lo, hi = bounds[r["event_type"]]
         assert lo <= r["p50"] <= r["p95"] <= r["p99"] <= hi
+
+
+def test_countmin_overcounts_within_epsilon(spark, sf_smoke):
+    rows = sketches.countmin_freq_estimate(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "events").count()
+    # CM guarantee: exact ≤ est, and P[est > exact + e/w·N] ≤ e^-depth.
+    eps_bound = (2.718281828 / sketches._CM_W) * total
+    for r in rows:
+        assert r["cm_est"] >= r["exact_n"], r
+        assert r["cm_est"] - r["exact_n"] <= max(2, eps_bound), r
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark, sf_smoke):
+    row = sketches.bloom_membership_report(spark, sf_smoke).collect()[0]
+    # Every member must pass (no false negatives): pass ≥ members.
+    assert row["n_pass"] >= row["n_members"]
+    assert row["n_pass"] - row["n_members"] == row["n_false_pos"]
+    assert 0.0 <= row["fp_rate"] <= 1.0
