@@ -103,6 +103,12 @@ HEADLINE = (
     "doc_chunks",
     "dwell_time_profile",
     "quality_ensemble_report",
+    # round-3 operator families: iterative graph (join-per-iteration
+    # PageRank), portable-hash sketch, spine interpolation, bigram LM
+    "graph_nation_trade_pagerank",
+    "countmin_freq_estimate",
+    "interpolate_hourly_values",
+    "bigram_logprob_score",
 )
 
 

@@ -634,6 +634,103 @@ ORDER BY prev_type
 """
 
 
+# --------------------------------------------------------------------------
+# Market-basket association mining: brand pairs co-purchased in one
+# order, scored by support / confidence / lift. The pair blow-up is the
+# classic quadratic trap; it is bounded here the same way the graph
+# co-occurrence projection is — pairs are generated per order, and an
+# order's item count is naturally small (TPC-H ≤ 7 lines; a production
+# cap would ride a row_number filter exactly like graph.py's _COOC_CAP).
+# Items are BRANDS (25 distinct) so the support table is tiny and rides
+# as a broadcast; the only fact-scale work is the distinct (order,
+# brand) shuffle. min-support floor keeps the estimates stable; output
+# is top-20 by lift, deterministic tiebreaks.
+BASKET_MIN_PAIR_N = 20
+
+
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The (order, brand) basket set feeds FOUR consumers (order count,
+    # singles, both sides of the pair join) — materialize it once, or
+    # each consumer re-derives it from the fact table (10 FileScans
+    # observed vs 0 after).
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders_df = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    single = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_a"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_PAIR_N)
+    )
+    sa = single.select(F.col("p_brand").alias("brand_a"), F.col("n_a"))
+    sb = single.select(F.col("p_brand").alias("brand_b"), F.col("n_a").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") / F.col("n_orders"))
+                / ((F.col("n_a") / F.col("n_orders")) * (F.col("n_b") / F.col("n_orders"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+single AS (SELECT p_brand, COUNT(*) AS n_a FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY brand_a, brand_b
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR_N}
+)
+SELECT brand_a, brand_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) / n_orders.n_orders, 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / sa.n_a, 6) AS confidence,
+       round((CAST(n_ab AS DOUBLE) / n_orders.n_orders)
+             / ((CAST(sa.n_a AS DOUBLE) / n_orders.n_orders)
+                * (CAST(sb.n_a AS DOUBLE) / n_orders.n_orders)), 6) AS lift
+FROM pairs
+JOIN single sa ON pairs.brand_a = sa.p_brand
+JOIN single sb ON pairs.brand_b = sb.p_brand
+CROSS JOIN n_orders
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "dwell_time_profile": dwell_time_profile,
@@ -645,6 +742,7 @@ QUERIES = {
     "regression_price_vs_qty": regression_price_vs_qty,
     "percentile_profile": percentile_profile,
     "modal_hour_per_type": modal_hour_per_type,
+    "basket_lift_pairs": basket_lift_pairs,
 }
 
 ORACLES = {
@@ -658,4 +756,5 @@ ORACLES = {
     "regression_price_vs_qty": REGRESSION_SQL,
     "percentile_profile": PERCENTILE_SQL,
     "modal_hour_per_type": MODAL_HOUR_SQL,
+    "basket_lift_pairs": BASKET_LIFT_SQL,
 }

@@ -264,11 +264,107 @@ ORDER BY asset_id, frame_index
 """
 
 
+# --------------------------------------------------------------------------
+# Audio-style windowed energy (VAD shape): treat the payload as unsigned
+# 8-bit PCM centered at 128, frame it into 256-byte windows with 128
+# hop, and report per-asset RMS-energy stats plus the count of "active"
+# windows above a threshold — the voice-activity-detection preprocessing
+# a speech-data pipeline runs before transcription/filtering. Decode is
+# the deterministic fake (see decode_asset); the Spark-side plumbing —
+# mapInPandas, Arrow batches, fully vectorized window math (global
+# squared-cumsum + reduceat over per-asset window runs, NO per-row
+# Python) — is the real production shape. Rows-only (binary input is
+# outside DuckDB's reach); tests check against a naive reference.
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("mean_rms", T.DoubleType(), True),
+        T.StructField("max_rms", T.DoubleType(), True),
+        T.StructField("n_active", T.IntegerType(), True),
+    ]
+)
+
+AUDIO_WIN = 256
+AUDIO_HOP = 128
+AUDIO_ACTIVE_RMS = 64.0
+
+
+def audio_energy(df: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n = len(payloads)
+            lens = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=n
+            )
+            offs = np.concatenate(([0], lens.cumsum()))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            dev = buf.astype(np.float64) - 128.0
+            csq = np.concatenate(([0.0], np.cumsum(dev * dev)))
+            # windows per payload: hop over full windows; short non-empty
+            # payloads get one truncated window
+            nw = np.where(
+                lens >= AUDIO_WIN,
+                (lens - AUDIO_WIN) // AUDIO_HOP + 1,
+                (lens > 0).astype(np.int64),
+            )
+            total_w = int(nw.sum())
+            if total_w == 0:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "n_windows": np.zeros(n, dtype="int32"),
+                        "mean_rms": np.zeros(n),
+                        "max_rms": np.zeros(n),
+                        "n_active": np.zeros(n, dtype="int32"),
+                    }
+                )
+                continue
+            owner = np.repeat(np.arange(n), nw)
+            wseq = np.arange(total_w) - np.repeat(
+                np.concatenate(([0], nw.cumsum()))[:-1], nw
+            )
+            wstart = offs[owner] + wseq * AUDIO_HOP
+            wlen = np.minimum(AUDIO_WIN, lens[owner])
+            sumsq = csq[wstart + wlen] - csq[wstart]
+            rms = np.sqrt(sumsq / np.maximum(wlen, 1))
+            # per-asset aggregation over contiguous window runs
+            bounds = np.concatenate(([0], nw.cumsum()))[:-1]
+            nonempty = nw > 0
+            idx = bounds[nonempty]
+            sum_rms = np.add.reduceat(rms, idx)
+            max_rms = np.maximum.reduceat(rms, idx)
+            act = np.add.reduceat((rms > AUDIO_ACTIVE_RMS).astype(np.int64), idx)
+            mean_out = np.zeros(n)
+            max_out = np.zeros(n)
+            act_out = np.zeros(n, dtype=np.int64)
+            mean_out[nonempty] = sum_rms / nw[nonempty]
+            max_out[nonempty] = max_rms
+            act_out[nonempty] = act
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_windows": nw.astype("int32"),
+                    "mean_rms": np.round(mean_out, 6),
+                    "max_rms": np.round(max_out, 6),
+                    "n_active": act_out.astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, ENERGY_SCHEMA)
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_energy(assets_from_documents(spark, sf_dir)).orderBy("asset_id")
+
+
 QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
+    "multimodal_audio_energy": multimodal_audio_energy,
 }
 
 ORACLES = {

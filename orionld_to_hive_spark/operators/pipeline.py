@@ -463,6 +463,139 @@ ORDER BY user_token
 """
 
 
+# --------------------------------------------------------------------------
+# Differential-privacy noised release — the Laplace mechanism on per-type
+# counts (sensitivity 1), with DETERMINISTIC portable noise: the uniform
+# draw is the first 15 decimal digits of md5(key || group), identical in
+# both engines, pushed through the inverse Laplace CDF. That makes a
+# normally-unoracleable randomized mechanism exactly oracle-checkable
+# while keeping the statistical shape of real DP noise. true_n is
+# retained because this op is the pipeline's noise-calibration AUDIT
+# (production release drops it — docstring contract, not schema).
+# Scale: one bounded-cardinality aggregate; noise is a per-group column
+# expression, no shuffle beyond the count.
+DP_EPSILON = 1.0
+DP_NOISE_KEY = "dp-noise-v1"
+
+
+def dp_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    digits = F.regexp_replace(
+        F.md5(F.concat(F.lit(DP_NOISE_KEY + ":"), F.col("event_type"))),
+        "[a-f]",
+        "",
+    )
+    # nullif guards the (astronomically rare) all-letters digest, which
+    # would be an ANSI cast error; the clamp keeps ln() off exact 0.
+    raw_u = F.coalesce(
+        F.nullif(F.substring(digits, 1, 15), F.lit("")).cast("long") / F.lit(1e15),
+        F.lit(0.5),
+    )
+    u = F.least(F.greatest(raw_u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    b = 1.0 / DP_EPSILON
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+        6,
+    )
+    return (
+        counts.select(
+            "event_type",
+            "true_n",
+            F.lit(DP_EPSILON).alias("epsilon"),
+            noise.alias("noise"),
+            F.round(F.col("true_n") + noise, 6).alias("noised_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DP_COUNT_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type
+),
+noise AS (
+  SELECT event_type, true_n,
+         least(greatest(
+           COALESCE(
+             CAST(nullif(substr(regexp_replace(md5('{DP_NOISE_KEY}:' || event_type),
+                                               '[a-f]', '', 'g'), 1, 15), '')
+                  AS BIGINT) / 1e15,
+             0.5),
+           1e-12), 1.0 - 1e-12) AS u
+  FROM counts
+)
+SELECT event_type, true_n,
+       {DP_EPSILON} AS epsilon,
+       round(-(1.0 / {DP_EPSILON}) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+       round(true_n + round(-(1.0 / {DP_EPSILON}) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noised_n
+FROM noise
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers — before releasing (or
+# training on) a user-keyed table, measure how many rows sit in
+# QI-equivalence classes smaller than k (re-identifiable). QIs here:
+# (nation, market segment, account-balance kilobucket). One groupBy on
+# the QI tuple, one 1-row summary — the standard pre-release gate next
+# to pseudonymize_events.
+K_ANON = 5
+
+
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.lit(K_ANON).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0)).alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+    ).select(
+        "k",
+        "n_groups",
+        "n_rows",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        F.round(F.col("n_rows_at_risk") / F.col("n_rows"), 6).alias("risk_frac"),
+    )
+
+
+KANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT {K_ANON} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       round(CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS risk_frac
+FROM groups
+"""
+
+
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
     "pseudonymize_events": pseudonymize_events,
@@ -473,6 +606,8 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "shard_assignment_report": shard_assignment_report,
     "pack_sequences_report": pack_sequences_report,
+    "dp_count_report": dp_count_report,
+    "kanonymity_audit": kanonymity_audit,
 }
 
 ORACLES = {
@@ -484,4 +619,6 @@ ORACLES = {
     "pack_sequences_report": PACK_SEQUENCES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "pseudonymize_events": PSEUDONYMIZE_SQL,
+    "dp_count_report": DP_COUNT_SQL,
+    "kanonymity_audit": KANONYMITY_SQL,
 }

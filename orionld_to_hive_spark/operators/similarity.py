@@ -615,6 +615,127 @@ ORDER BY label, pos
 """
 
 
+# --------------------------------------------------------------------------
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers: cosine of each vector to its OWN label's
+    centroid, z-scored within the label; bottom-20 (least typical) out.
+    The mislabeled/contaminated-sample screen a curation pipeline runs
+    over an embedded corpus (low cos-to-own-centroid ⇒ the vector sits
+    far from its class).
+
+    Scale: the centroid table is |labels|×dim (tiny — broadcast), built
+    with the same partial-aggregated posexplode as
+    embedding_centroid_by_label; per-label moment stats are another
+    |labels|-row broadcast. The corpus is scanned twice (centroid pass,
+    scoring pass), never self-joined. Determinism: centroid components
+    are exact-decimal means; the cosine fold is the strict
+    left-to-right order shared with DuckDB's list_sum (see
+    functions/vectors.py); cos rounds to 6 before the exact-decimal
+    moment sums; z is one deterministic double expression rounded to 6.
+    """
+    emb = _emb(spark, sf_dir).filter(F.size("vec") > 0)
+    ex = emb.select("label", F.posexplode("vec").alias("pos", "x"))
+    term = F.round(F.col("x"), 9).cast("decimal(27,12)")
+    cent = (
+        ex.withColumn("term", term)
+        .groupBy("label", "pos")
+        .agg((F.sum("term").cast("double") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("vec"), F.col("cv")), 6).alias("cos"),
+    )
+    stats = (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cos").cast("decimal(27,6)")).cast("double").alias("s1"),
+            F.sum(
+                F.round(F.col("cos") * F.col("cos"), 12).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+        .select(
+            "label",
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n")
+                    - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    z = F.when(
+        F.col("sigma") > 0, F.round((F.col("cos") - F.col("mu")) / F.col("sigma"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", "cos", z.alias("z"))
+        .orderBy(F.col("z").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+EMBEDDING_OUTLIER_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE len(embedding) > 0
+),
+ex AS (
+  SELECT label,
+         generate_subscripts(v, 1) - 1 AS pos,
+         unnest(v) AS x
+  FROM emb
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(round(x, 9) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+),
+centl AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_sum(list_transform(range(1, len(e.v) + 1),
+                                   i -> e.v[i] * cl.cv[i]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(cl.cv, x -> x * x)))),
+           6) AS cos
+  FROM emb e JOIN centl cl USING (label)
+),
+stats AS (
+  SELECT label,
+         CAST(SUM(CAST(cos AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(GREATEST(
+           CAST(SUM(CAST(round(cos * cos, 12) AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(*)
+           - (CAST(SUM(CAST(cos AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(cos AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)),
+           0.0)) AS sigma
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.cos,
+       CASE WHEN st.sigma > 0
+            THEN round((s.cos - st.mu) / st.sigma, 6) ELSE 0.0 END AS z
+FROM scored s JOIN stats st USING (label)
+ORDER BY z ASC, s.vec_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -626,6 +747,7 @@ QUERIES = {
     "embedding_norm_report": embedding_norm_report,
     "embedding_quantization_report": embedding_quantization_report,
     "embedding_centroid_by_label": embedding_centroid_by_label,
+    "embedding_outlier_report": embedding_outlier_report,
 }
 
 ORACLES = {
@@ -640,6 +762,7 @@ ORACLES = {
     "embedding_norm_report": EMBEDDING_NORM_SQL,
     "embedding_quantization_report": EMBEDDING_QUANT_SQL,
     "embedding_centroid_by_label": EMBEDDING_CENTROID_SQL,
+    "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,
     # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
     # kmeans_embeddings_report: iterative fit — rows-only + units
 }

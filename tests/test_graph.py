@@ -63,3 +63,11 @@ def test_triangle_count_nonnegative_and_bounded(spark):
     # Any graph with m edges has at most m^{3/2} triangles (folklore bound
     # tied to the node-iterator orientation the plan uses).
     assert n_tri <= max(1, int(n_edges**1.5))
+
+
+def test_bfs_hops_start_at_single_source(spark):
+    rows = {r["hop"]: r["n_nodes"] for r in graph.graph_bfs_hops(spark, SF_SMOKE).collect()}
+    assert rows.get(0) == 1  # the source itself
+    # hop counts are contiguous from 0 (a frontier can't skip a level)
+    hops = sorted(rows)
+    assert hops == list(range(len(hops)))

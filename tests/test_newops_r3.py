@@ -97,3 +97,36 @@ def test_udaf_median_is_order_statistic(spark):
     for t, m in med.items():
         lo, hi = bounds[t]
         assert lo <= m <= hi, (t, m)
+
+
+def test_audio_energy_matches_naive_reference(spark):
+    import math
+
+    from orionld_to_hive_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(spark, SF_SMOKE)
+    got = {
+        r["asset_id"]: r
+        for r in multimodal.multimodal_audio_energy(spark, SF_SMOKE).collect()
+    }
+    W, H = multimodal.AUDIO_WIN, multimodal.AUDIO_HOP
+    for row in assets.limit(8).collect():
+        b = bytes(row["payload"])
+        if len(b) >= W:
+            starts = range(0, len(b) - W + 1, H)
+            wins = [b[s : s + W] for s in starts]
+        elif b:
+            wins = [b]
+        else:
+            wins = []
+        rms = [
+            math.sqrt(sum((x - 128.0) ** 2 for x in w) / len(w)) for w in wins
+        ]
+        r = got[row["asset_id"]]
+        assert r["n_windows"] == len(wins), row["asset_id"]
+        if wins:
+            assert abs(r["mean_rms"] - sum(rms) / len(rms)) < 1e-4
+            assert abs(r["max_rms"] - max(rms)) < 1e-4
+            assert r["n_active"] == sum(
+                1 for x in rms if x > multimodal.AUDIO_ACTIVE_RMS
+            )
