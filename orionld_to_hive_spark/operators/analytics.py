@@ -646,6 +646,7 @@ ORDER BY prev_type
 # brand) shuffle. min-support floor keeps the estimates stable; output
 # is top-20 by lift, deterministic tiebreaks.
 BASKET_MIN_PAIR_N = 20
+BASKET_MAX_ITEMS = 64
 
 
 def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,11 +655,23 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The (order, brand) basket set feeds FOUR consumers (order count,
     # singles, both sides of the pair join) — materialize it once, or
     # each consumer re-derives it from the fact table (10 FileScans
-    # observed vs 0 after).
+    # observed vs 0 after). Baskets are capped at BASKET_MAX_ITEMS
+    # distinct brands (lowest-brand-first, same idiom as graph.py's
+    # _COOC_CAP and mirrored in the oracle): TPC-H orders hold ≤ 7
+    # lines so the cap never binds here, but a production mega-basket
+    # would otherwise emit items² pairs.
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy("p_brand")
+            ),
+        )
+        .filter(F.col("rn") <= BASKET_MAX_ITEMS)
+        .drop("rn")
         .localCheckpoint(eager=True)
     )
     n_orders_df = ob.select("l_orderkey").distinct().agg(
@@ -703,9 +716,16 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_LIFT_SQL = f"""
-WITH ob AS (
+WITH ob_raw AS (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ob AS (
+  SELECT l_orderkey, p_brand FROM (
+    SELECT l_orderkey, p_brand,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY p_brand) AS rn
+    FROM ob_raw
+  ) WHERE rn <= {BASKET_MAX_ITEMS}
 ),
 n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
 single AS (SELECT p_brand, COUNT(*) AS n_a FROM ob GROUP BY p_brand),

@@ -159,28 +159,53 @@ ORDER BY n_common_parts DESC, supp_a, supp_b
 
 # --------------------------------------------------------------------------
 # Triangle count on the undirected supplier co-occurrence graph (edges
-# = pairs sharing ≥ 2 parts, from the capped projection above).
-# Orientation a<b<c: every triangle is counted exactly once by joining
-# oriented edges (a,b)+(b,c) and probing for the closing edge (a,c).
-# The edge list is materialized ONCE (localCheckpoint) before the
-# triple self-join — without it each of the three aliases re-derives
-# the projection from the fact table (3 fact scans; verified via
-# FileScan count in the executed plan).
+# = pairs sharing ≥ 2 parts, from the capped projection above), via the
+# DEGREE-ORDERED orientation: every edge points from its lower-(degree,
+# key) endpoint to the higher one, so every triangle has exactly one
+# apex with two outgoing edges, wedges are generated only at the apex,
+# and per-node out-degree is O(√m) — the node-iterator O(m^{3/2}) wedge
+# bound that a plain key orientation does NOT give (one high-degree,
+# low-key hub would emit deg² wedges). The edge list is materialized
+# ONCE (localCheckpoint) before the self-joins — without it each alias
+# re-derives the projection from the fact table. The oracle keeps the
+# simple key-oriented formulation: the COUNT is orientation-invariant,
+# so the differential doubles as a proof the reorientation is sound.
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = (
+    und = (
         graph_common_part_pairs(spark, sf_dir)
         .select(F.col("supp_a").alias("u"), F.col("supp_b").alias("v"))
         .localCheckpoint(eager=True)
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(du, "u").join(dv, "v")
+    ord_u = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("k"))
+    ord_v = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("k"))
+    oriented = ranked.select(
+        F.when(ord_u < ord_v, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ord_u < ord_v, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ord_u < ord_v, ord_v).otherwise(ord_u).alias("dst_ord"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    # wedges at the apex: two out-edges, deterministic b ≺ c ordering so
+    # each unordered out-pair is generated once
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    # closing edge always runs b→c because b ≺ c in the orientation
     tri = wedges.join(
         e3,
-        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
         "left_semi",
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

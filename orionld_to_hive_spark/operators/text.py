@@ -1114,15 +1114,18 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "total_pretokens",
             "total_words",
-            F.round(F.col("total_pretokens") / F.col("total_words"), 6).alias(
-                "fertility"
-            ),
-            F.round(F.col("total_chars") / F.col("total_pretokens"), 6).alias(
-                "chars_per_pretoken"
-            ),
-            F.round(F.col("total_bytes") / F.col("total_pretokens"), 6).alias(
-                "bytes_per_pretoken"
-            ),
+            # GREATEST(…, 1) guards an all-whitespace/empty language
+            # slice: long/long ÷ 0 is a runtime error under the
+            # driver's ANSI session (same guard in the oracle)
+            F.round(
+                F.col("total_pretokens") / F.greatest("total_words", F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("total_chars") / F.greatest("total_pretokens", F.lit(1)), 6
+            ).alias("chars_per_pretoken"),
+            F.round(
+                F.col("total_bytes") / F.greatest("total_pretokens", F.lit(1)), 6
+            ).alias("bytes_per_pretoken"),
         )
         .orderBy("lang")
     )
@@ -1142,10 +1145,11 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_pretok) AS BIGINT) AS total_pretokens,
        CAST(SUM(n_words) AS BIGINT) AS total_words,
-       round(CAST(SUM(n_pretok) AS DOUBLE) / SUM(n_words), 6) AS fertility,
-       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pretok), 6)
+       round(CAST(SUM(n_pretok) AS DOUBLE) / GREATEST(SUM(n_words), 1), 6)
+         AS fertility,
+       round(CAST(SUM(n_chars) AS DOUBLE) / GREATEST(SUM(n_pretok), 1), 6)
          AS chars_per_pretoken,
-       round(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_pretok), 6)
+       round(CAST(SUM(n_bytes) AS DOUBLE) / GREATEST(SUM(n_pretok), 1), 6)
          AS bytes_per_pretoken
 FROM per_doc
 GROUP BY lang
