@@ -751,6 +751,74 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Robust outlier screen via MAD (median absolute deviation) — the
+# z-score screen's robust sibling: mean/stddev are dragged by the very
+# outliers being hunted, median/MAD are not (50% breakdown point).
+# Two exact-percentile passes per type (median, then median of
+# |value − median|), both broadcast back as |types|-row tables; the
+# modified-z threshold (|value − med| > 3.5 · 1.4826 · MAD, Iglewicz-
+# Hoaglin) is applied on 6-dp-rounded deviations in BOTH engines so a
+# last-ulp interpolation difference cannot flip a boundary row.
+MAD_K = 1.4826  # consistency constant: MAD·k estimates σ under normality
+MAD_CUT = 3.5
+
+
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    cut = F.round(F.lit(MAD_CUT * MAD_K) * F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("dev") > cut, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIER_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.med,
+         round(abs(e.value - m.med), 6) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(ANY_VALUE(d.med), 6) AS median_value,
+       round(ANY_VALUE(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > round({MAD_CUT * MAD_K} * m.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "dwell_time_profile": dwell_time_profile,
@@ -763,6 +831,7 @@ QUERIES = {
     "percentile_profile": percentile_profile,
     "modal_hour_per_type": modal_hour_per_type,
     "basket_lift_pairs": basket_lift_pairs,
+    "mad_outlier_report": mad_outlier_report,
 }
 
 ORACLES = {
@@ -777,4 +846,5 @@ ORACLES = {
     "percentile_profile": PERCENTILE_SQL,
     "modal_hour_per_type": MODAL_HOUR_SQL,
     "basket_lift_pairs": BASKET_LIFT_SQL,
+    "mad_outlier_report": MAD_OUTLIER_SQL,
 }

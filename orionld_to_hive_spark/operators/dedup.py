@@ -626,6 +626,85 @@ ORDER BY cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# Query-vs-corpus Jaccard top-k search — the retrieval twin of the
+# dedup pairs ops: given a small query set (doc_id < 5), return each
+# query's top-5 most shingle-similar corpus documents. Plan mirrors
+# ann_bruteforce_topk (`operators/similarity.py`): the 5 query shingle
+# arrays BROADCAST against one corpus scan — exact scores, no posting
+# lists, no cap, no shuffle of the corpus; per-query top-k is a window
+# over ≤ |corpus| scored rows. (For a LARGE query set you'd switch to
+# the capped posting-list join `_jaccard_candidates` uses — this op is
+# the small-query-set plan.)
+SEARCH_QUERY_MAX_ID = 5
+SEARCH_TOP_K = 5
+
+
+def jaccard_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = shingles(_docs(spark, sf_dir))
+    queries = sh.filter(F.col("doc_id") < SEARCH_QUERY_MAX_ID).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    corpus = sh.select(F.col("doc_id").alias("neighbor_id"), F.col("sh").alias("nsh"))
+    inter = F.size(F.array_intersect(F.col("qsh"), F.col("nsh")))
+    union = F.size("qsh") + F.size("nsh") - inter
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+JACCARD_TOPK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         len(list_intersect(q.sh, c.sh))::DOUBLE /
+           GREATEST(len(q.sh) + len(c.sh) - len(list_intersect(q.sh, c.sh)), 1)
+           AS jaccard
+  FROM t q JOIN t c ON c.doc_id <> q.doc_id
+  WHERE q.doc_id < {SEARCH_QUERY_MAX_ID}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, jaccard,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jaccard DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       round(jaccard, 6) AS jaccard
+FROM ranked WHERE rank <= {SEARCH_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
@@ -635,6 +714,7 @@ QUERIES = {
     "dedup_clusters_ngram": dedup_clusters_ngram,
     "dedup_survivors": dedup_survivors,
     "dedup_keep_best": dedup_keep_best,
+    "jaccard_topk_search": jaccard_topk_search,
 }
 
 ORACLES = {
@@ -646,4 +726,5 @@ ORACLES = {
     "dedup_clusters_ngram": DEDUP_CLUSTERS_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "jaccard_topk_search": JACCARD_TOPK_SQL,
 }

@@ -483,6 +483,90 @@ def _corr_matrix_sql() -> str:
 CORR_MATRIX_SQL = _corr_matrix_sql()
 
 
+# --------------------------------------------------------------------------
+# Welch two-sample t-test — the A/B-testing primitive: compare the
+# `value` distributions of two event types without assuming equal
+# variances. Everything derives from the same one-pass exact-decimal
+# power sums as stats_moments (ONE conditional aggregate scan computes
+# both groups — no per-group re-scan), then the t statistic and
+# Welch–Satterthwaite degrees of freedom are fixed double expressions
+# rounded to 6.
+_AB_A, _AB_B = "click", "view"
+
+
+def ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_A, _AB_B)
+    )
+    dec = "decimal(27,6)"
+    v = F.col("value").cast(dec)
+    is_a = F.col("event_type") == _AB_A
+    sums = ev.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.count(F.when(~is_a, 1)).alias("nb"),
+        F.sum(F.when(is_a, v)).cast("double").alias("sa"),
+        F.sum(F.when(~is_a, v)).cast("double").alias("sb"),
+        F.sum(F.when(is_a, v * v)).cast("double").alias("qa"),
+        F.sum(F.when(~is_a, v * v)).cast("double").alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return sums.select(
+        F.lit(_AB_A).alias("group_a"),
+        F.lit(_AB_B).alias("group_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+AB_TTEST_SQL = f"""
+WITH sums AS (
+  SELECT
+    COUNT(*) FILTER (WHERE event_type = '{_AB_A}') AS na,
+    COUNT(*) FILTER (WHERE event_type = '{_AB_B}') AS nb,
+    CAST(SUM(CAST(value AS DECIMAL(27,6)))
+         FILTER (WHERE event_type = '{_AB_A}') AS DOUBLE) AS sa,
+    CAST(SUM(CAST(value AS DECIMAL(27,6)))
+         FILTER (WHERE event_type = '{_AB_B}') AS DOUBLE) AS sb,
+    CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6)))
+         FILTER (WHERE event_type = '{_AB_A}') AS DOUBLE) AS qa,
+    CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6)))
+         FILTER (WHERE event_type = '{_AB_B}') AS DOUBLE) AS qb
+  FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+),
+m AS (
+  SELECT na, nb,
+         sa / CAST(na AS DOUBLE) AS ma,
+         sb / CAST(nb AS DOUBLE) AS mb,
+         (qa - sa * sa / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+           / CAST(na AS DOUBLE) AS sea,
+         (qb - sb * sb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)
+           / CAST(nb AS DOUBLE) AS seb
+  FROM sums
+)
+SELECT '{_AB_A}' AS group_a, '{_AB_B}' AS group_b,
+       na AS n_a, nb AS n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (CAST(na AS DOUBLE) - 1)
+                + seb * seb / (CAST(nb AS DOUBLE) - 1)), 6) AS welch_df
+FROM m
+"""
+
+
 QUERIES = {
     "integrity_audit_report": integrity_audit_report,
     "equidepth_bins_value": equidepth_bins_value,
@@ -491,6 +575,7 @@ QUERIES = {
     "conditional_agg_per_type": conditional_agg_per_type,
     "value_histogram": value_histogram,
     "correlation_matrix": correlation_matrix,
+    "ab_test_ttest": ab_test_ttest,
 }
 
 ORACLES = {
@@ -501,4 +586,5 @@ ORACLES = {
     "conditional_agg_per_type": CONDITIONAL_AGG_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "correlation_matrix": CORR_MATRIX_SQL,
+    "ab_test_ttest": AB_TTEST_SQL,
 }

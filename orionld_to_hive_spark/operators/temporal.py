@@ -650,6 +650,137 @@ ORDER BY event_type, hour
 """
 
 
+# --------------------------------------------------------------------------
+# Time-weighted average — the irregular-series staple (TimescaleDB
+# time_weight('locf')): each observation's value is weighted by how
+# long it was current, i.e. the gap to the NEXT observation; a plain
+# AVG over-weights bursts. One lead() window per user (single user_id
+# shuffle, event_id tiebreak pins equal timestamps), then an exact
+# aggregate: v·Δt products rounded to 6 dp and decimal-summed
+# (order-independent), one double division by the exact span.
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_us = F.lead(F.unix_micros("ts")).over(w)
+    seg = ev.select(
+        "user_id",
+        "value",
+        (nxt_us - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    term = F.round(F.col("value") * F.col("dt_us"), 6).cast("decimal(27,6)")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            (F.sum(term).cast("double") / F.sum("dt_us")).alias("twa"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            "span_us",
+            F.round("twa", 6).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH seg AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       round(CAST(SUM(CAST(round(value * dt_us, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             / SUM(dt_us), 6) AS time_weighted_avg
+FROM seg
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Log-return volatility — the financial-rollup shape on event streams:
+# per type, hourly activity level, log-return between consecutive
+# observed hours, then mean/volatility from exact power sums of the
+# 9-dp-rounded returns (same moment discipline as stats.py — the
+# engine's stddev would flap the oracle). One shuffle for the hourly
+# aggregate; the lead() window and moments reuse the (event_type)
+# partitioning.
+def returns_volatility_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    rets = (
+        hourly.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.log(F.col("n") / F.col("prev_n")), 9).alias("r"),
+        )
+    )
+    dec = "decimal(27,12)"
+    sums = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rets"),
+        F.sum(F.col("r").cast(dec)).cast("double").alias("s1"),
+        F.sum(F.round(F.col("r") * F.col("r"), 12).cast(dec))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_rets").cast("double")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    return sums.select(
+        "event_type",
+        "n_rets",
+        F.round(mean, 6).alias("mean_log_return"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("volatility"),
+    ).orderBy("event_type")
+
+
+RETURNS_VOL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT event_type,
+         round(ln(n::DOUBLE / LAG(n) OVER (PARTITION BY event_type
+                                           ORDER BY hour)), 9) AS r
+  FROM hourly
+  QUALIFY LAG(n) OVER (PARTITION BY event_type ORDER BY hour) IS NOT NULL
+),
+sums AS (
+  SELECT event_type,
+         COUNT(*) AS n_rets,
+         CAST(SUM(CAST(r AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(r * r, 12) AS DECIMAL(27,12))) AS DOUBLE) AS s2
+  FROM rets GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_rets AS BIGINT) AS n_rets,
+       round(s1 / CAST(n_rets AS DOUBLE), 6) AS mean_log_return,
+       round(sqrt(GREATEST((s2 - s1 * s1 / CAST(n_rets AS DOUBLE))
+                           / (CAST(n_rets AS DOUBLE) - 1), 0.0)), 6)
+         AS volatility
+FROM sums
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "scd2_user_history": scd2_user_history,
     "ewma_anomaly_events": ewma_anomaly_events,
@@ -661,6 +792,8 @@ QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "interpolate_hourly_values": interpolate_hourly_values,
+    "time_weighted_avg": time_weighted_avg,
+    "returns_volatility_hourly": returns_volatility_hourly,
 }
 
 ORACLES = {
@@ -674,4 +807,6 @@ ORACLES = {
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,
     "interpolate_hourly_values": INTERPOLATE_SQL,
+    "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "returns_volatility_hourly": RETURNS_VOL_SQL,
 }
