@@ -819,6 +819,49 @@ ORDER BY d.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Recency-weighted engagement — the feature-engineering staple for
+# ranking/retention models: each event contributes value · e^(−λ·age),
+# so yesterday's click outweighs last month's. The reference point is
+# the corpus max timestamp via a 1-row aggregate broadcast (never
+# wall-clock now() — SURVEY §7 hard-part 1 — and never a global
+# window). Per-user terms are rounded then decimal-summed; top-20.
+RECENCY_LAMBDA_PER_H = 0.01
+
+
+def recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    age_h = (F.col("ref_us") - F.unix_micros("ts")) / F.lit(3.6e9)
+    term = F.round(
+        F.col("value") * F.exp(-F.lit(RECENCY_LAMBDA_PER_H) * age_h), 9
+    ).cast("decimal(27,12)")
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term).cast("double"), 6).alias("engagement"),
+        )
+        .orderBy(F.col("engagement").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+RECENCY_ENGAGEMENT_SQL = f"""
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(round(value * exp(-{RECENCY_LAMBDA_PER_H}
+                 * ((ref_us - epoch_us(ts)) / 3.6e9)), 9)
+                 AS DECIMAL(27,12))) AS DOUBLE), 6) AS engagement
+FROM events CROSS JOIN ref
+GROUP BY user_id
+ORDER BY engagement DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "dwell_time_profile": dwell_time_profile,
@@ -832,6 +875,7 @@ QUERIES = {
     "modal_hour_per_type": modal_hour_per_type,
     "basket_lift_pairs": basket_lift_pairs,
     "mad_outlier_report": mad_outlier_report,
+    "recency_weighted_engagement": recency_weighted_engagement,
 }
 
 ORACLES = {
@@ -847,4 +891,5 @@ ORACLES = {
     "modal_hour_per_type": MODAL_HOUR_SQL,
     "basket_lift_pairs": BASKET_LIFT_SQL,
     "mad_outlier_report": MAD_OUTLIER_SQL,
+    "recency_weighted_engagement": RECENCY_ENGAGEMENT_SQL,
 }

@@ -542,6 +542,76 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Entity-resolution blocking + edit-distance match — the record-linkage
+# primitive: an all-pairs Levenshtein over 10⁸ customers is O(n²) dead
+# on arrival, so candidates are generated only WITHIN blocks that share
+# (nation, 16-char name prefix), each block capped at _ER_BLOCK_CAP
+# members (lowest key first, cap mirrored in the oracle — the same
+# bounded-fan-out idiom as the Jaccard/graph caps). Within a block the
+# pair join is ≤ cap²/2 and the edit distance runs only on candidates.
+_ER_BLOCK_CAP = 64
+_ER_PREFIX = 16
+_ER_MAX_DIST = 1
+
+
+def fuzzy_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    blocked = (
+        cust.withColumn("blk", F.substring("c_name", 1, _ER_PREFIX))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey", "blk").orderBy("c_custkey")
+            ),
+        )
+        .filter(F.col("rn") <= _ER_BLOCK_CAP)
+        .drop("rn")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= _ER_MAX_DIST)
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+FUZZY_NAME_SQL = f"""
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, 1, {_ER_PREFIX}) AS blk
+  FROM (
+    SELECT c_custkey, c_name, c_nationkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_nationkey, substr(c_name, 1, {_ER_PREFIX})
+             ORDER BY c_custkey) AS rn
+    FROM customer
+  ) WHERE rn <= {_ER_BLOCK_CAP}
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b
+  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}
+ORDER BY cust_a, cust_b
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "doc_chunks": doc_chunks,
@@ -550,6 +620,7 @@ QUERIES = {
     "cross_source_overlap": cross_source_overlap,
     "quality_ensemble_report": quality_ensemble_report,
     "budget_select_report": budget_select_report,
+    "fuzzy_name_blocking_pairs": fuzzy_name_blocking_pairs,
 }
 
 ORACLES = {
@@ -560,4 +631,5 @@ ORACLES = {
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
     "quality_ensemble_report": QUALITY_ENSEMBLE_SQL,
     "budget_select_report": BUDGET_SELECT_SQL,
+    "fuzzy_name_blocking_pairs": FUZZY_NAME_SQL,
 }

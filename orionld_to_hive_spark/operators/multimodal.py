@@ -359,12 +359,142 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(assets_from_documents(spark, sf_dir)).orderBy("asset_id")
 
 
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup pairs — the image-dedup shape (pHash/aHash):
+# average-hash the first 60 "pixels" of the fake-decoded payload (byte
+# > per-asset mean ⇒ bit set), then find pairs within Hamming distance
+# 3 via the banded pigeonhole join `dedup_simhash` uses (4 chunks × 15
+# bits: any pair within distance 3 agrees on ≥ 1 chunk, so candidate
+# generation is complete and the quadratic all-pairs compare never
+# runs). Unlike simhash (engine-seeded xxhash ⇒ rows-only), this
+# signature is pure portable arithmetic over byte values, so the DuckDB
+# oracle checks the PAIRS exactly — its brute-force all-pairs
+# formulation doubles as completeness proof for the banded plan.
+# 60 bits (not 64) keeps 1<<pos inside positive BIGINT on both engines.
+PHASH_BITS = 60
+PHASH_CHUNKS = 4
+PHASH_HAMMING_MAX = 3
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    codes = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_BITS - 1))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.ascii(F.col("text").substr(F.col("pos") + 1, F.lit(1))).alias(
+                "code"
+            ),
+            (
+                F.length(F.col("text").substr(F.col("pos") + 1, F.lit(1))) > 0
+            ).alias("present"),
+        )
+        .filter(F.col("present"))
+    )
+    stats = codes.groupBy("doc_id").agg(
+        (F.sum("code") / F.count(F.lit(1))).alias("mean")
+    )
+    sigs = (
+        codes.join(F.broadcast(stats), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("code") > F.col("mean"),
+                    # shiftleft's bit-count param is int-only in the
+                    # Python API; expr() accepts the column form
+                    F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+    )
+    chunk_bits = PHASH_BITS // PHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(PHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sig", "ck.chunk", "ck.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("asset_a"),
+            F.col("b.doc_id").alias("asset_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "asset_a",
+            "asset_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("asset_a", "asset_b")
+    )
+
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH codes AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS code
+  FROM documents, UNNEST(range({PHASH_BITS})) AS t(i)
+  WHERE substr(text, CAST(i + 1 AS INTEGER), 1) <> ''
+),
+stats AS (
+  SELECT doc_id, CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean
+  FROM codes GROUP BY doc_id
+),
+sigs AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.code > s.mean
+                       THEN (CAST(1 AS BIGINT) << c.pos) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM codes c JOIN stats s USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {PHASH_HAMMING_MAX}
+ORDER BY asset_a, asset_b
+"""
+
+
 QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
 }
 
 ORACLES = {
@@ -372,4 +502,5 @@ ORACLES = {
     "multimodal_binary_meta": MULTIMODAL_META_SQL,
     # multimodal_features: Pandas-UDF pipeline — rows-only + pytest value checks
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_phash_neardup": MULTIMODAL_PHASH_SQL,
 }

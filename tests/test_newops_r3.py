@@ -130,3 +130,47 @@ def test_audio_energy_matches_naive_reference(spark):
             assert r["n_active"] == sum(
                 1 for x in rms if x > multimodal.AUDIO_ACTIVE_RMS
             )
+
+
+def test_phash_pairs_are_oriented_and_close(spark):
+    from orionld_to_hive_spark.operators import multimodal
+
+    rows = multimodal.multimodal_phash_neardup(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["asset_a"] < r["asset_b"]
+        assert 0 <= r["hamming"] <= multimodal.PHASH_HAMMING_MAX
+
+
+def test_recency_engagement_bounded_by_raw_value_sum(spark):
+    from orionld_to_hive_spark.operators import analytics
+
+    top = analytics.recency_weighted_engagement(spark, SF_SMOKE).collect()
+    assert len(top) > 0
+    sums = {
+        r["user_id"]: r["s"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.when(F.col("value") > 0, F.col("value")).otherwise(0)).alias("s"))
+        .collect()
+    }
+    for r in top:
+        # every weight is in (0, 1] ⇒ engagement ≤ sum of positive values
+        assert r["engagement"] <= sums[r["user_id"]] + 1e-6
+
+
+def test_fuzzy_pairs_share_block_and_distance(spark):
+    from orionld_to_hive_spark.operators import curation
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    rows = curation.fuzzy_name_blocking_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:200]:
+        a, b = names[r["cust_a"]], names[r["cust_b"]]
+        assert a[:16] == b[:16]
+        assert r["dist"] <= 1
+        # levenshtein <= 1 on equal-length strings = at most one
+        # differing character
+        assert sum(x != y for x, y in zip(a, b)) <= 1 or len(a) != len(b)
