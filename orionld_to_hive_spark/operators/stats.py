@@ -567,6 +567,74 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Chi-square independence test — is event type independent of day of
+# week? The categorical sibling of ab_test_ttest. One contingency
+# aggregate (types × 7 cells), margins via two tiny re-aggregates
+# broadcast back onto the cells, χ² from rounded-then-decimal-summed
+# cell terms. All inputs are integer counts, so the only doubles are
+# the expected-count divisions — fixed expression order, identical in
+# both engines.
+def chi_square_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_m = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    total = cells.agg(F.sum("o").alias("n"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("o") - expected) * (F.col("o") - expected) / expected, 9
+    ).cast("decimal(27,12)")
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("dow").alias("n_dows"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof"),
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, SUM(o) AS row_n FROM cells GROUP BY event_type),
+col_m AS (SELECT dow, SUM(o) AS col_n FROM cells GROUP BY dow),
+total AS (SELECT SUM(o) AS n FROM cells)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COUNT(DISTINCT c.event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT c.dow) AS BIGINT) AS n_dows,
+       round(CAST(SUM(CAST(round(
+           (c.o - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+         * (c.o - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+         / (CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+            / CAST(t.n AS DOUBLE)), 9) AS DECIMAL(27,12))) AS DOUBLE), 6)
+         AS chi2,
+       CAST((COUNT(DISTINCT c.event_type) - 1)
+            * (COUNT(DISTINCT c.dow) - 1) AS BIGINT) AS dof
+FROM cells c
+JOIN row_m r USING (event_type)
+JOIN col_m cm USING (dow)
+CROSS JOIN total t
+"""
+
+
 QUERIES = {
     "integrity_audit_report": integrity_audit_report,
     "equidepth_bins_value": equidepth_bins_value,
@@ -576,6 +644,7 @@ QUERIES = {
     "value_histogram": value_histogram,
     "correlation_matrix": correlation_matrix,
     "ab_test_ttest": ab_test_ttest,
+    "chi_square_type_by_dow": chi_square_type_by_dow,
 }
 
 ORACLES = {
@@ -587,4 +656,5 @@ ORACLES = {
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "correlation_matrix": CORR_MATRIX_SQL,
     "ab_test_ttest": AB_TTEST_SQL,
+    "chi_square_type_by_dow": CHI_SQUARE_SQL,
 }
