@@ -38,3 +38,25 @@ def test_schema_evolution_merge_reads_old_and_new(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "text", "quality", "batch"}
     rows = {r.doc_id: r.quality for r in got.collect()}
     assert rows[1] is None and rows[2] == 0.9
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    # Warehouse reality: new columns appear mid-stream. Parquet handles
+    # this at READ time with mergeSchema — old files surface NULL for
+    # the new column, no rewrite of history. (At 100 TB, schema-merge
+    # listing cost is why production tables pin the schema in a catalog
+    # — the catalog module does that — but the on-read path must work
+    # for ad-hoc reads of mixed eras.)
+    d = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id LONG, k STRING, v DOUBLE"
+    ).write.parquet(d + "/era=1")
+    spark.createDataFrame(
+        [(2, "b", 2.0, "extra")], "id LONG, k STRING, v DOUBLE, note STRING"
+    ).write.parquet(d + "/era=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "k", "v", "note", "era"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["note"] is None  # old era backfills NULL
+    assert rows[2]["note"] == "extra"
+    assert rows[1]["era"] == 1 and rows[2]["era"] == 2  # partition col
