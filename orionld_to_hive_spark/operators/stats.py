@@ -635,6 +635,119 @@ CROSS JOIN total t
 """
 
 
+# --------------------------------------------------------------------------
+# Bootstrap confidence interval for the per-type mean — the POISSON
+# bootstrap (each row enters replica b with weight ~ Poisson(1)), which
+# is the distributed-friendly resampling scheme: weights are computed
+# row-locally from a portable hash (md5-digit uniform → Poisson inverse
+# CDF as a CASE ladder over fixed literal thresholds), so there is no
+# global resample shuffle, replicas fan out map-side (B=50 per row),
+# and — because the randomness is a deterministic function of
+# (event_id, replica) — the whole randomized procedure is EXACTLY
+# oracle-checked, like dp_count_report's noise. Replica means use the
+# exact-decimal convention; the CI bounds are percentiles over B=50
+# replica means, rounded to 5 dp to absorb last-ulp interpolation
+# drift between engines.
+_BOOT_B = 50
+_BOOT_KEY = "bootstrap-v1"
+# Poisson(1) CDF thresholds: P(X<=k) for k = 0..5; tail truncated at 6
+# identically in both engines (P(X>5) ≈ 6e-4).
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rep = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    )
+    digits = F.regexp_replace(
+        F.md5(
+            F.concat_ws(":", F.lit(_BOOT_KEY), F.col("event_id"), F.col("b"))
+        ),
+        "[a-f]",
+        "",
+    )
+    u = F.coalesce(
+        F.nullif(F.substring(digits, 1, 15), F.lit("")).cast("long") / F.lit(1e15),
+        F.lit(0.5),
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    dec = "decimal(27,6)"
+    means = (
+        rep.select("event_type", "b", w.alias("w"), "value")
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.round(F.col("w") * F.col("value"), 6).cast(dec)).cast(
+                    "double"
+                )
+                / F.greatest(F.sum("w"), F.lit(1))
+            ).alias("m")
+        )
+        .select("event_type", "b", F.round("m", 6).alias("m"))
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.round(F.percentile("m", F.lit(0.025)), 5).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.5)), 5).alias("ci_mid"),
+            F.round(F.percentile("m", F.lit(0.975)), 5).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_sql() -> str:
+    ladder = "CASE "
+    for k, p in enumerate(_POIS_CDF):
+        ladder += f"WHEN u < {p} THEN {k} "
+    ladder += "ELSE 6 END"
+    return f"""
+WITH rep AS (
+  SELECT event_type, value, b.b AS b, event_id
+  FROM events CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+uni AS (
+  SELECT event_type, value, b,
+         least(greatest(COALESCE(
+           CAST(nullif(substr(regexp_replace(
+             md5('{_BOOT_KEY}' || ':' || CAST(event_id AS VARCHAR)
+                 || ':' || CAST(b AS VARCHAR)),
+             '[a-f]', '', 'g'), 1, 15), '') AS BIGINT) / 1e15,
+           0.5), 0.0), 1.0) AS u
+  FROM rep
+),
+weighted AS (
+  SELECT event_type, value, b, {ladder} AS w FROM uni
+),
+means AS (
+  SELECT event_type, b,
+         round(CAST(SUM(CAST(round(w * value, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               / GREATEST(SUM(w), 1), 6) AS m
+  FROM weighted GROUP BY event_type, b
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_replicas,
+       round(quantile_cont(m, 0.025), 5) AS ci_lo,
+       round(quantile_cont(m, 0.5), 5) AS ci_mid,
+       round(quantile_cont(m, 0.975), 5) AS ci_hi
+FROM means
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
 QUERIES = {
     "integrity_audit_report": integrity_audit_report,
     "equidepth_bins_value": equidepth_bins_value,
@@ -645,6 +758,7 @@ QUERIES = {
     "correlation_matrix": correlation_matrix,
     "ab_test_ttest": ab_test_ttest,
     "chi_square_type_by_dow": chi_square_type_by_dow,
+    "bootstrap_mean_ci": bootstrap_mean_ci,
 }
 
 ORACLES = {
@@ -657,4 +771,5 @@ ORACLES = {
     "correlation_matrix": CORR_MATRIX_SQL,
     "ab_test_ttest": AB_TTEST_SQL,
     "chi_square_type_by_dow": CHI_SQUARE_SQL,
+    "bootstrap_mean_ci": BOOTSTRAP_CI_SQL,
 }
