@@ -51,6 +51,16 @@ HIGH_REPS = {
     "session_window_stats": 15,
     "word_freq_explode": 15,
     "tpch_q21_waiting_suppliers": 15,
+    # r3 headliners (slowest benched queries, previously 5-rep CIs of
+    # ±0.12-0.18 s) and the three r2→r3 >10% drifters with no code
+    # change — 15 reps pins every >1 s query's CI under ±0.05 s and
+    # settles whether the drift was noise (VERDICT r3 item 5).
+    "graph_nation_trade_pagerank": 15,
+    "interpolate_hourly_values": 15,
+    "bigram_logprob_score": 15,
+    "tumbling_window_agg": 15,
+    "latest_event_per_user": 15,
+    "tpch_q1_pricing": 15,
 }
 
 # Headline set: the four reference-parity queries plus one representative

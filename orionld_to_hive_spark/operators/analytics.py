@@ -661,7 +661,7 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lines so the cap never binds here, but a production mega-basket
     # would otherwise emit items² pairs.
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
         .withColumn(

@@ -287,7 +287,8 @@ ORDER BY source_a, source_b
 # way a production pipeline actually gates a corpus. The rule and
 # classifier gates are projections on the document scan; the
 # perplexity gate joins the per-doc avg-logprob branch (explode →
-# vocab aggregate → broadcast LM → per-doc decimal sum) back on
+# vocab aggregate → word-keyed LM join, unhinted — vocabulary-sized
+# frames are never force-broadcast → per-doc decimal sum) back on
 # doc_id. The gate threshold compares the exactly-reproducible
 # avg_logprob (decimal-summed, rounded) rather than exp(·) of it, so
 # no cross-engine transcendental sits on a decision boundary.
@@ -348,7 +349,7 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("c") / F.col("corpus_total")), 9).alias("logp"),
     )
     perdoc = (
-        words.join(F.broadcast(lm), "word")
+        words.join(lm, "word")
         .groupBy("doc_id")
         .agg(
             F.round(

@@ -19,8 +19,14 @@ Graph model — two graphs derived from the TPC-H-ish star schema:
 
 Scale stance (the part the vertex counts hide):
   - Edge derivation is the 100 TB cost: one fact-table shuffle to
-    distinct/aggregate pairs. Dims (customer, supplier, nation) ride in
-    as broadcasts; the fact table is scanned once per query.
+    distinct/aggregate pairs. The fact table is scanned once per query.
+    Joins against orders/customer/supplier carry NO explicit broadcast
+    hint — those sides are sf-proportional (billions of rows at the
+    100 TB design point), so the strategy is left to AQE, which still
+    broadcasts them at small scale factors but falls back to
+    shuffle-hash when the runtime size exceeds the threshold. Explicit
+    hints are reserved for genuinely bounded frames (nation ≤ 25 rows,
+    1-row scalar aggregates, the ≤ 25-row out-weight table).
   - Co-occurrence projection (suppliers sharing a part) is the classic
     quadratic trap: a hub part with 10⁵ suppliers would emit 10¹⁰
     pairs. Posting lists are therefore capped per part (deterministic
@@ -76,7 +82,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
@@ -251,13 +257,15 @@ def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
-    # Edge derivation: ONE fact scan; dims broadcast. Weights stay
+    # Edge derivation: ONE fact scan; join strategy left to AQE (see
+    # module docstring — orders/customer/supplier are sf-proportional,
+    # never hint-broadcast). Weights stay
     # exact DECIMAL through the out-weight normalization so the double
     # division is a single deterministic operation per edge.
     raw = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

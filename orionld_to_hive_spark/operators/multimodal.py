@@ -177,8 +177,29 @@ FROM documents
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction (decode stubbed — see decode_asset).
-    Python-side ⇒ rows-only check; the pytest suite asserts values."""
+
+    Exact DuckDB oracle (same pattern that graduated the phash op in
+    r3): the fake decode is deterministic byte arithmetic, payloads are
+    the ASCII document bytes, so mean_byte = SUM(code)/len reproduces in
+    SQL — integer sum, one IEEE division, bit-identical both engines."""
     return extract_features(assets_from_documents(spark, sf_dir))
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH codes AS (
+  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS code
+  FROM documents, UNNEST(range(octet_length(encode(text)))) AS t(i)
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_byte
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       CAST(octet_length(encode(d.text)) AS INTEGER) AS byte_len,
+       COALESCE(a.mean_byte, 0.0) AS mean_byte,
+       CAST(CEIL(octet_length(encode(d.text)) / 256.0) AS INTEGER) AS n_frames
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,8 +294,17 @@ ORDER BY asset_id, frame_index
 # the deterministic fake (see decode_asset); the Spark-side plumbing —
 # mapInPandas, Arrow batches, fully vectorized window math (global
 # squared-cumsum + reduceat over per-asset window runs, NO per-row
-# Python) — is the real production shape. Rows-only (binary input is
-# outside DuckDB's reach); tests check against a naive reference.
+# Python) — is the real production shape.
+#
+# Cross-engine exactness (oracle-backed since r4): all window sums are
+# INTEGER arithmetic ((byte-128)² sums stay < 2^53, so the float64
+# prefix-sum is exact), rms = sqrt(int/int) is one correctly-rounded
+# IEEE op in both engines, and every decimal rounding uses
+# floor(x·10^k + 0.5)/10^k — plain multiply/add/floor, bit-identical
+# everywhere — instead of library round() (numpy rounds half-even via
+# scaling, DuckDB half-up: different code paths near boundaries).
+# Per-asset mean_rms sums the 1e9-scaled INTEGER rms values, so the
+# accumulation order can't drift between engines.
 ENERGY_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -327,27 +357,34 @@ def audio_energy(df: DataFrame) -> DataFrame:
             )
             wstart = offs[owner] + wseq * AUDIO_HOP
             wlen = np.minimum(AUDIO_WIN, lens[owner])
-            sumsq = csq[wstart + wlen] - csq[wstart]
+            sumsq = csq[wstart + wlen] - csq[wstart]  # exact: integer < 2^53
             rms = np.sqrt(sumsq / np.maximum(wlen, 1))
+            # 1e9-scaled integer rms — floor(x·1e9 + 0.5) is the portable
+            # half-up rounding (see block comment); all downstream stats
+            # run on these exact integers.
+            r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
             # per-asset aggregation over contiguous window runs
             bounds = np.concatenate(([0], nw.cumsum()))[:-1]
             nonempty = nw > 0
             idx = bounds[nonempty]
-            sum_rms = np.add.reduceat(rms, idx)
-            max_rms = np.maximum.reduceat(rms, idx)
-            act = np.add.reduceat((rms > AUDIO_ACTIVE_RMS).astype(np.int64), idx)
+            sum_r9 = np.add.reduceat(r9, idx)
+            max_r9 = np.maximum.reduceat(r9, idx)
+            act = np.add.reduceat(
+                (r9 > AUDIO_ACTIVE_RMS * 1e9).astype(np.int64), idx
+            )
             mean_out = np.zeros(n)
             max_out = np.zeros(n)
             act_out = np.zeros(n, dtype=np.int64)
-            mean_out[nonempty] = sum_rms / nw[nonempty]
-            max_out[nonempty] = max_rms
+            mean_out[nonempty] = (sum_r9[:] / 1e9) / nw[nonempty]
+            max_out[nonempty] = max_r9 / 1e9
             act_out[nonempty] = act
+            round6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "n_windows": nw.astype("int32"),
-                    "mean_rms": np.round(mean_out, 6),
-                    "max_rms": np.round(max_out, 6),
+                    "mean_rms": round6(mean_out),
+                    "max_rms": round6(max_out),
                     "n_active": act_out.astype("int32"),
                 }
             )
@@ -357,6 +394,59 @@ def audio_energy(df: DataFrame) -> DataFrame:
 
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(assets_from_documents(spark, sf_dir)).orderBy("asset_id")
+
+
+# DuckDB twin of the window math above. Each byte at offset i belongs
+# to at most two hop-128 windows (k = i//128 and k = i//128 − 1), so
+# the byte→window assignment is an equi-join fan-out of ≤ 2 — no range
+# join. Full windows always fit inside the payload (nw's definition
+# guarantees (nw−1)·hop + win ≤ len for len ≥ win), so wlen is simply
+# LEAST(win, len). All roundings are the portable FLOOR(x·10^k + 0.5)
+# form matching the numpy path bit-for-bit.
+MULTIMODAL_AUDIO_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) >= {AUDIO_WIN}
+              THEN (octet_length(encode(text)) - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+              WHEN octet_length(encode(text)) > 0 THEN 1
+              ELSE 0 END AS nw
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, n, nw, CAST(i AS BIGINT) AS i,
+         ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS code
+  FROM docs, UNNEST(range(n)) AS t(i)
+),
+owned AS (
+  SELECT c.doc_id, c.nw, t.k, c.code,
+         LEAST({AUDIO_WIN}, c.n) AS wlen
+  FROM codes c, UNNEST([c.i // {AUDIO_HOP}, c.i // {AUDIO_HOP} - 1]) AS t(k)
+  WHERE t.k >= 0 AND t.k < c.nw
+    AND c.i < t.k * {AUDIO_HOP} + LEAST({AUDIO_WIN}, c.n)
+),
+win AS (
+  SELECT doc_id, nw, k,
+         CAST(FLOOR(sqrt(CAST(SUM((code - 128) * (code - 128)) AS DOUBLE)
+                         / ANY_VALUE(wlen)) * 1e9 + 0.5) AS BIGINT) AS r9
+  FROM owned GROUP BY doc_id, nw, k
+),
+agg AS (
+  SELECT doc_id,
+         FLOOR((CAST(SUM(r9) AS DOUBLE) / 1e9) / ANY_VALUE(nw) * 1e6 + 0.5)
+           / 1e6 AS mean_rms,
+         FLOOR(CAST(MAX(r9) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS max_rms,
+         CAST(SUM(CASE WHEN r9 > {int(AUDIO_ACTIVE_RMS * 1e9)} THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_active
+  FROM win GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       CAST(d.nw AS INTEGER) AS n_windows,
+       COALESCE(a.mean_rms, 0.0) AS mean_rms,
+       COALESCE(a.max_rms, 0.0) AS max_rms,
+       COALESCE(a.n_active, 0) AS n_active
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -400,7 +490,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("code") / F.count(F.lit(1))).alias("mean")
     )
     sigs = (
-        codes.join(F.broadcast(stats), "doc_id")
+        codes.join(stats, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -500,7 +590,8 @@ QUERIES = {
 ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "multimodal_binary_meta": MULTIMODAL_META_SQL,
-    # multimodal_features: Pandas-UDF pipeline — rows-only + pytest value checks
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_SQL,
 }

@@ -309,8 +309,11 @@ ORDER BY totals.doc_id
 # TF-IDF top terms per document — the classic relevance weighting as
 # pure relational algebra: explode → per-(doc,term) counts (the one
 # fact-sized shuffle, map-side combined) → document frequencies over
-# the ALREADY-AGGREGATED pair relation (vocabulary-sized, broadcast
-# back) → window top-3 per doc. The corpus size N rides in as a
+# the ALREADY-AGGREGATED pair relation (vocabulary-sized — joined
+# back on `word` with NO broadcast hint: a 100 TB web corpus has a
+# 1e8-1e9-token noisy vocabulary, multi-GB as a broadcast; the
+# word-keyed shuffle join is the scale-correct shape and AQE still
+# broadcasts it while small) → window top-3 per doc. The corpus size N rides in as a
 # broadcast one-row aggregate. Scores are round()ed to 6 dp before
 # comparison/ranking: ln() agrees between engines well past 1e-6, and
 # the rounding collapses any last-ulp drift before it can flip an
@@ -334,7 +337,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("word").asc()
     )
     return (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(df_, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", score)
         .withColumn("term_rank", F.row_number().over(w))
@@ -377,8 +380,9 @@ ORDER BY doc_id, term_rank
 # --------------------------------------------------------------------------
 # BM25 ranked retrieval for a fixed term query. Everything the scorer
 # needs is relational: document lengths (one pass), corpus-average
-# length and per-term document frequencies (broadcast one-row / tiny
-# aggregates), term frequencies restricted to the query terms (the
+# length and per-term document frequencies (one-row / query-term
+# aggregates; the DF table joins on `word` unhinted — vocabulary-sized
+# frames are never force-broadcast, see tfidf_top_terms), term frequencies restricted to the query terms (the
 # explode is filtered BEFORE the shuffle, so only query-term hits move).
 # Per-term contributions are rounded to 6 dp then summed in exact
 # decimal — a sum of doubles would be micro-batch-order dependent.
@@ -412,7 +416,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 6)
     return (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(df_, "word")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(avg_dl))
@@ -589,8 +593,9 @@ GROUP BY n_vocab
 # distribution). Pipeline: explode → word counts (fact-sized shuffle)
 # → per-word log-prob (corpus total via 1-row aggregate broadcast —
 # NOT a global window, which would push the vocabulary frame through
-# one task) → broadcast the vocabulary-sized table back onto the
-# exploded stream → per-doc mean log-prob and perplexity. Per-token
+# one task) → join the vocabulary-sized table back onto the exploded
+# stream on `word` (unhinted — a real corpus vocabulary is 1e8+ terms,
+# too big to force-broadcast; AQE broadcasts it while small) → per-doc mean log-prob and perplexity. Per-token
 # log-probs are rounded to 9 dp then decimal-summed per doc (double
 # summation order over a doc's tokens is not deterministic); the
 # final mean/ppl round to 6.
@@ -607,7 +612,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(27,12)"
     return (
-        words.join(F.broadcast(lm), "word")
+        words.join(lm, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -653,7 +658,8 @@ ORDER BY doc_id
 # Bigrams come from a lead() window over (doc, position) — posexplode
 # keeps token order, the window shuffles on doc_id only, and document
 # boundaries never produce cross-doc pairs. PMI combines the bigram
-# count with the two unigram counts (both broadcast — vocabulary-sized)
+# count with the two unigram counts (vocabulary-sized, so joined on
+# the word key unhinted — never force-broadcast)
 # and is round()ed to 6 dp before the top-k sort; count floor ≥ 10
 # keeps the estimates stable, ties break lexicographically.
 def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,9 +684,9 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        cb.join(F.broadcast(uni), "w")
+        cb.join(uni, "w")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))),
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")),
             "w2",
         )
         .crossJoin(F.broadcast(n_uni))
@@ -1162,9 +1168,9 @@ ORDER BY lang
 # ladder from unigram_logprob_score: p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).
 # The bigram table is NOT broadcast (it outgrows the vocabulary);
 # instead per-doc bigram counts shuffle-join the global bigram counts
-# on the same (w, w2) key — co-partitioned, one exchange — and only the
-# vocabulary-sized unigram table and the two scalars (V, via 1-row agg
-# broadcast) ride as broadcasts. Docs shorter than 2 tokens carry no
+# on the same (w, w2) key — co-partitioned, one exchange. The unigram
+# table is vocabulary-sized too, so it joins on `w` unhinted; only the
+# scalar V (1-row agg) rides as a broadcast. Docs shorter than 2 tokens carry no
 # bigrams and drop out (both engines). Per-doc term products are
 # rounded then decimal-summed (shuffle-order independence, as
 # unigram_logprob_score).
@@ -1188,7 +1194,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(27,12)"
     return (
         db.join(cb, ["w", "w2"])
-        .join(F.broadcast(cu), "w")
+        .join(cu, "w")
         .crossJoin(F.broadcast(vocab))
         .withColumn("term", F.round(F.col("c") * logp, 9))
         .groupBy("doc_id")

@@ -9,9 +9,12 @@ table:
 
   - fact-side aggregation happens BEFORE joins where semantics allow
     (partial/map-side combine shrinks the shuffle);
-  - dimension tables (region/nation/customer at realistic scales) are
-    broadcast — `F.broadcast` hints make it explicit rather than relying
-    on the size estimator;
+  - genuinely bounded frames (region/nation, 1-row scalar aggregates)
+    carry explicit `F.broadcast` hints; sf-proportional tables
+    (orders/customer/supplier/part — billions of rows at the 100 TB
+    design point) carry NO hint, leaving the strategy to AQE, which
+    still broadcasts them at small scale factors but falls back to
+    shuffle-hash when the runtime size exceeds the threshold;
   - no collect()s, no Python in the hot path — everything whole-stage
     codegen.
 
@@ -75,9 +78,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q3 shape: shipping-priority. customer(filtered dim, broadcast) ⋈
-# orders ⋈ lineitem, then group + top-k. The orders⋈lineitem join is the
-# real shuffle; AQE handles skewed order keys.
+# TPC-H Q3 shape: shipping-priority. customer(filtered) ⋈ orders ⋈
+# lineitem, then group + top-k. The orders⋈lineitem join is the real
+# shuffle; AQE handles skewed order keys and picks broadcast for the
+# customer/orders sides only when they are actually small (no hints —
+# both are sf-proportional).
 def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -88,11 +93,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust.select("c_custkey")),
-                    orders.o_custkey == F.col("c_custkey"),
-                )
+            orders.join(
+                cust.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -119,10 +122,11 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q5 shape: revenue by nation through a 6-table join. All dims
-# (region→nation→customer/supplier) broadcast; only orders⋈lineitem
-# shuffles. The c_nationkey = s_nationkey predicate is the classic
-# "join graph, not a chain" case Catalyst reorders.
+# TPC-H Q5 shape: revenue by nation through a 6-table join. Bounded
+# dims (region→nation) are hint-broadcast; customer/supplier/orders are
+# sf-proportional, so their join strategy is AQE's call. The
+# c_nationkey = s_nationkey predicate is the classic "join graph, not
+# a chain" case Catalyst reorders.
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -139,11 +143,11 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
 
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        .join(supp.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -246,9 +250,11 @@ FROM customer LEFT OUTER JOIN per_cust ON c_custkey = o_custkey
 # TPC-H Q18 shape: GROUP BY … HAVING, then join the survivors back to
 # the dimension side. Scale stance: the HAVING predicate runs on the
 # aggregated (already map-side-combined) per-order totals — the filter
-# that survives is a tiny fraction of orders, so it is broadcast into
-# the join-back instead of shuffling orders⋈customer against the full
-# fact table. The HAVING comparison happens on the EXACT decimal sum
+# that survives is a tiny fraction of orders, and AQE broadcasts it at
+# runtime when it is actually small (no explicit hint: "tiny fraction
+# of orders" is still sf-proportional, so a forced broadcast would OOM
+# at the 100 TB design point where orders is billions of rows).
+# The HAVING comparison happens on the EXACT decimal sum
 # (before the double cast) so boundary orders can't flip between
 # engines.
 def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,9 +268,9 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("qdec").cast("double").alias("total_qty"))
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name")),
+            cust.select("c_custkey", "c_name"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .select(
@@ -334,8 +340,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 # --------------------------------------------------------------------------
 # TPC-H Q14 shape: promotion-effect ratio. lineitem ⋈ part with the fact
-# side pre-filtered to one month; part is broadcast (a dim at any
-# realistic scale). Both the conditional numerator and the denominator
+# side pre-filtered to one month; part is sf-proportional (~2B rows at
+# the 100 TB point), so no broadcast hint — AQE broadcasts it at small
+# sf. Both the conditional numerator and the denominator
 # come out of ONE aggregate pass — no second scan for the ratio.
 def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -345,7 +352,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc_price)
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -372,7 +379,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 
 # --------------------------------------------------------------------------
 # TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate.
-# The planner must (a) broadcast part, (b) extract the common
+# The planner must (a) join part without a forced broadcast (AQE picks
+# the strategy by runtime size), (b) extract the common
 # conjuncts (quantity cap, size floor) OUT of the disjunction so they
 # still reach the lineitem scan as PushedFilters, and (c) keep the
 # disjunction itself as a post-join filter. At 100 TB the difference
@@ -383,7 +391,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     branch = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -434,7 +442,8 @@ WHERE l_quantity >= 1 AND l_quantity <= 30
 # the global MAX as a map-side-combined aggregate (one row per
 # partition reaches the final reduce) and broadcast the 1-row result
 # back. Ties survive (= on the exact-decimal sum is deterministic,
-# unlike a double sum). Supplier dim joins broadcast.
+# unlike a double sum). The supplier join carries no hint (supplier is
+# sf-proportional); AQE broadcasts the 1-row-ish filtered revenue side.
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -448,7 +457,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

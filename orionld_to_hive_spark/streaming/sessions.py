@@ -145,8 +145,15 @@ def sessionize_stream(
                 closed.extend(c)
         if cur is not None:
             state.update(cur)
-            # fires once the watermark proves no event can extend it
-            state.setTimeoutTimestamp(cur[1] // 1000 + int(gap_s * 1000))
+            # fires once the watermark proves no event can extend it.
+            # Clamp to strictly-after the current watermark: a
+            # sufficiently late event can make last_ts + gap <= the
+            # watermark (gap 30 s vs 1 s watermark delay), and
+            # setTimeoutTimestamp at-or-below the watermark raises an
+            # IllegalArgumentException that kills the streaming query.
+            timeout_ms = cur[1] // 1000 + int(gap_s * 1000)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if closed:
             out = _rows(key[0], closed)
             yield out.rename(columns={"key": key_col})

@@ -97,3 +97,63 @@ def test_merge_read_side_prunes_partitions(spark, tmp_path):
     # partition column, not a data column)
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "day" in seg
+
+
+def test_merge_rejects_null_partition_values(spark, tmp_path):
+    # ADVICE r3: a NULL partition value never equi-matches during the
+    # touched-partition read-back, silently disabling latest-wins for
+    # that partition — reject it up front.
+    import pytest
+
+    path = str(tmp_path / "tbl5")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    updates = spark.createDataFrame(
+        [(9, None, 1, 90.0)], "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert(path, updates, ("id",), "version", ("day",))
+
+
+def test_merge_detects_partition_unstable_keys(spark, tmp_path):
+    # ADVICE r3: id 3 lives in day=b; an update placing it in day=a
+    # would leave the stale b-row alive. Strict mode must refuse.
+    import pytest
+
+    path = str(tmp_path / "tbl6")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    movers = spark.createDataFrame(
+        [(3, "a", 2, 31.0)], "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    with pytest.raises(ValueError, match="partition-unstable"):
+        merge_upsert(
+            path, movers, ("id",), "version", ("day",),
+            check_partition_stability=True,
+        )
+    # the same batch with a stable key passes the check and merges
+    ok = spark.createDataFrame(
+        [(2, "a", 2, 21.0)], "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    n = merge_upsert(
+        path, ok, ("id",), "version", ("day",), check_partition_stability=True
+    )
+    assert n == 1
+    got = {r.id: r.value for r in spark.read.parquet(path).collect()}
+    assert got[2] == 21.0
+
+
+def test_merge_nullsafe_predicate_still_prunes(spark, tmp_path):
+    # the eqNullSafe (<=>) rewrite of the touched-partition predicate
+    # must still fold into PartitionFilters — EqualNullSafe is a valid
+    # partition-pruning predicate.
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl7")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    target = spark.read.parquet(path)
+    pred = F.col("day").eqNullSafe(F.lit("a")) | F.col("day").eqNullSafe(
+        F.lit("b")
+    )
+    plan = target.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in seg, plan[:1500]

@@ -379,3 +379,46 @@ def test_graph_edge_derivation_broadcasts_dims(spark, sf_smoke):
     df = graph.graph_degree_distribution(spark, sf_smoke)
     df.collect()
     assert has_broadcast_join(df)
+
+
+def test_cooc_cap_filter_precedes_self_join(spark, sf_smoke):
+    # The co-occurrence projection must cap posting lists (rn <= cap)
+    # BEFORE the pair self-join — without it a hub part emits items²
+    # pairs. The cap filter must survive into the physical plan.
+    import re
+
+    from orionld_to_hive_spark.operators import graph
+
+    plan = formatted(graph.graph_common_part_pairs(spark, sf_smoke))
+    assert re.search(r"rn#\d+L? <= %d" % graph._COOC_CAP, plan), plan[:2000]
+
+
+def test_pagerank_checkpoint_truncates_lineage(spark, sf_smoke):
+    # 5 iterations of join+agg would stack a deep lineage; the
+    # localCheckpoint per iteration must make the FINAL plan read from
+    # checkpointed state — no lineitem scan and no 5-deep join tower in
+    # the returned query's own plan.
+    from orionld_to_hive_spark.operators import graph
+
+    df = graph.graph_nation_trade_pagerank(spark, sf_smoke)
+    plan = formatted(df)
+    assert "lineitem.parquet" not in plan, plan[:2000]
+    assert plan.count("Scan ExistingRDD") >= 1, plan[:2000]
+
+
+def test_interpolate_windows_are_partitioned(spark, sf_smoke):
+    # the forward/backward fill windows must be keyed (event_type) —
+    # an unpartitioned WindowExec would funnel the spine through one
+    # task. Formatted Window args render as [funcs], [partition], [order];
+    # an empty partition spec shows as ", [], [".
+    from orionld_to_hive_spark.operators import temporal
+
+    plan = formatted(temporal.interpolate_hourly_values(spark, sf_smoke))
+    win_lines = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("Arguments") and "windowspecdefinition" in line
+    ]
+    assert win_lines, plan[:2000]  # gate must actually see the window
+    for line in win_lines:
+        assert "windowspecdefinition(event_type" in line, line

@@ -106,3 +106,46 @@ def test_stream_merges_cross_batch_sessions_and_reaps_quiet_keys(
     assert u1_first[1] == 3 and abs(u1_first[2] - 6.0) < 1e-9
     # u2 (quiet after batch 2) was closed by the timeout, not dropped
     assert ("u2", BASE + timedelta(seconds=3)) in streamed
+
+
+def test_stream_survives_events_older_than_watermark_minus_gap(
+    spark, tmp_path
+):
+    # ADVICE r3: applyInPandasWithState does not pre-filter late rows,
+    # so an event whose last_ts + gap is at or below the current
+    # watermark used to call setTimeoutTimestamp with a past timestamp
+    # — an IllegalArgumentException that kills the query. The clamp to
+    # watermark + 1 must keep the query alive and still close the
+    # session on the next watermark advance.
+    d = tmp_path / "late_in"
+    d.mkdir()
+    batches = [
+        [("wm", 10_000, 0.0)],           # watermark jumps to ~9999 s
+        [("u9", 5, 1.0), ("u9", 8, 2.0)],  # 30 s gap ended ~9966 s ago
+        [("wm", 20_000, 0.0)],           # advance again: reap u9
+    ]
+    for i, batch in enumerate(batches):
+        _df(spark, batch).coalesce(1).write.parquet(str(d / f"b{i}"))
+
+    src = (
+        spark.readStream.schema(_df(spark, batches[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    q = (
+        sessionize_stream(src, "user", "ts", "value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    rows = spark.sql(
+        "SELECT * FROM sess_late WHERE user = 'u9'"
+    ).collect()
+    # the late session still comes out, closed by the clamped timeout
+    assert len(rows) == 1
+    assert rows[0].n_events == 2 and abs(rows[0].sum_value - 3.0) < 1e-9

@@ -397,3 +397,84 @@ def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
     partials = spark.read.parquet(rollup_path)
     kitchen_partials = partials.filter(partials.room == "kitchen").collect()
     assert len(kitchen_partials) == 2
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER interval join (r3 verdict's named gap): the matched
+    pair comes out as in the inner join; a temperature with no humidity
+    partner inside the band must ALSO come out, NULL-extended — but
+    only after the watermark proves no partner can arrive. Stream
+    result must equal the batch left-join twin over the same rows."""
+    from orionld_to_hive_spark.streaming.ingest import (
+        parse_notifications,
+        read_notification_stream,
+    )
+    from orionld_to_hive_spark.streaming.joins import (
+        start_outer_join_query,
+        temp_humidity_outer_join,
+    )
+
+    in_dir = tmp_path / "ojoin_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                # no humidity ever lands in the bathroom: NULL-extended
+                _entity_at("Bathroom", "2024-01-01T00:12:00.000Z", temperature=17.5),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [
+                # +5 min, same room: the one matched pair
+                _entity_at("Kitchen", "2024-01-01T00:15:00.000Z", humidity=48),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    # advance BOTH side's watermarks (multipleWatermarkPolicy=min) far
+    # past every band: unmatched state must flush
+    (in_dir / "f3.json").write_text(
+        _notification(
+            [
+                _entity_at("ZzFlush", "2024-01-01T06:00:00.000Z",
+                           temperature=0.0, humidity=0),
+            ]
+        )
+        + "\n"
+    )
+
+    parsed = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = start_outer_join_query(parsed, str(tmp_path / "ckpt_ojoin"), "ojoin_out")
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+
+    streamed = {
+        (r.room, str(r.t_ts)): (r.temperature, r.h_ts, r.humidity)
+        for r in spark.sql(
+            "SELECT * FROM ojoin_out WHERE room NOT LIKE 'zz%'"
+        ).collect()
+    }
+    assert streamed[("kitchen", "2024-01-01 00:10:00")][2] == 48
+    assert streamed[("bathroom", "2024-01-01 00:12:00")] == (17.5, None, None)
+
+    # batch twin over the same raw lines is the semantic oracle
+    raw = spark.read.schema(NGSI_NOTIFICATION_SCHEMA).json(
+        spark.sparkContext.parallelize(
+            [p.read_text().strip() for p in sorted(in_dir.glob("*.json"))]
+        )
+    )
+    batch = {
+        (r.room, str(r.t_ts)): (r.temperature, r.h_ts, r.humidity)
+        for r in temp_humidity_outer_join(parse_notifications(raw))
+        .filter(~F.col("room").like("zz%"))
+        .collect()
+    }
+    assert streamed == batch
