@@ -613,6 +613,130 @@ ORDER BY cust_a, cust_b
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise KL divergence between the unigram distributions of document
+# sources — the drift/mixing diagnostic a corpus-blending pipeline runs
+# before reweighting (is source B statistically "far" from source A?).
+#
+# Add-one smoothing over the GLOBAL vocabulary keeps every term finite:
+#   p_s(w) = (c_s(w)+1) / (N_s + V).
+# The naive evaluation densifies to |V|·|sources| rows (at a 1e9-term
+# web vocabulary that is the whole job's cost), so the sum is
+# DECOMPOSED into per-source aggregates plus ONE word-keyed
+# co-partitioned self-join:
+#   KL(a||b) = A_a/(N_a+V) − ln(N_a+V) − (B_b + C_ab)/(N_a+V) + ln(N_b+V)
+#   A_a  = Σ_{w∈supp(a)} (c_a+1)·ln(c_a+1)        (per-source agg)
+#   B_b  = Σ_{w∈supp(b)} ln(c_b+1)                (per-source agg)
+#   C_ab = Σ_{w∈supp(a)∩supp(b)} c_a·ln(c_b+1)    (the one join)
+# — every other word contributes 0 to the respective sums, so nothing
+# is ever materialized per (word, pair). Determinism: each ln-term is
+# rounded to 9 dp and summed in exact DECIMAL (shuffle-order
+# independence, the repo-wide convention); the final expression is a
+# fixed double tree over exact ingredients, rounded to 6 dp.
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = counts.localCheckpoint(eager=False)
+
+    dsum9 = lambda col: F.sum(  # noqa: E731
+        F.round(col, 9).cast("decimal(38,12)")
+    ).cast("double")
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        dsum9((F.col("c") + 1) * F.log(F.col("c") + 1)).alias("a_term"),
+        dsum9(F.log(F.col("c") + 1)).alias("b_term"),
+    )
+    v_df = counts.select("word").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    c_ab = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.source") != F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(dsum9(F.col("a.c") * F.log(F.col("b.c") + 1)).alias("c_term"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"),
+        F.col("n_tokens").alias("n_a"),
+        "a_term",
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"),
+        F.col("n_tokens").alias("n_b"),
+        F.col("b_term"),
+    )
+    denom_a = (F.col("n_a") + F.col("v")).cast("double")
+    kl = (
+        F.col("a_term") / denom_a
+        - F.log((F.col("n_a") + F.col("v")).cast("double"))
+        - (F.col("b_term") + F.col("c_term")) / denom_a
+        + F.log((F.col("n_b") + F.col("v")).cast("double"))
+    )
+    return (
+        c_ab.join(pa, "source_a")
+        .join(pb, "source_b")
+        .crossJoin(F.broadcast(v_df))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(kl, 6).alias("kl_div"),
+            F.col("n_a").alias("tokens_a"),
+            F.col("n_b").alias("tokens_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_KL_SQL = """
+WITH words AS (
+  SELECT source, w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+counts AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ROUND((c + 1) * ln(c + 1), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS a_term,
+         CAST(SUM(CAST(ROUND(ln(c + 1), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS b_term
+  FROM counts GROUP BY source
+),
+v AS (SELECT COUNT(DISTINCT word) AS v FROM counts),
+c_ab AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(ROUND(a.c * ln(b.c + 1), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS c_term
+  FROM counts a JOIN counts b
+    ON a.word = b.word AND a.source <> b.source
+  GROUP BY a.source, b.source
+)
+SELECT c_ab.source_a, c_ab.source_b,
+       ROUND(pa.a_term / CAST(pa.n_tokens + v.v AS DOUBLE)
+             - ln(CAST(pa.n_tokens + v.v AS DOUBLE))
+             - (pb.b_term + c_ab.c_term) / CAST(pa.n_tokens + v.v AS DOUBLE)
+             + ln(CAST(pb.n_tokens + v.v AS DOUBLE)), 6) AS kl_div,
+       pa.n_tokens AS tokens_a,
+       pb.n_tokens AS tokens_b
+FROM c_ab
+JOIN per_src pa ON pa.source = c_ab.source_a
+JOIN per_src pb ON pb.source = c_ab.source_b
+CROSS JOIN v
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "doc_chunks": doc_chunks,
@@ -622,6 +746,7 @@ QUERIES = {
     "quality_ensemble_report": quality_ensemble_report,
     "budget_select_report": budget_select_report,
     "fuzzy_name_blocking_pairs": fuzzy_name_blocking_pairs,
+    "source_kl_divergence": source_kl_divergence,
 }
 
 ORACLES = {
@@ -633,4 +758,5 @@ ORACLES = {
     "quality_ensemble_report": QUALITY_ENSEMBLE_SQL,
     "budget_select_report": BUDGET_SELECT_SQL,
     "fuzzy_name_blocking_pairs": FUZZY_NAME_SQL,
+    "source_kl_divergence": SOURCE_KL_SQL,
 }

@@ -93,6 +93,7 @@ _PRIORITY = (
     "graph_bfs_hops",
     # (c) round-4 additions — graded for the first time
     "multimodal_features",
+    "source_kl_divergence",
     # (d) re-confirm the formerly hint-broadcast queries on their new,
     # AQE-chosen plans (results identical by construction)
     "tpch_q3_shipping",
