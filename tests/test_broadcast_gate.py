@@ -36,6 +36,7 @@ ALLOWED = {
     # 1-row scalar aggregates (global totals / bounds / thresholds)
     "total", "totals", "total_df", "n_docs", "n_uni", "n_bi", "avg_dl",
     "n_orders_df", "global_avg", "avg_pos", "max_rev", "dm", "thresh",
+    "v_df",
     # per-group stats where the group key is bounded (event_type ≤ 5,
     # label ≤ few, brand ≤ 25, dow ≤ 7): one row per group
     "stats", "bounds", "med", "mad", "cuts", "row_m", "col_m",
