@@ -79,10 +79,20 @@ ORDER BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------------
 # TPC-H Q3 shape: shipping-priority. customer(filtered) ⋈ orders ⋈
-# lineitem, then group + top-k. The orders⋈lineitem join is the real
-# shuffle; AQE handles skewed order keys and picks broadcast for the
-# customer/orders sides only when they are actually small (no hints —
-# both are sf-proportional).
+# lineitem, then group + top-k. No broadcast hints: customer and
+# orders are sf-proportional. At bench scale the static planner builds
+# the hash table from the filtered lineitem scan (its column-pruned
+# size estimate is smallest; the orders⋈cust subtree has no stage
+# boundary, so AQE has no runtime stats to re-pick the build side) —
+# a slightly slower local choice than the old forced broadcast of
+# orders⋈cust, accepted deliberately: at 100 TB every one of these
+# estimates exceeds the broadcast threshold and the join degrades
+# gracefully to shuffle-hash/SMJ instead of OOMing on a forced hint.
+# (An aggregate-first rewrite was tried and is WORSE here: Q3's
+# revenue aggregate keys on ~|orders| groups but the segment filter
+# only keeps ~20% of them, so pre-aggregating before the join does 5×
+# the aggregation work — unlike Q10, whose fact side is pre-filtered
+# to a 3-month returned-items slice.)
 def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
