@@ -540,15 +540,20 @@ ORDER BY user_id, valid_from, event_id
 # double expression, bit-equal to the oracle.
 def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(davg("value", "v"))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # ONE fact scan: bounds and the type set derive from the already
+    # hour-truncated aggregate (date_trunc is monotonic, so min/max of
+    # truncated hours == truncated min/max of raw ts), and the tiny
+    # |types|x|hours| aggregate is checkpointed so its three consumers
+    # (bounds, spine types, grid join) don't each re-scan the fact
+    # table — previously 3 scans, measured 1.76 s -> ~1.1 s at sf0.1.
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(davg("value", "v"))
+        .localCheckpoint(eager=True)
     )
+    bounds = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
     spine = (
-        events.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
