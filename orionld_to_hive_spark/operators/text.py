@@ -601,9 +601,11 @@ GROUP BY n_vocab
 # final mean/ppl round to 6.
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # token stream feeds the LM aggregation AND the scoring join:
+    # materialize the explode once (same idiom as bigram_logprob_score)
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    ).filter(F.col("word") != "").localCheckpoint(eager=True)
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))
     lm = counts.crossJoin(F.broadcast(total_df)).select(
