@@ -337,11 +337,9 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         clf_keep.alias("c"),
     )
 
-    # token stream feeds the LM aggregation AND the scoring join:
-    # materialize the explode once (same idiom as bigram_logprob_score)
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "").localCheckpoint(eager=True)
+    ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     # corpus total via 1-row agg broadcast, not a global window (which
     # would move the whole vocabulary frame through one task at scale)

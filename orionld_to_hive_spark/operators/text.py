@@ -601,11 +601,9 @@ GROUP BY n_vocab
 # final mean/ppl round to 6.
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # token stream feeds the LM aggregation AND the scoring join:
-    # materialize the explode once (same idiom as bigram_logprob_score)
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "").localCheckpoint(eager=True)
+    ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))
     lm = counts.crossJoin(F.broadcast(total_df)).select(
@@ -1180,23 +1178,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # The token stream feeds FOUR consumers (per-doc bigram counts,
-    # global bigram counts, unigram counts, vocab size) — materialize
-    # the explode once and the lead-window once (localCheckpoint,
-    # MEMORY_AND_DISK) or every branch re-scans and re-explodes the
-    # corpus; measured 1.9 s -> 1.36 s at sf0.1. Same idiom as the
-    # basket projection in analytics.py (one materialization of a
-    # token-stream-sized frame vs 4 recomputations of scan+explode).
     words = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "").localCheckpoint(eager=True)
+    ).filter(F.col("w") != "")
     nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = (
-        words.withColumn("w2", nxt)
-        .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    bigrams = words.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
     db = bigrams.groupBy("doc_id", "w", "w2").agg(F.count(F.lit(1)).alias("c"))
     cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
