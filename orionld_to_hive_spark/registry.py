@@ -104,6 +104,9 @@ _PRIORITY = (
     "unigram_logprob_score",
     "bigram_pmi_top",
     "quality_ensemble_report",
+    "tpch_q14_promo",
+    "tpch_q19_disjunctive",
+    "tpch_q15_top_supplier",
 )
 
 
