@@ -118,6 +118,64 @@ def temp_humidity_outer_join(
     ).select("room", "t_ts", "temperature", "h_ts", "humidity")
 
 
+def _watermarked_sides(
+    parsed: DataFrame, watermark: str
+) -> tuple[DataFrame, DataFrame]:
+    temps = (
+        parsed.filter(F.col("temperature").isNotNull())
+        .select("room", F.col("event_ts").alias("t_ts"), "temperature")
+        .withWatermark("t_ts", watermark)
+    )
+    hums = (
+        parsed.filter(F.col("humidity").isNotNull())
+        .select(
+            F.col("room").alias("h_room"),
+            F.col("event_ts").alias("h_ts"),
+            "humidity",
+        )
+        .withWatermark("h_ts", watermark)
+    )
+    return temps, hums
+
+
+def _band(gap: str):
+    return F.expr(
+        f"room = h_room AND h_ts >= t_ts AND h_ts <= t_ts + INTERVAL {gap}"
+    )
+
+
+def temp_humidity_full_outer_join(
+    parsed: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """FULL OUTER watermarked interval join — completes the join-type
+    matrix: matched pairs stream out immediately; unmatched rows from
+    EITHER side are NULL-extended once the watermark proves no partner
+    can arrive. Same bounded state as the inner form; both sides gain
+    an eviction-time tombstone emission."""
+    temps, hums = _watermarked_sides(parsed, watermark)
+    return temps.join(hums, _band(gap), "full_outer").select(
+        "room", "t_ts", "temperature", "h_room", "h_ts", "humidity"
+    )
+
+
+def temp_humidity_semi_join(
+    parsed: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT SEMI watermarked interval join: emit each temperature
+    reading AT MOST ONCE if any same-room humidity lands inside the
+    band — the streaming EXISTS. The engine buffers a left row only
+    until its first match (or watermark eviction), never duplicating
+    it per matching right row."""
+    temps, hums = _watermarked_sides(parsed, watermark)
+    return temps.join(hums, _band(gap), "left_semi").select(
+        "room", "t_ts", "temperature"
+    )
+
+
 def start_outer_join_query(
     parsed_stream: DataFrame,
     checkpoint_dir: str,

@@ -478,3 +478,119 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_full_outer_and_semi_joins(spark, tmp_path):
+    """FULL OUTER: unmatched rows from EITHER side come out
+    NULL-extended after the watermark; LEFT SEMI: a temperature with
+    two in-band humidity partners is emitted exactly once. Both must
+    equal their batch twins over the same rows."""
+    from orionld_to_hive_spark.streaming.ingest import (
+        parse_notifications,
+        read_notification_stream,
+    )
+    from orionld_to_hive_spark.streaming.joins import (
+        temp_humidity_full_outer_join,
+        temp_humidity_semi_join,
+    )
+
+    in_dir = tmp_path / "fjoin_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                # kitchen temp with TWO in-band humidity partners
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                # bathroom temp that never gets humidity: left-unmatched
+                _entity_at("Bathroom", "2024-01-01T00:12:00.000Z", temperature=17.5),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:14:00.000Z", humidity=48),
+                _entity_at("Kitchen", "2024-01-01T00:16:00.000Z", humidity=51),
+                # toilet humidity with no temperature: right-unmatched
+                _entity_at("Toilet", "2024-01-01T00:15:00.000Z", humidity=60),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f3.json").write_text(
+        _notification(
+            [
+                _entity_at("ZzFlush", "2024-01-01T06:00:00.000Z",
+                           temperature=0.0, humidity=0),
+            ]
+        )
+        + "\n"
+    )
+
+    def run(builder, name):
+        parsed = read_notification_stream(
+            spark, str(in_dir), max_files_per_trigger=1
+        )
+        q = (
+            builder(parsed)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+        return spark.sql(
+            f"SELECT * FROM {name} "
+            "WHERE COALESCE(room, h_room, '') NOT LIKE 'zz%'"
+            if name == "fo_out"
+            else f"SELECT * FROM {name} WHERE room NOT LIKE 'zz%'"
+        ).collect()
+
+    fo = run(temp_humidity_full_outer_join, "fo_out")
+    fo_set = {
+        (r.room, str(r.t_ts) if r.t_ts else None, r.temperature,
+         r.h_room, str(r.h_ts) if r.h_ts else None, r.humidity)
+        for r in fo
+    }
+    # matched pairs (2), left-unmatched bathroom, right-unmatched toilet
+    assert ("kitchen", "2024-01-01 00:10:00", 20.0,
+            "kitchen", "2024-01-01 00:14:00", 48) in fo_set
+    assert ("kitchen", "2024-01-01 00:10:00", 20.0,
+            "kitchen", "2024-01-01 00:16:00", 51) in fo_set
+    assert ("bathroom", "2024-01-01 00:12:00", 17.5, None, None, None) in fo_set
+    assert (None, None, None,
+            "toilet", "2024-01-01 00:15:00", 60) in fo_set
+    assert len(fo_set) == 4
+
+    semi = run(temp_humidity_semi_join, "semi_out")
+    semi_rows = sorted((r.room, str(r.t_ts), r.temperature) for r in semi)
+    # kitchen temp emitted ONCE despite two partners; bathroom absent
+    assert semi_rows == [("kitchen", "2024-01-01 00:10:00", 20.0)]
+
+    # batch twins over the same raw lines
+    raw = spark.read.schema(NGSI_NOTIFICATION_SCHEMA).json(
+        spark.sparkContext.parallelize(
+            [ln for p in sorted(in_dir.glob("*.json"))
+             for ln in p.read_text().splitlines()]
+        )
+    )
+    parsed_b = parse_notifications(raw)
+    fo_b = {
+        (r.room, str(r.t_ts) if r.t_ts else None, r.temperature,
+         r.h_room, str(r.h_ts) if r.h_ts else None, r.humidity)
+        for r in temp_humidity_full_outer_join(parsed_b).collect()
+        if (r.room or r.h_room or "") != "zzflush"
+    }
+    assert fo_set == fo_b
+    semi_b = sorted(
+        (r.room, str(r.t_ts), r.temperature)
+        for r in temp_humidity_semi_join(parsed_b).collect()
+        if r.room != "zzflush"
+    )
+    assert semi_rows == semi_b
