@@ -157,3 +157,43 @@ def test_merge_nullsafe_predicate_still_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "day" in seg, plan[:1500]
+
+
+def test_merge_multi_column_partitions(spark, tmp_path):
+    # two partition columns: the touched-partition predicate is a
+    # disjunction of two-term conjunctions; only the exact (day, region)
+    # cells present in the batch may be rewritten.
+    path = str(tmp_path / "tbl8")
+    base = spark.createDataFrame(
+        [
+            (1, "a", "eu", 1, 10.0),
+            (2, "a", "us", 1, 20.0),
+            (3, "b", "eu", 1, 30.0),
+            (4, "b", "us", 1, 40.0),
+        ],
+        "id LONG, day STRING, region STRING, version LONG, value DOUBLE",
+    )
+    write_partitioned(base, path, partition_cols=("day", "region"))
+    before_b_us = _files_mtimes(path, "day=b/region=us")
+    before_a_us = _files_mtimes(path, "day=a/region=us")
+
+    updates = spark.createDataFrame(
+        [
+            (1, "a", "eu", 2, 11.0),   # update cell (a, eu)
+            (5, "b", "eu", 1, 50.0),   # insert into cell (b, eu)
+        ],
+        "id LONG, day STRING, region STRING, version LONG, value DOUBLE",
+    )
+    n = merge_upsert(
+        path, updates, ("id",), "version", ("day", "region"),
+        check_partition_stability=True,
+    )
+    assert n == 2
+    got = {r.id: (r.day, r.region, r.version, r.value)
+           for r in spark.read.parquet(path).collect()}
+    assert got[1] == ("a", "eu", 2, 11.0)
+    assert got[5] == ("b", "eu", 1, 50.0)
+    assert got[2] == ("a", "us", 1, 20.0) and got[4] == ("b", "us", 1, 40.0)
+    # cells sharing one (but not both) partition values stay untouched
+    assert _files_mtimes(path, "day=b/region=us") == before_b_us
+    assert _files_mtimes(path, "day=a/region=us") == before_a_us
