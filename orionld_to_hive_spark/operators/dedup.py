@@ -298,10 +298,36 @@ DEDUP_MINHASH_SQL = _jaccard_oracle(MINHASH_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
+# Portable shingle hash (r5: graduated dedup_simhash from rows-only to an
+# EXACT DuckDB oracle, like count-min/Bloom in sketches.py): a polynomial
+# rolling hash over the shingle's characters mod p (31-bit), then four
+# affine 16-bit chunk hashes packed into a 64-bit signature source. Every
+# step is engine-reproducible arithmetic — no xxhash64 — and stays within
+# signed-64 range under ANSI mode (a·poly < 2⁶²; the 16-bit chunks are
+# packed with shiftleft/bitwiseOR, which cannot overflow).
+_SH_POLY_B = 131
+_SH_CHUNK_AB = ((1000003, 12345), (999979, 54321), (1000033, 7777), (999983, 31337))
+
+
+def _portable_shingle_hash(col: F.Column) -> F.Column:
+    """64 engine-portable hash bits of a string column."""
+    poly = F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _SH_POLY_B + F.ascii(c)) % MERSENNE_P,
+    )
+    h = None
+    for j, (a, b) in enumerate(_SH_CHUNK_AB):
+        chunk = ((F.lit(a) * poly + F.lit(b)) % MERSENNE_P) % 65536
+        term = F.shiftleft(chunk, 16 * j)
+        h = term if h is None else h.bitwiseOR(term)
+    return h
+
+
 def simhash_signatures(sh_df: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit ±1 vote sum."""
     posting = sh_df.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+        "doc_id", _portable_shingle_hash(F.col("shingle")).alias("h")
     )
     votes = [
         F.sum(
@@ -325,7 +351,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banded candidate join: 4 chunks × 16 bits; any pair within distance
     3 must agree on ≥1 chunk (pigeonhole), so candidate generation is
-    complete. Engine-specific hash ⇒ no SQL oracle (rows-only check).
+    complete — the result therefore EQUALS the brute-force all-pairs
+    answer, which is what the DuckDB oracle computes (exact since r5:
+    the portable shingle hash makes signatures engine-identical; the
+    oracle affords O(n²) because it only runs at sf0.01, while this
+    banded plan is the scale path).
     """
     sh = shingles(_docs(spark, sf_dir))
     sigs = simhash_signatures(sh)
@@ -374,6 +404,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Exact oracle: same portable signature, brute-force all pairs (the banded
+# candidate set is pigeonhole-complete, so the results are identical).
+_SH_VOTES_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN (c{j} // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
+    f" AS v_{16 * j + k}"
+    for j in range(4)
+    for k in range(16)
+)
+_SH_SIG_SQL = ",\n       ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN v_{16 * j + k} > 0 THEN {1 << k} ELSE 0 END"
+        for k in range(16)
+    )
+    + f") AS s{j}"
+    for j in range(4)
+)
+_SH_CHUNKS_SQL = ",\n       ".join(
+    f"(({a} * poly + {b}) % {MERSENNE_P}) % 65536 AS c{j}"
+    for j, (a, b) in enumerate(_SH_CHUNK_AB)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+post AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+ph AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(shingle, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {_SH_POLY_B} + c) % {MERSENNE_P}) AS poly
+  FROM post
+),
+ch AS (SELECT doc_id, {_SH_CHUNKS_SQL} FROM ph),
+votes AS (SELECT doc_id, {_SH_VOTES_SQL} FROM ch GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SH_SIG_SQL} FROM votes),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+            + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+              AS INTEGER) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -722,7 +808,7 @@ ORACLES = {
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
-    # dedup_simhash: engine-specific 64-bit hash — rows-only check
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters_ngram": DEDUP_CLUSTERS_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,

@@ -184,19 +184,31 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Deterministic shard assignment: shard = xxhash64(doc_id, seed) mod N.
-# Training jobs need N balanced, reproducible shards whose membership
-# doesn't depend on partitioning or row order — a content-hash mod
-# gives exactly that, as one row-local expression (no shuffle; the
-# subsequent write partitionBy("shard") does the physical routing).
-# Engine-specific hash ⇒ rows-only driver check; balance + determinism
-# pinned by unit test.
+# Deterministic shard assignment: shard = h(doc_id) mod N with the same
+# PORTABLE affine hash family the count-min/Bloom sketches use
+# (h(u) = ((a·(u mod p) + b) mod p) mod N, p = 2³¹−1, sketches.py) —
+# engine-independent, so the DuckDB oracle checks every shard count
+# EXACTLY (graduated from rows-only in r5). Training jobs need N
+# balanced, reproducible shards whose membership doesn't depend on
+# partitioning or row order — a content-hash mod gives exactly that,
+# as one row-local expression (no shuffle; the subsequent write
+# partitionBy("shard") does the physical routing). Balance +
+# determinism additionally pinned by unit test.
 N_SHARDS = 8
+_SHARD_P = 2147483647  # 2^31 - 1
+_SHARD_A, _SHARD_B = 1000003, 12345
 
 
 def shard_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shard = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(N_SHARDS))
+    shard = F.pmod(
+        F.pmod(
+            F.lit(_SHARD_A) * F.pmod(F.col("doc_id"), F.lit(_SHARD_P))
+            + F.lit(_SHARD_B),
+            F.lit(_SHARD_P),
+        ),
+        F.lit(N_SHARDS),
+    )
     toks = F.split(F.trim("text"), r"\s+")
     return (
         docs.select(shard.alias("shard"), F.size(toks).alias("n_tokens"))
@@ -207,6 +219,18 @@ def shard_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+SELECT ((({_SHARD_A} * (doc_id % {_SHARD_P}) + {_SHARD_B}) % {_SHARD_P})
+         % {N_SHARDS}) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
 
 
 # --------------------------------------------------------------------------
@@ -615,7 +639,7 @@ ORACLES = {
     "mixture_resample_report": MIXTURE_RESAMPLE_SQL,
     "reservoir_sample_per_source": RESERVOIR_SAMPLE_SQL,
     "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
-    # shard_assignment_report: engine-specific xxhash64 — rows-only
+    "shard_assignment_report": SHARD_ASSIGNMENT_SQL,
     "pack_sequences_report": PACK_SEQUENCES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "pseudonymize_events": PSEUDONYMIZE_SQL,
