@@ -677,12 +677,18 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     kl = (
         F.col("a_term") / denom_a
         - F.log((F.col("n_a") + F.col("v")).cast("double"))
-        - (F.col("b_term") + F.col("c_term")) / denom_a
+        - (F.col("b_term") + F.coalesce(F.col("c_term"), F.lit(0.0)))
+        / denom_a
         + F.log((F.col("n_b") + F.col("v")).cast("double"))
     )
+    # Every directed source pair must appear even when the two
+    # vocabularies are fully disjoint (C_ab = 0, KL large but finite) —
+    # so the pair spine is per_src × per_src (|sources|² rows of 1-row
+    # aggregates, trivially broadcastable), with c_ab LEFT-joined onto
+    # it rather than used as the driving table.
+    pairs = pa.crossJoin(pb).filter(F.col("source_a") != F.col("source_b"))
     return (
-        c_ab.join(pa, "source_a")
-        .join(pb, "source_b")
+        pairs.join(c_ab, ["source_a", "source_b"], "left")
         .crossJoin(F.broadcast(v_df))
         .select(
             "source_a",
@@ -722,16 +728,17 @@ c_ab AS (
     ON a.word = b.word AND a.source <> b.source
   GROUP BY a.source, b.source
 )
-SELECT c_ab.source_a, c_ab.source_b,
+SELECT pa.source AS source_a, pb.source AS source_b,
        ROUND(pa.a_term / CAST(pa.n_tokens + v.v AS DOUBLE)
              - ln(CAST(pa.n_tokens + v.v AS DOUBLE))
-             - (pb.b_term + c_ab.c_term) / CAST(pa.n_tokens + v.v AS DOUBLE)
+             - (pb.b_term + COALESCE(c_ab.c_term, 0))
+               / CAST(pa.n_tokens + v.v AS DOUBLE)
              + ln(CAST(pb.n_tokens + v.v AS DOUBLE)), 6) AS kl_div,
        pa.n_tokens AS tokens_a,
        pb.n_tokens AS tokens_b
-FROM c_ab
-JOIN per_src pa ON pa.source = c_ab.source_a
-JOIN per_src pb ON pb.source = c_ab.source_b
+FROM per_src pa
+JOIN per_src pb ON pa.source <> pb.source
+LEFT JOIN c_ab ON c_ab.source_a = pa.source AND c_ab.source_b = pb.source
 CROSS JOIN v
 ORDER BY source_a, source_b
 """

@@ -185,10 +185,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets_from_documents(spark, sf_dir))
 
 
+# Oracle is BYTE-exact (r5 ADVICE fix): bytes are read from the hex dump
+# of the UTF-8 encoding, not via character indexing, so multi-byte text
+# matches the Python path's raw-byte sums bit-for-bit.
 MULTIMODAL_FEATURES_SQL = """
-WITH codes AS (
-  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS code
-  FROM documents, UNNEST(range(octet_length(encode(text)))) AS t(i)
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+codes AS (
+  SELECT doc_id,
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
+  FROM h, UNNEST(range(n)) AS t(i)
 ),
 agg AS (
   SELECT doc_id, CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_byte
@@ -403,9 +414,10 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # guarantees (nw−1)·hop + win ≤ len for len ≥ win), so wlen is simply
 # LEAST(win, len). All roundings are the portable FLOOR(x·10^k + 0.5)
 # form matching the numpy path bit-for-bit.
+# Byte-exact codes via the hex dump, as in MULTIMODAL_FEATURES_SQL.
 MULTIMODAL_AUDIO_SQL = f"""
 WITH docs AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
          CASE WHEN octet_length(encode(text)) >= {AUDIO_WIN}
               THEN (octet_length(encode(text)) - {AUDIO_WIN}) // {AUDIO_HOP} + 1
               WHEN octet_length(encode(text)) > 0 THEN 1
@@ -414,7 +426,10 @@ WITH docs AS (
 ),
 codes AS (
   SELECT doc_id, n, nw, CAST(i AS BIGINT) AS i,
-         ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS code
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
   FROM docs, UNNEST(range(n)) AS t(i)
 ),
 owned AS (

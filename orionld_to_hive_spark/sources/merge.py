@@ -59,7 +59,16 @@ def merge_upsert(
     NULL partition values in `updates` are rejected up front: a NULL
     never equi-matches during the touched-partition read-back, so the
     existing rows of that partition would be skipped and latest-wins
-    silently disabled for them."""
+    silently disabled for them.
+
+    Keys MAY move between two partitions that are both touched by the
+    batch (e.g. a replayed multi-version batch where the entity changed
+    partition): the latest-wins window spans the whole touched slice,
+    so the losing row simply isn't rewritten — and if that empties a
+    touched partition, its directory is explicitly deleted after the
+    write (r5 ADVICE fix: dynamic partition-overwrite only rewrites
+    partitions that still have rows, which would otherwise leave the
+    stale copy on disk)."""
     spark = updates.sparkSession
     touched = updates.select(*partition_cols).distinct()
     touched_rows = touched.collect()  # small: one row per touched partition
@@ -75,17 +84,26 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
 
+    # touched-partition predicate: a disjunction of partition-value
+    # conjunctions, which Catalyst folds into partition pruning
+    # (PartitionFilters in the scan). eqNullSafe so that target rows
+    # sitting in a NULL partition (written before the non-NULL guard, or
+    # by another writer) evaluate to a definite false, not NULL — the
+    # stability check below negates this predicate, and ~NULL would
+    # silently drop those rows from the foreign set (r5 ADVICE fix; the
+    # old `isin` formulation had exactly that blind spot).
+    pred = None
+    for r in touched_rows:
+        conj = None
+        for c in partition_cols:
+            term = F.col(c).eqNullSafe(F.lit(r[c]))
+            conj = term if conj is None else (conj & term)
+        pred = conj if pred is None else (pred | conj)
+
     if check_partition_stability:
         # keys present in the table but owned by a NON-touched partition
-        # must not appear in the update batch at all.
-        part_tuple = F.struct(*[F.col(c) for c in partition_cols])
-        touched_lits = [
-            F.struct(*[F.lit(r[c]).alias(c) for c in partition_cols])
-            for r in touched_rows
-        ]
-        foreign = target.select(*key_cols, *partition_cols).filter(
-            ~part_tuple.isin(*touched_lits)
-        )
+        # (including a NULL one) must not appear in the update batch.
+        foreign = target.select(*key_cols, *partition_cols).filter(~pred)
         movers = (
             updates.select(*key_cols)
             .distinct()
@@ -99,17 +117,6 @@ def merge_upsert(
                 f"does not touch): {[tuple(m[k] for k in key_cols) for m in movers]}"
             )
 
-    # partition-pruned read of the touched slice only: a disjunction of
-    # partition-value conjunctions, which Catalyst folds into partition
-    # pruning (PartitionFilters in the scan). eqNullSafe as
-    # defense-in-depth (NULLs are rejected above).
-    pred = None
-    for r in touched_rows:
-        conj = None
-        for c in partition_cols:
-            term = F.col(c).eqNullSafe(F.lit(r[c]))
-            conj = term if conj is None else (conj & term)
-        pred = conj if pred is None else (pred | conj)
     existing = target.filter(pred).select(*updates.columns)
 
     merged = existing.withColumn("_src", F.lit(0)).unionByName(
@@ -123,5 +130,30 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+    # one row per surviving touched partition — bounded by the touched
+    # count, so the collect is driver-safe even at warehouse scale
+    remaining = {
+        tuple(r[c] for c in partition_cols)
+        for r in latest.select(*partition_cols).distinct().collect()
+    }
     overwrite_partitions(latest, target_path, partition_cols)
+
+    # clear partitions the merge emptied (every row lost latest-wins to
+    # a row in another touched partition): dynamic overwrite never saw
+    # them, so delete their directories. Write-then-delete order keeps
+    # the table recoverable if the write fails mid-merge. Hadoop FS API,
+    # so the same code path works on HDFS/S3A, not just local disk.
+    emptied = [
+        r
+        for r in touched_rows
+        if tuple(r[c] for c in partition_cols) not in remaining
+    ]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for r in emptied:
+            rel = "/".join(f"{c}={r[c]}" for c in partition_cols)
+            p = jvm.org.apache.hadoop.fs.Path(target_path, rel)
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
     return len(touched_rows)

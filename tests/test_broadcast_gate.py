@@ -16,6 +16,11 @@ centroid/sketch/probe tables, capped top-V vocabularies). Adding a new
 hint on a frame whose cardinality scales with the data requires
 consciously extending the allowlist, which is exactly the review
 friction the gate exists to create.
+
+r5 (ADVICE fix): the allowlist is scoped PER MODULE — generic local
+names like `stats` or `ref` are only allowed in the file where the
+bounded frame was reviewed, so a future sf-proportional frame reusing
+one of those names in another module still trips the gate.
 """
 
 from __future__ import annotations
@@ -25,41 +30,62 @@ import pathlib
 
 PKG = pathlib.Path(__file__).resolve().parent.parent / "orionld_to_hive_spark"
 
-# Identifiers that may appear inside an F.broadcast(...) argument.
-# Every name here is bounded-cardinality BY CONSTRUCTION (not merely
-# small at bench scale):
+# (module, identifier) pairs that may appear inside an F.broadcast(...)
+# argument. Every entry is bounded-cardinality BY CONSTRUCTION in that
+# module (not merely small at bench scale); the module scoping means a
+# same-named frame elsewhere gets no free pass.
 ALLOWED = {
-    # module alias (F.broadcast(bits.withColumn(...)) walks the F too)
-    "F",
-    # nation/region dims and their ≤25-row derivations
-    "nation", "region", "asia_nations", "asia_keys", "eu_nations",
-    # 1-row scalar aggregates (global totals / bounds / thresholds)
-    "total", "totals", "total_df", "n_docs", "n_uni", "n_bi", "avg_dl",
-    "n_orders_df", "global_avg", "avg_pos", "max_rev", "dm", "thresh",
-    "v_df",
-    # per-group stats where the group key is bounded (event_type ≤ 5,
-    # label ≤ few, brand ≤ 25, dow ≤ 7): one row per group
-    "stats", "bounds", "med", "mad", "cuts", "row_m", "col_m",
-    "sa", "sb", "ref", "hist",
-    # ≤25-node graph state (nation-keyed)
-    "out_w",
-    # fixed small probe/query sets and k-bounded centroid tables
-    "queries", "cent", "centroids", "cdf", "exact",
-    # sketch tables: ≤ d×w counters / ≤ m bit positions (constants)
-    "cm", "bits",
-    # capped top-V vocabulary (explicit bound, text.py vocab_coverage)
-    # and the 1-row vocab-size scalar (bigram LM's V)
-    "vocab",
-    # eval-benchmark n-gram set (contamination screen: the eval corpus
-    # is a fixed benchmark, not sf-proportional)
-    "eval_g",
-    # bounded interval dims (calendar windows / static room config)
-    "iv", "room_dim",
+    # analytics.py: 1-row/per-bounded-group aggregates
+    ("analytics.py", "med"), ("analytics.py", "bounds"),
+    ("analytics.py", "stats"), ("analytics.py", "n_orders_df"),
+    ("analytics.py", "mad"), ("analytics.py", "cuts"),
+    ("analytics.py", "sa"), ("analytics.py", "sb"),
+    ("analytics.py", "ref"),
+    # curation.py: 1-row totals / fixed-bin histograms / vocab-size scalar
+    ("curation.py", "total_df"), ("curation.py", "hist"),
+    ("curation.py", "totals"), ("curation.py", "thresh"),
+    ("curation.py", "v_df"),
+    # dedup.py / similarity.py: capped query sets, k-bounded centroids,
+    # per-bounded-group stats, k-point CDF
+    ("dedup.py", "queries"), ("similarity.py", "queries"),
+    ("similarity.py", "cent"), ("similarity.py", "centroids"),
+    ("similarity.py", "stats"), ("similarity.py", "cdf"),
+    # graph.py: ≤25-node nation-keyed state / 1-row dangling-mass agg
+    ("graph.py", "out_w"), ("graph.py", "nation"), ("graph.py", "dm"),
+    # sketches.py: ≤ d×w counters / ≤ m bit positions / 20-row exact set
+    ("sketches.py", "cm"), ("sketches.py", "bits"),
+    ("sketches.py", "exact"),
+    # stats.py: 1-row or bounded-group marginals
+    ("stats.py", "total"), ("stats.py", "row_m"), ("stats.py", "col_m"),
+    ("stats.py", "cuts"),
+    # subqueries.py: 1-row global average
+    ("subqueries.py", "global_avg"),
+    # temporal.py: 1-row bounds / bounded calendar intervals
+    ("temporal.py", "bounds"), ("temporal.py", "iv"),
+    # text.py: 1-row totals and capped top-V vocab; the eval-benchmark
+    # n-gram set is a fixed corpus, not sf-proportional
+    ("text.py", "totals"), ("text.py", "total_df"),
+    ("text.py", "vocab"), ("text.py", "eval_g"),
+    ("text.py", "n_docs"), ("text.py", "n_uni"), ("text.py", "n_bi"),
+    ("text.py", "avg_dl"),
+    # tpch.py / tpch2.py: nation/region dims and their ≤25-row
+    # derivations, 1-row scalars
+    ("tpch.py", "region"), ("tpch.py", "asia_nations"),
+    ("tpch.py", "max_rev"),
+    ("tpch2.py", "region"), ("tpch2.py", "eu_nations"),
+    ("tpch2.py", "nation"), ("tpch2.py", "asia_keys"),
+    ("tpch2.py", "total_df"), ("tpch2.py", "avg_pos"),
+    # streaming/joins.py: static room-config dim
+    ("joins.py", "room_dim"),
 }
 
-# Names that must NEVER appear inside a broadcast hint: sf-proportional
-# base tables and their conventional local aliases, plus the
-# vocabulary-cardinality LM/DF tables the r3 verdict flagged.
+# Names allowed in any module: the functions alias itself (walking the
+# arg AST sees the `F` in `F.broadcast(x.withColumn(...))` chains).
+ALLOWED_GLOBAL = {"F"}
+
+# Names that must NEVER appear inside a broadcast hint in ANY module:
+# sf-proportional base tables and their conventional local aliases, plus
+# the vocabulary-cardinality LM/DF tables the r3 verdict flagged.
 DENIED = {
     "orders", "cust", "customer", "supp", "supplier", "li", "lineitem",
     "part", "ps", "big", "excluded", "supp_nation", "df_", "lm", "cu",
@@ -89,20 +115,25 @@ def _broadcast_sites():
 def test_no_fact_scale_broadcast_hints():
     violations = []
     for path, lineno, names in _broadcast_sites():
-        bad = names - ALLOWED
+        bad = {
+            n
+            for n in names - ALLOWED_GLOBAL
+            if (path.name, n) not in ALLOWED
+        }
         if bad:
             violations.append(f"{path.name}:{lineno} broadcasts {sorted(bad)}")
     assert not violations, (
         "F.broadcast() hint on a non-allowlisted frame — if the frame is "
-        "genuinely bounded, extend ALLOWED in test_broadcast_gate.py; if "
-        "it scales with sf, drop the hint and let AQE choose:\n"
-        + "\n".join(violations)
+        "genuinely bounded, add (module, name) to ALLOWED in "
+        "test_broadcast_gate.py; if it scales with sf, drop the hint and "
+        "let AQE choose:\n" + "\n".join(violations)
     )
 
 
 def test_denylist_disjoint_from_allowlist():
     # a name can't be both; keeps future edits honest
-    assert not (ALLOWED & DENIED)
+    assert not ({n for _, n in ALLOWED} & DENIED)
+    assert not (ALLOWED_GLOBAL & DENIED)
 
 
 def test_fact_aliases_never_hinted():

@@ -197,3 +197,55 @@ def test_merge_multi_column_partitions(spark, tmp_path):
     # cells sharing one (but not both) partition values stay untouched
     assert _files_mtimes(path, "day=b/region=us") == before_b_us
     assert _files_mtimes(path, "day=a/region=us") == before_a_us
+
+
+def test_merge_detects_mover_from_null_partition(spark, tmp_path):
+    # ADVICE r5: a key sitting in a NULL target partition (legacy write)
+    # must still trip the stability check — the old isin() formulation
+    # evaluated to NULL for such rows and silently excluded them.
+    import pytest
+
+    path = str(tmp_path / "tbl9")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    legacy = spark.createDataFrame(
+        [(9, None, 1, 90.0)], "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    # bypass merge (which rejects NULL batches) to plant a legacy row
+    legacy.write.mode("append").partitionBy("day").parquet(path)
+    assert any(
+        r.day is None for r in spark.read.parquet(path).collect()
+    ), "legacy NULL-partition row must be present"
+
+    movers = spark.createDataFrame(
+        [(9, "a", 2, 91.0)], "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    with pytest.raises(ValueError, match="partition-unstable"):
+        merge_upsert(
+            path, movers, ("id",), "version", ("day",),
+            check_partition_stability=True,
+        )
+
+
+def test_merge_intra_batch_mover_clears_emptied_partition(spark, tmp_path):
+    # ADVICE r5: id 4 is the ONLY row of day=c; a batch carrying both a
+    # stale c-version and a newer d-version of it empties day=c after
+    # latest-wins — the emptied directory must be deleted, not left
+    # holding the stale duplicate.
+    path = str(tmp_path / "tbl10")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    updates = spark.createDataFrame(
+        [
+            (4, "c", 2, 41.0),  # touches day=c
+            (4, "d", 3, 42.0),  # newer version in day=d wins
+        ],
+        "id LONG, day STRING, version LONG, value DOUBLE",
+    )
+    n = merge_upsert(path, updates, ("id",), "version", ("day",))
+    assert n == 2
+    rows = [r for r in spark.read.parquet(path).collect() if r.id == 4]
+    assert len(rows) == 1, rows  # no stale duplicate in day=c
+    assert (rows[0].day, rows[0].version, rows[0].value) == ("d", 3, 42.0)
+    assert not (Path(path) / "day=c").exists()  # emptied dir cleared
+    # untouched partitions survive
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3, 4}
