@@ -160,6 +160,22 @@ def temp_humidity_full_outer_join(
     )
 
 
+def temp_humidity_right_outer_join(
+    parsed: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """RIGHT OUTER watermarked interval join — the last symmetric
+    variant of the matrix (inner/left/right/full/semi): every humidity
+    reading is emitted, NULL-extended once the temperature-side
+    watermark proves no in-band partner can arrive. Same bounded state
+    as the left-outer form with the tombstone side swapped."""
+    temps, hums = _watermarked_sides(parsed, watermark)
+    return temps.join(hums, _band(gap), "right_outer").select(
+        "room", "t_ts", "temperature", "h_room", "h_ts", "humidity"
+    )
+
+
 def temp_humidity_semi_join(
     parsed: DataFrame,
     gap: str = "10 minutes",

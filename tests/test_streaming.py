@@ -594,3 +594,94 @@ def test_stream_stream_full_outer_and_semi_joins(spark, tmp_path):
         if r.room != "zzflush"
     )
     assert semi_rows == semi_b
+
+
+def test_stream_stream_right_outer_join(spark, tmp_path):
+    """RIGHT OUTER: every humidity reading comes out — matched pairs
+    immediately, partnerless humidity NULL-extended after the
+    temperature watermark; left-unmatched temperatures are dropped.
+    Must equal the batch twin over the same rows."""
+    from orionld_to_hive_spark.streaming.ingest import (
+        parse_notifications,
+        read_notification_stream,
+    )
+    from orionld_to_hive_spark.streaming.joins import (
+        temp_humidity_right_outer_join,
+    )
+
+    in_dir = tmp_path / "rjoin_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:10:00.000Z", temperature=20.0),
+                # bathroom temp never matched: must NOT appear (right outer)
+                _entity_at("Bathroom", "2024-01-01T00:12:00.000Z", temperature=17.5),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f2.json").write_text(
+        _notification(
+            [
+                _entity_at("Kitchen", "2024-01-01T00:14:00.000Z", humidity=48),
+                # toilet humidity with no temperature: right-unmatched
+                _entity_at("Toilet", "2024-01-01T00:15:00.000Z", humidity=60),
+            ]
+        )
+        + "\n"
+    )
+    time.sleep(0.05)
+    (in_dir / "f3.json").write_text(
+        _notification(
+            [
+                _entity_at("ZzFlush", "2024-01-01T06:00:00.000Z",
+                           temperature=0.0, humidity=0),
+            ]
+        )
+        + "\n"
+    )
+
+    parsed = read_notification_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = (
+        temp_humidity_right_outer_join(parsed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ro_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    ro = spark.sql(
+        "SELECT * FROM ro_out WHERE COALESCE(room, h_room, '') NOT LIKE 'zz%'"
+    ).collect()
+    ro_set = {
+        (r.room, str(r.t_ts) if r.t_ts else None, r.temperature,
+         r.h_room, str(r.h_ts) if r.h_ts else None, r.humidity)
+        for r in ro
+    }
+    assert ("kitchen", "2024-01-01 00:10:00", 20.0,
+            "kitchen", "2024-01-01 00:14:00", 48) in ro_set
+    assert (None, None, None,
+            "toilet", "2024-01-01 00:15:00", 60) in ro_set
+    # bathroom temp (left-unmatched) must be absent
+    assert not any(t[0] == "bathroom" for t in ro_set)
+    assert len(ro_set) == 2
+
+    # batch twin over the same raw lines
+    raw = spark.read.schema(NGSI_NOTIFICATION_SCHEMA).json(
+        spark.sparkContext.parallelize(
+            [ln for p in sorted(in_dir.glob("*.json"))
+             for ln in p.read_text().splitlines()]
+        )
+    )
+    ro_b = {
+        (r.room, str(r.t_ts) if r.t_ts else None, r.temperature,
+         r.h_room, str(r.h_ts) if r.h_ts else None, r.humidity)
+        for r in temp_humidity_right_outer_join(parse_notifications(raw)).collect()
+        if (r.room or r.h_room or "") != "zzflush"
+    }
+    assert ro_set == ro_b
