@@ -67,6 +67,9 @@ HIGH_REPS = {
     "tumbling_window_agg": 15,
     "latest_event_per_user": 15,
     "tpch_q1_pricing": 15,
+    # r5: Q3 re-planned (shuffle_hash build from the filtered
+    # orders⋈cust side) — pin its regression history at ≥15 reps
+    "tpch_q3_shipping": 15,
 }
 
 # Headline set: the four reference-parity queries plus one representative

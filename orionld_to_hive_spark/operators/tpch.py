@@ -80,19 +80,22 @@ ORDER BY l_returnflag, l_linestatus
 # --------------------------------------------------------------------------
 # TPC-H Q3 shape: shipping-priority. customer(filtered) ⋈ orders ⋈
 # lineitem, then group + top-k. No broadcast hints: customer and
-# orders are sf-proportional. At bench scale the static planner builds
-# the hash table from the filtered lineitem scan (its column-pruned
-# size estimate is smallest; the orders⋈cust subtree has no stage
-# boundary, so AQE has no runtime stats to re-pick the build side) —
-# a slightly slower local choice than the old forced broadcast of
-# orders⋈cust, accepted deliberately: at 100 TB every one of these
-# estimates exceeds the broadcast threshold and the join degrades
-# gracefully to shuffle-hash/SMJ instead of OOMing on a forced hint.
-# (An aggregate-first rewrite was tried and is WORSE here: Q3's
-# revenue aggregate keys on ~|orders| groups but the segment filter
-# only keeps ~20% of them, so pre-aggregating before the join does 5×
-# the aggregation work — unlike Q10, whose fact side is pre-filtered
-# to a 3-month returned-items slice.)
+# orders are sf-proportional (r4 removed the forced broadcast). Left
+# alone, the static planner builds a BROADCAST hash table from the
+# filtered-lineitem scan (its column-pruned estimate is smallest, and
+# AQE never flips the build side of an already-broadcast join) — a
+# 582k-row broadcast at sf0.1, measured 0.95 s. The r5 fix is a
+# SHUFFLE_HASH strategy hint on the orders⋈cust side: both sides
+# shuffle on the join key and the hash builds per-partition from the
+# small filtered side — 0.67 s interleaved-measured (±0.04), identical
+# rows. Unlike a broadcast hint this is scale-safe: the build side is
+# keyed by the unique o_orderkey (no skew), per-partition build memory
+# shrinks with shuffle parallelism, and nothing is ever collected to
+# one node. (An aggregate-first rewrite was tried and is WORSE here:
+# Q3's revenue aggregate keys on ~|orders| groups but the segment
+# filter only keeps ~20% of them, so pre-aggregating before the join
+# does 5× the aggregation work — unlike Q10, whose fact side is
+# pre-filtered to a 3-month returned-items slice.)
 def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -106,7 +109,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.join(
                 cust.select("c_custkey"),
                 orders.o_custkey == F.col("c_custkey"),
-            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            )
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .hint("shuffle_hash"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")

@@ -422,3 +422,73 @@ def test_interpolate_windows_are_partitioned(spark, sf_smoke):
     assert win_lines, plan[:2000]  # gate must actually see the window
     for line in win_lines:
         assert "windowspecdefinition(event_type" in line, line
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT item 6): the r4 de-hinting must not creep back. For EVERY
+# query in the three fact-heavy modules, walk the analyzed logical plan:
+# a broadcast ResolvedHint whose subtree scans a TPC-H fact relation is
+# only tolerable if the hinted side is an aggregate of it (bounded
+# cardinality by its grouping key — e.g. pagerank's ≤25-row nation
+# out-weights); a raw fact-derived side (the r3 `weak` pattern) fails.
+# AQE-chosen broadcasts carry no ResolvedHint and are unaffected.
+_FACT_COL_MARKERS = (
+    "l_orderkey", "l_partkey", "o_orderkey", "o_custkey",
+    "c_custkey", "s_suppkey", "ps_partkey", "ps_suppkey", "p_partkey",
+)
+
+
+def _node_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _hinted_broadcast_subtrees(df) -> list[str]:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    subtrees = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        depth = _node_depth(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    return subtrees
+
+
+def test_no_raw_fact_side_broadcast_hints_in_fact_modules(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import graph, tpch2
+
+    violations = []
+    for mod in (tpch, tpch2, graph):
+        for name, fn in mod.QUERIES.items():
+            df = fn(spark, sf_smoke)
+            for sub in _hinted_broadcast_subtrees(df):
+                touches_fact = any(m in sub for m in _FACT_COL_MARKERS)
+                if touches_fact and "Aggregate" not in sub:
+                    violations.append(f"{mod.__name__}:{name}")
+    assert not violations, (
+        "broadcast hint on a raw fact-derived side (no bounding "
+        f"aggregate between hint and fact scan): {sorted(set(violations))}"
+    )
+
+
+def test_fact_hint_gate_detects_violation(spark, sf_smoke):
+    # falsifiability: a deliberately hinted raw orders-derived side must
+    # be caught by the same walker the gate uses.
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer")
+    bad = cust.join(F.broadcast(orders.filter(F.col("o_orderkey") > 0)),
+                    F.col("c_custkey") == F.col("o_custkey"))
+    subs = _hinted_broadcast_subtrees(bad)
+    assert any(
+        any(m in s for m in _FACT_COL_MARKERS) and "Aggregate" not in s
+        for s in subs
+    ), subs
