@@ -1174,6 +1174,21 @@ ORDER BY lang
 # bigrams and drop out (both engines). Per-doc term products are
 # rounded then decimal-summed (shuffle-order independence, as
 # unigram_logprob_score).
+#
+# Multi-scan note (perf history, don't re-litigate): each of db/cb/cu/
+# vocab re-explodes the corpus. Three alternatives were measured at
+# sf0.1 and ALL lose to the re-scan: (1) eager localCheckpoint of the
+# exploded token stream — reverted in r4 (commits 785034b/29872e3, CI
+# blowup + 1.5× quality_ensemble under full-bench memory pressure);
+# (2) r5: cb derived from db (ReusedExchange fires on db's shuffle) —
+# 1.99 s vs 1.85 s, the extra (w,w2)-keyed exchange on top of db's
+# costs more than the explode it saves; (3) r5: cu/vocab derived from
+# a per-doc word-count frame — 1.95 s, the (doc_id,w)-keyed exchange
+# is doc×word-sized, strictly bigger than cu's direct vocab-sized one.
+# At 100 TB the structure to revisit is persisting the AGGREGATED
+# cu/cb tables across *consumers of the LM* (they are vocab-sized and
+# reusable), not within this single scoring pass, where the map-side
+# partial aggregation on the exploded stream is already optimal.
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
