@@ -72,6 +72,17 @@ HIGH_REPS = {
     "tpch_q3_shipping": 15,
 }
 
+# The >1.3 s headliners re-measured at the generated sf0.3 replica
+# (high-end ladder honesty, VERDICT r4 item 7).
+HIGH_LADDER_QUERIES = (
+    "graph_nation_trade_pagerank",
+    "bigram_logprob_score",
+    "interpolate_hourly_values",
+    "dedup_minhash_lsh",
+    "sessionize_events",
+    "session_window_stats",
+)
+
 # Headline set: the four reference-parity queries plus one representative
 # of each scale-relevant operator family.
 HEADLINE = (
@@ -211,6 +222,26 @@ def main() -> None:
 
     per_query, detail = run_scale(spark, sf_dir, REPS, high_reps=True)
     total = round(sum(per_query.values()), 4)
+
+    # High-end ladder point (VERDICT r4 item 7): the expensive
+    # headliners only, at a generated 3× replica of sf0.1 (see
+    # tools/gen_ladder.py) — confirms the top of the scaling curve
+    # that the sf0.01→sf0.1 step only suggests. Skipped silently when
+    # the replica hasn't been generated.
+    high_dir = os.environ.get(
+        "SPARK_GRAFT_SF_HIGH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".ladder", "sf0.3"),
+    )
+    high: dict[str, float] = {}
+    high_detail: dict[str, dict] = {}
+    if os.path.isdir(high_dir):
+        for name in HIGH_LADDER_QUERIES:
+            stats = time_query(registry.all_queries()[name], spark,
+                               high_dir, reps=5)
+            stats["reps"] = 5
+            high_detail[name] = stats
+            high[name] = stats["mean"]
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
     # style 3-point scaling curve) — measured once, reported in both.
     ladder[str(_sf_of(sf_dir))] = total
@@ -233,6 +264,7 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "detail": detail,
                 "ladder_detail": ladder_detail,
+                "high_ladder_detail": high_detail,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,
                     "ours_parity_total_s": parity_total,
@@ -254,6 +286,8 @@ def main() -> None:
         "parity_total": parity_total,
         "ladder": ladder,
     }
+    if high:
+        summary["high_sf0.3"] = {k: round(v, 3) for k, v in high.items()}
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 
