@@ -246,56 +246,42 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 # Weighted PageRank on the nation trade graph, fixed 5 iterations,
 # d = 0.85, proper dangling-mass redistribution. See module docstring
 # for the determinism grid. The oracle is the same recurrence unrolled
-# as a CTE chain — a decorrelation-style proof that the iterative
-# DataFrame loop computes the textbook fixpoint step.
-def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    # Edge derivation: ONE fact scan; join strategy left to AQE (see
-    # module docstring — orders/customer/supplier are sf-proportional,
-    # never hint-broadcast). Weights stay
-    # exact DECIMAL through the out-weight normalization so the double
-    # division is a single deterministic operation per edge.
-    raw = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    DECIMAL_T
-                )
-            ).alias("w")
-        )
-    )
-    out_w = raw.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges = (
-        raw.join(F.broadcast(out_w), "src")
-        .select(
-            "src",
-            "dst",
-            F.round(
-                F.col("w").cast("double") / F.col("out_w").cast("double"), 12
-            ).alias("p"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
+# as a CTE chain — a decorrelation-style proof that the computed ranks
+# are the textbook fixpoint step.
+#
+# Two execution strategies (r5):
+#   * pagerank_iterate_distributed — ranks live in a DataFrame, each
+#     iteration is contribution-join + groupBy + two scalar-aggregate
+#     broadcasts, lineage truncated per iteration. The scale path for
+#     UNBOUNDED graphs (supplier-level, web-domain-level, ...).
+#   * _pagerank_solve_bounded — the nation graph has ≤25 nodes and
+#     ≤625 edges BY CONSTRUCTION, so after the fact-scale edge
+#     derivation the solve is a bounded-state problem: collect the
+#     normalized edge table (≤625 rows — the same k·d-sized collect
+#     the k-means loop uses for centroids) and iterate on the driver,
+#     mirroring the distributed arithmetic digit-for-digit (same
+#     HALF_UP roundings, same exact-decimal sums, same IEEE op order).
+#     This removes ~15 tiny shuffle/checkpoint jobs whose fixed cost
+#     dominated the query (2.27 s → the edge derivation alone).
+# tests/test_graph.py pins driver-solve ≡ distributed-iteration
+# equality exactly, and the DuckDB oracle certifies the solve against
+# the unrolled recurrence every round.
+def pagerank_iterate_distributed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = None,
+    d: float = None,
+) -> DataFrame:
+    """Distributed PageRank iteration over (src, dst, p) edges and
+    (node) vertices — the unbounded-graph path. Returns (node, rank)."""
+    iters = _PR_ITERS if iters is None else iters
+    d = _PR_D if d is None else d
+    n = nodes.count()
     srcs = edges.select(F.col("src").alias("node")).distinct()
-    ranks = nodes.select("node", F.lit(1.0 / _PR_N).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
 
-    base = (1.0 - _PR_D) / _PR_N
-    for _ in range(_PR_ITERS):
+    base = (1.0 - d) / n
+    for _ in range(iters):
         # Dangling mass: 1-row aggregate broadcast (never a global window).
         dm = (
             ranks.join(srcs, "node", "left_anti")
@@ -326,19 +312,124 @@ def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.round(
                     F.lit(base)
-                    + _PR_D
-                    * (F.coalesce(F.col("inc"), F.lit(0.0)) + F.col("dm") / _PR_N),
+                    + d
+                    * (F.coalesce(F.col("inc"), F.lit(0.0)) + F.col("dm") / n),
                     12,
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
+    return ranks
 
-    return (
-        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
-        .select("n_name", F.round("rank", 9).alias("rank"))
-        .orderBy(F.col("rank").desc(), "n_name")
+
+def _round_half_up(x: float, scale: int):
+    """Exact mirror of Spark's F.round on DoubleType: HALF_UP over the
+    shortest decimal representation (java BigDecimal.valueOf ==
+    Python repr, both shortest-round-trip)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+
+
+def _pagerank_solve_bounded(
+    edge_rows, node_ids, iters: int, d: float
+) -> list[tuple[int, float]]:
+    """Driver-side solve for BOUNDED graphs (≤ a few thousand edges),
+    digit-identical to pagerank_iterate_distributed: per-term HALF_UP
+    rounding to 15 dp, exact decimal sums (float() of a Decimal is
+    correctly rounded, as BigDecimal.doubleValue), per-iteration rank
+    rounding to 12 dp, and the same IEEE operation order in the update
+    expression."""
+    n = len(node_ids)
+    srcs = {s for s, _, _ in edge_rows}
+    ranks = {v: 1.0 / n for v in node_ids}
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        dm = float(sum((_round_half_up(ranks[v], 15)
+                        for v in node_ids if v not in srcs), start=0))
+        inc: dict[int, object] = {}
+        for s, t, p in edge_rows:
+            term = _round_half_up(ranks[s] * p, 15)
+            inc[t] = inc.get(t, 0) + term
+        ranks = {
+            v: float(
+                _round_half_up(
+                    base
+                    + d * ((float(inc[v]) if v in inc else 0.0) + dm / n),
+                    12,
+                )
+            )
+            for v in node_ids
+        }
+    return sorted(ranks.items())
+
+
+def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    # Edge derivation: ONE fact scan; join strategy left to AQE (see
+    # module docstring — orders/customer/supplier are sf-proportional,
+    # never hint-broadcast). Weights stay
+    # exact DECIMAL through the out-weight normalization so the double
+    # division is a single deterministic operation per edge.
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DECIMAL_T
+                )
+            ).alias("w")
+        )
+    )
+    # ≤ |nations|² = 625 rows by construction — bounded-state collect
+    # (k·d-class, like the k-means centroid loop); the fact-scale work
+    # above stays distributed and runs as ONE job. Everything after —
+    # out-weight normalization, the 5-iteration solve, the name join,
+    # the final sort — is ≤625-row arithmetic, so it finishes
+    # driver-side with digit-identical roundings (each extra 25-row
+    # Spark job measured 0.3-0.8 s of pure scheduling overhead; the
+    # old distributed tail cost more than the fact scan itself). The
+    # result ships back as a pre-ordered LocalRelation.
+    raw_rows = raw.collect()  # (src, dst, w: Decimal), exact
+    import decimal
+
+    out_w: dict[int, object] = {}
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50  # exact at any edge-weight magnitude (Spark's
+        # decimal sum widens to precision 37; 50 dominates it)
+        for r in raw_rows:
+            out_w[r.src] = out_w.get(r.src, 0) + r.w
+    # float(Decimal) == BigDecimal.doubleValue: both correctly rounded,
+    # so this division mirrors w.cast(double)/out_w.cast(double).
+    edge_rows = [
+        (
+            r.src,
+            r.dst,
+            float(_round_half_up(float(r.w) / float(out_w[r.src]), 12)),
+        )
+        for r in raw_rows
+    ]
+    names = {r.n_nationkey: r.n_name for r in nation.collect()}
+    solved = _pagerank_solve_bounded(
+        edge_rows, list(names), _PR_ITERS, _PR_D
+    )
+    rows = sorted(
+        ((names[v], float(_round_half_up(r, 9))) for v, r in solved),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(rows, "n_name STRING, rank DOUBLE")
 
 
 def _pagerank_sql() -> str:

@@ -71,3 +71,54 @@ def test_bfs_hops_start_at_single_source(spark):
     # hop counts are contiguous from 0 (a frontier can't skip a level)
     hops = sorted(rows)
     assert hops == list(range(len(hops)))
+
+
+def test_pagerank_driver_solve_equals_distributed_iteration(spark):
+    # r5: the bounded-graph driver solve must be DIGIT-identical to the
+    # distributed DataFrame iteration (same roundings, same decimal
+    # sums, same IEEE op order) — the scale path and the fast path are
+    # the same algorithm.
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.functions.numeric import DECIMAL_T
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, SF_SMOKE, "nation").select("n_nationkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast(DECIMAL_T)).alias("w"))
+    )
+    out_w = raw.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges = raw.join(F.broadcast(out_w), "src").select(
+        "src", "dst",
+        F.round(F.col("w").cast("double") / F.col("out_w").cast("double"),
+                12).alias("p"),
+    ).localCheckpoint(eager=True)
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+
+    dist = {
+        r.node: r.rank
+        for r in graph.pagerank_iterate_distributed(edges, nodes).collect()
+    }
+    edge_rows = [(r.src, r.dst, r.p) for r in edges.collect()]
+    node_ids = [r.node for r in nodes.collect()]
+    solved = dict(graph._pagerank_solve_bounded(
+        edge_rows, node_ids, graph._PR_ITERS, graph._PR_D))
+    assert dist == solved  # exact float equality, not approx

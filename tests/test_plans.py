@@ -355,11 +355,25 @@ def test_pagerank_scalars_are_broadcast_not_windowed(spark, sf_smoke):
     # scalars; they must ride 1-row agg broadcasts, never an
     # unpartitioned WindowExec over the rank frame. (The bigram LM's
     # lead() window is partitioned by doc_id — fine — so only the
-    # window-free pagerank gets the strict no-Window gate.)
+    # window-free pagerank gets the strict no-Window gate.) r5: the
+    # iteration moved into pagerank_iterate_distributed (the
+    # unbounded-graph path); the gate follows it there, and the bounded
+    # query's own plan must also stay window-free.
+    from pyspark.sql import functions as F
+
     from orionld_to_hive_spark.operators import graph
 
     plan = executed_plan(graph.graph_nation_trade_pagerank(spark, sf_smoke))
     assert "Window " not in plan, plan[:1500]
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 0.5), (1, 2, 0.5)], "src INT, dst INT, p DOUBLE"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node INT")
+    it_plan = executed_plan(
+        graph.pagerank_iterate_distributed(edges, nodes, iters=2)
+    )
+    assert "Window " not in it_plan, it_plan[:1500]
 
 
 def test_bloom_and_countmin_probe_sides_broadcast(spark, sf_smoke):
@@ -395,15 +409,25 @@ def test_cooc_cap_filter_precedes_self_join(spark, sf_smoke):
 
 def test_pagerank_checkpoint_truncates_lineage(spark, sf_smoke):
     # 5 iterations of join+agg would stack a deep lineage; the
-    # localCheckpoint per iteration must make the FINAL plan read from
-    # checkpointed state — no lineitem scan and no 5-deep join tower in
-    # the returned query's own plan.
+    # localCheckpoint per iteration of the DISTRIBUTED path must make
+    # the final plan read from checkpointed state (r4 measurement: lazy
+    # lineage costs 3.3→4.6 s). r5: the bounded nation query solves
+    # driver-side instead, so its returned plan must contain NO fact
+    # scan at all — the edge derivation already ran at build time.
     from orionld_to_hive_spark.operators import graph
 
     df = graph.graph_nation_trade_pagerank(spark, sf_smoke)
     plan = formatted(df)
     assert "lineitem.parquet" not in plan, plan[:2000]
-    assert plan.count("Scan ExistingRDD") >= 1, plan[:2000]
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 0.5), (1, 2, 0.5)], "src INT, dst INT, p DOUBLE"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node INT")
+    it_plan = formatted(
+        graph.pagerank_iterate_distributed(edges, nodes, iters=3)
+    )
+    assert it_plan.count("Scan ExistingRDD") >= 1, it_plan[:2000]
 
 
 def test_interpolate_windows_are_partitioned(spark, sf_smoke):
