@@ -43,8 +43,33 @@ _NORM_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one warehouse table; normalizes variant timestamp columns."""
+    """Read one warehouse table; normalizes variant timestamp columns.
+
+    The resolved DataFrame (an immutable logical plan) is memoized on
+    the session object: `spark.read.parquet` costs ~100 ms of
+    driver-side file listing + footer schema read per call, a fixed tax
+    on every plan build that repeats for every table of every query
+    (and every bench repetition). Warehouse tables are immutable for a
+    session's lifetime (static testdata / generated ladder replicas),
+    so the cached plan can never go stale; writers that produce
+    mutable tables (merge, snapshots, incremental) use
+    `spark.read.parquet` directly and are unaffected. Keying the cache
+    on the session instance (not a module global) ties its lifetime to
+    the session, so recreated test sessions never see foreign plans."""
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
     norm_cols = _NORM_TS_COLS.get(name, ())
+    # current_timezone() in the NTZ normalization folds at analysis
+    # time, so a tz-normalized table's plan is only valid for the
+    # session timezone it was built under — key it by tz so a runtime
+    # tz flip (tests do this; the driver's vanilla session may use any
+    # JVM tz) rebuilds instead of replaying a stale fold.
+    tz = spark.conf.get("spark.sql.session.timeZone") if norm_cols else None
+    key = (os.path.abspath(sf_dir), name, tz)
+    if key in cache:
+        return cache[key]
     if norm_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -67,6 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " as timestamp)"
                 ),
             )
+    cache[key] = df
     return df
 
 
