@@ -51,17 +51,19 @@ _MODULES = (
 # rows predate the r4 code (r1/r2); (c) the rest of the r1-graded set
 # oldest-first — after this round no oracle-backed query's newest green
 # row predates round 4's code. Deferred to r6: p6_sample_seeded and
-# p8_debounce (the only r1 entries left out — both are no-oracle
-# rows-only checks whose determinism is pinned by units, so a re-grade
-# adds the least signal of any candidate).
+# p8_debounce (no-oracle rows-only checks whose determinism is pinned
+# by units, so a re-grade adds the least signal of any candidate) and
+# p5_dropna (trivial null-drop projection), which gave up its slot to
+# graph_nation_trade_pagerank after the r5 driver-side-solve rewrite.
 _PRIORITY = (
-    # (a) r5-changed implementations/oracles (6)
+    # (a) r5-changed implementations/oracles (7)
     "dedup_simhash",
     "shard_assignment_report",
     "source_kl_divergence",
     "multimodal_features",
     "multimodal_audio_energy",
     "tpch_q3_shipping",
+    "graph_nation_trade_pagerank",
     # (b) r4-perf-touched with r1/r2-era green rows (7)
     "doc_repetition_report",
     "tpch_q13_custdist",
@@ -95,7 +97,6 @@ _PRIORITY = (
     "q4_join_hourly",
     "q4_join_hourly_sql",
     "u1_union_all",
-    "p5_dropna",
     "f11_json_extract",
     "topk_events",
     "scalar_suite",
