@@ -247,3 +247,90 @@ def test_dwell_quantiles_match_discrete_definition(spark, tmp_path_factory, evs)
         assert r.p50_gap_us == dq(gaps, 0.5)
         assert r.p90_gap_us == dq(gaps, 0.9)
         assert r.max_gap_us == max(gaps)
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE vs a pure-Python model of its documented contract
+# (merge.py:35-159): latest version_col per key wins across the touched
+# slice, keys may move between touched partitions, a partition emptied by
+# latest-wins is deleted, and a key moving FROM an untouched partition
+# leaves the documented stale duplicate (stability check off). Versions
+# are globally distinct by construction — base=1, fresh batch bi=bi+2,
+# stale batch bi=-1-bi — because at equal (version, _src) row_number's
+# pick is tie-broken arbitrarily and both engines would be guessing.
+_mrow = st.tuples(
+    st.integers(min_value=1, max_value=6),  # key
+    st.sampled_from(["a", "b", "c"]),       # partition
+)
+_mbatch = st.tuples(
+    st.lists(_mrow, min_size=0, max_size=6),
+    st.booleans(),  # fresh (version above all prior) vs stale (below base)
+)
+
+
+def _dedupe_by_key(rows):
+    return list({k: (k, p) for k, p in rows}.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(_mrow, min_size=1, max_size=6),
+    batches=st.lists(_mbatch, min_size=1, max_size=3),
+)
+def test_merge_sequences_match_python_model(spark, tmp_path_factory, base, batches):
+    from orionld_to_hive_spark.sources.merge import merge_upsert
+    from orionld_to_hive_spark.sources.warehouse import write_partitioned
+
+    tmp = tmp_path_factory.mktemp("mergeprop")
+    path = str(tmp / "tbl")
+    base = _dedupe_by_key(base)
+    schema = "id LONG, day STRING, version LONG, value DOUBLE"
+    write_partitioned(
+        spark.createDataFrame(
+            [(k, p, 1, k * 10.0) for k, p in base], schema
+        ),
+        path,
+        partition_cols=("day",),
+    )
+
+    table: dict[str, dict[int, tuple[int, float]]] = {}
+    for k, p in base:
+        table.setdefault(p, {})[k] = (1, k * 10.0)
+
+    for bi, (rows, fresh) in enumerate(batches):
+        rows = _dedupe_by_key(rows)
+        ver = bi + 2 if fresh else -1 - bi
+        updates = spark.createDataFrame(
+            [(k, p, ver, k * 100.0 + bi) for k, p in rows], schema
+        )
+        n = merge_upsert(path, updates, ("id",), "version", ("day",))
+        touched = {p for _, p in rows}
+        assert n == len(touched)
+        if not rows:
+            continue
+        cands = [
+            (k, v, 0, p, val)
+            for p in touched
+            for k, (v, val) in table.get(p, {}).items()
+        ] + [(k, ver, 1, p, k * 100.0 + bi) for k, p in rows]
+        best: dict[int, tuple[int, int, str, float]] = {}
+        for k, v, src, p, val in cands:
+            if k not in best or (v, src) > best[k][:2]:
+                best[k] = (v, src, p, val)
+        for p in touched:
+            table[p] = {}
+        for k, (v, _, p, val) in best.items():
+            table[p][k] = (v, val)
+        for p in [p for p in touched if not table[p]]:
+            del table[p]
+
+    want = sorted(
+        (k, p, v, val)
+        for p, by_key in table.items()
+        for k, (v, val) in by_key.items()
+    )
+    got = sorted(
+        (r.id, r.day, r.version, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == want
