@@ -334,3 +334,122 @@ def test_merge_sequences_match_python_model(spark, tmp_path_factory, base, batch
         for r in spark.read.parquet(path).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (windows.py::sessionize_events, 30-min gap rule,
+# (ts, event_id) total order) vs a sequential Python scan. Duplicate
+# timestamps are generated on purpose: event_id must break the ordering
+# tie identically in both implementations.
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(evs=st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user
+        st.integers(min_value=0, max_value=7200),     # ts offset seconds
+    ),
+    min_size=1, max_size=40,
+))
+def test_sessionize_matches_sequential_scan(spark, tmp_path_factory, evs):
+    from orionld_to_hive_spark.operators.windows import sessionize_events
+
+    tmp = tmp_path_factory.mktemp("sess")
+    _write_events(spark, tmp, [(u, ts, "a") for u, ts in evs])
+
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, (u, ts) in enumerate(evs):
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, seq in by_user.items():
+        seq.sort()
+        sid = 0
+        prev_ts = None
+        for ts, _eid in seq:
+            if prev_ts is None or ts - prev_ts > 1800:
+                sid += 1
+                want[(u, sid)] = [ts, ts, 0]
+            want[(u, sid)][1] = ts
+            want[(u, sid)][2] += 1
+            prev_ts = ts
+
+    got = {
+        (r.user_id, r.session_id): [
+            int((r.session_start - BASE).total_seconds()),
+            int((r.session_end - BASE).total_seconds()),
+            r.n_events,
+        ]
+        for r in sessionize_events(spark, str(tmp)).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Portable hash families: the whole point of ((a·k+b) mod p) mod w (and
+# the r5 polynomial string hash feeding SimHash) is that an independent
+# engine reproduces them bit-for-bit — so an independent PYTHON
+# evaluation must too, over arbitrary inputs, not just the corpus.
+_ascii_word = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=st.lists(_ascii_word, min_size=1, max_size=30, unique=True))
+def test_portable_shingle_hash_matches_python(spark, words):
+    from orionld_to_hive_spark.operators.dedup import (
+        MERSENNE_P,
+        _SH_CHUNK_AB,
+        _SH_POLY_B,
+        _portable_shingle_hash,
+    )
+
+    def py_hash(s: str) -> int:
+        poly = 0
+        for ch in s:
+            poly = (poly * _SH_POLY_B + ord(ch)) % MERSENNE_P
+        h = 0
+        for j, (a, b) in enumerate(_SH_CHUNK_AB):
+            h |= (((a * poly + b) % MERSENNE_P) % 65536) << (16 * j)
+        return h - (1 << 64) if h >= (1 << 63) else h  # signed 64-bit
+
+    df = spark.createDataFrame([(w,) for w in words], "s STRING")
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s", _portable_shingle_hash(F.col("s")).alias("h")
+        ).collect()
+    }
+    assert got == {w: py_hash(w) for w in words}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keys=st.lists(
+    st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=30,
+    unique=True,
+))
+def test_countmin_bucket_matches_python(spark, keys):
+    from orionld_to_hive_spark.operators.sketches import (
+        _CM_HASHES,
+        _CM_P,
+        _CM_W,
+        _cm_bucket,
+    )
+
+    a0, b0 = _CM_HASHES[0]
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    got = {
+        r.k: [r[f"h{i}"] for i in range(len(_CM_HASHES))]
+        for r in df.select(
+            "k",
+            *[
+                _cm_bucket(F.col("k"), a, b).alias(f"h{i}")
+                for i, (a, b) in enumerate(_CM_HASHES)
+            ],
+        ).collect()
+    }
+    want = {
+        k: [((a * (k % _CM_P) + b) % _CM_P) % _CM_W for a, b in _CM_HASHES]
+        for k in keys
+    }
+    assert got == want
