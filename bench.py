@@ -235,10 +235,10 @@ def main() -> None:
     )
     high: dict[str, float] = {}
     high_detail: dict[str, dict] = {}
+    high_sf = _sf_of(high_dir)
     if os.path.isdir(high_dir):
         for name in HIGH_LADDER_QUERIES:
-            stats = time_query(registry.all_queries()[name], spark,
-                               high_dir, reps=5)
+            stats = time_query(qmap[name], spark, high_dir, reps=5)
             stats["reps"] = 5
             high_detail[name] = stats
             high[name] = stats["mean"]
@@ -264,6 +264,7 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "detail": detail,
                 "ladder_detail": ladder_detail,
+                "high_ladder_sf": high_sf,
                 "high_ladder_detail": high_detail,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,
@@ -287,7 +288,12 @@ def main() -> None:
         "ladder": ladder,
     }
     if high:
-        summary["high_sf0.3"] = {k: round(v, 3) for k, v in high.items()}
+        # label by the directory actually measured — SPARK_GRAFT_SF_HIGH
+        # may point anywhere, and a point published under the wrong scale
+        # name defeats the ladder's purpose
+        summary[f"high_sf{high_sf}"] = {
+            k: round(v, 3) for k, v in high.items()
+        }
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 

@@ -73,7 +73,7 @@ _PRIORITY = (
     "tpch_q9_profit",
     "tpch_q21_waiting_suppliers",
     # (c) remaining r1-graded queries, oldest official rows in the
-    # registry (37)
+    # registry (36)
     "tpch_q4_priority",
     "tpch_q17_small_qty",
     "tpch_q11_important_parts",

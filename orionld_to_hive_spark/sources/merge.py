@@ -122,21 +122,34 @@ def merge_upsert(
     merged = existing.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
+    # Window order must determinize the winner for ANY input, not just
+    # well-behaved ones: a replayed batch can carry the same key twice at
+    # the same version (even in different partitions). The plan below
+    # executes twice — once for the remaining-partitions collect, once
+    # for the write — so a tie left to shuffle fetch order could let the
+    # two executions pick DIFFERENT winners, and the emptied-partition
+    # delete would then remove the directory the write populated. The
+    # row-hash tail makes row_number a pure function of row values.
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
+        F.col(version_col).desc(),
+        F.col("_src").desc(),
+        F.xxhash64(*[F.col(c) for c in updates.columns]),
     )
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
-    )
-    # one row per surviving touched partition — bounded by the touched
-    # count, so the collect is driver-safe even at warehouse scale
-    remaining = {
-        tuple(r[c] for c in partition_cols)
-        for r in latest.select(*partition_cols).distinct().collect()
-    }
-    overwrite_partitions(latest, target_path, partition_cols)
+    ).persist()  # one evaluation shared by the collect and the write
+    try:
+        # one row per surviving touched partition — bounded by the
+        # touched count, so the collect is driver-safe at warehouse scale
+        remaining = {
+            tuple(r[c] for c in partition_cols)
+            for r in latest.select(*partition_cols).distinct().collect()
+        }
+        overwrite_partitions(latest, target_path, partition_cols)
+    finally:
+        latest.unpersist()
 
     # clear partitions the merge emptied (every row lost latest-wins to
     # a row in another touched partition): dynamic overwrite never saw
@@ -151,8 +164,18 @@ def merge_upsert(
     if emptied:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
+        # Spark escapes partition values in directory names (Hive path
+        # escaping: '=', ':', '%', '#', '/', control chars → %XX), so
+        # the delete path must be built with the SAME escaping or it
+        # silently misses the directory (fs.delete of a nonexistent path
+        # returns False) and the stale copy this delete exists to clear
+        # survives. Use Spark's own escapePathName so the two can never
+        # drift.
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for r in emptied:
-            rel = "/".join(f"{c}={r[c]}" for c in partition_cols)
+            rel = "/".join(
+                f"{c}={esc.escapePathName(str(r[c]))}" for c in partition_cols
+            )
             p = jvm.org.apache.hadoop.fs.Path(target_path, rel)
             fs = p.getFileSystem(hconf)
             fs.delete(p, True)

@@ -249,3 +249,61 @@ def test_merge_intra_batch_mover_clears_emptied_partition(spark, tmp_path):
     # untouched partitions survive
     got = {r.id for r in spark.read.parquet(path).collect()}
     assert got == {1, 2, 3, 4}
+
+
+def test_merge_intra_batch_equal_version_duplicate_is_deterministic(
+    spark, tmp_path
+):
+    # An at-least-once replay can carry the same key twice at the SAME
+    # version in two partitions. The window tiebreak must be a pure
+    # function of row values: the remaining-partitions collect and the
+    # write are separate executions of the plan, and if each picked a
+    # different winner the emptied-partition delete could remove the
+    # directory the write populated, losing the key entirely.
+    path = str(tmp_path / "tbl")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    dup = [(9, "a", 5, 1.0), (9, "b", 5, 2.0)]
+    updates = spark.createDataFrame(
+        dup, "id LONG, day STRING, version LONG, value DOUBLE"
+    )
+    merge_upsert(path, updates, ("id",), "version", ("day",))
+    rows = [
+        r for r in spark.read.parquet(path).collect() if r.id == 9
+    ]
+    assert len(rows) == 1  # the key survived, exactly once
+    first = (rows[0].day, rows[0].value)
+
+    # re-merging the same batch must reproduce the same winner
+    merge_upsert(path, updates, ("id",), "version", ("day",))
+    rows = [
+        r for r in spark.read.parquet(path).collect() if r.id == 9
+    ]
+    assert len(rows) == 1
+    assert (rows[0].day, rows[0].value) == first
+
+
+def test_merge_clears_emptied_partition_with_escaped_value(spark, tmp_path):
+    # Spark escapes partition values in directory names (':' -> %3A);
+    # the emptied-partition delete must use the same escaping or it
+    # silently misses the directory and the stale copy survives.
+    path = str(tmp_path / "tbl")
+    schema = "id LONG, day STRING, version LONG, value DOUBLE"
+    write_partitioned(
+        spark.createDataFrame([(1, "h:m", 1, 10.0)], schema),
+        path,
+        partition_cols=("day",),
+    )
+    assert (tmp_path / "tbl" / "day=h%3Am").exists()
+
+    # move the key out of "h:m" while touching it (row for both
+    # partitions), emptying it
+    updates = spark.createDataFrame(
+        [(1, "x", 2, 11.0), (2, "h:m", 1, 20.0), (2, "x", 2, 21.0)], schema
+    )
+    merge_upsert(path, updates, ("id",), "version", ("day",))
+    got = sorted(
+        (r.id, r.day, r.version, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "x", 2, 11.0), (2, "x", 2, 21.0)]
+    assert not (tmp_path / "tbl" / "day=h%3Am").exists()

@@ -42,6 +42,18 @@ def test_tpch_q3_broadcasts_dimension(spark, sf_smoke):
     assert has_broadcast_join(df)
 
 
+def test_tpch_q3_headline_join_is_shuffle_hash(spark, sf_smoke):
+    # The r5 re-plan's defining property: the lineitem-side join builds
+    # a per-partition hash table from the filtered orders⋈cust side
+    # (shuffle_hash hint). Without it the static planner broadcasts the
+    # filtered-lineitem SCAN (smallest estimate, largest actual) and AQE
+    # never flips the build side of an already-broadcast join — the
+    # 1.49x regression documented in tpch.py. Guard the hint's survival
+    # into the physical plan.
+    df = tpch.tpch_q3_shipping(spark, sf_smoke)
+    assert "ShuffledHashJoin" in formatted(df)
+
+
 def test_tpch_q1_single_shuffle(spark, sf_smoke):
     # one groupBy = exactly one hash exchange (partial agg before it)
     df = tpch.tpch_q1_pricing(spark, sf_smoke)

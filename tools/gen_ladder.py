@@ -43,13 +43,25 @@ SHIFT: dict[str, list[str]] = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["nation", "region"]
 
 # per-replica text decorrelation for documents (keeps intra-replica
 # similarity structure, kills cross-replica near-dups)
 TEXT_VARIANT = {0: "text", 1: "reverse(text)", 2: "upper(text)"}
+
+# same idea for embedding vectors: a fixed per-replica isometry
+# (identity / dimension reversal / negation) preserves every replica's
+# internal pairwise-distance structure while killing cross-replica
+# exact twins — otherwise every vector would gain two perfect
+# duplicates and near-dup/top-k queries would measure a different
+# problem than "3x more vectors".
+VEC_VARIANT = {
+    0: "embedding",
+    1: "list_reverse(embedding)",
+    2: "list_transform(embedding, x -> -x)",
+}
 
 
 def main() -> None:
@@ -64,6 +76,11 @@ def main() -> None:
     for t, keys in SHIFT.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            # a typo'd key would otherwise silently copy the replicas
+            # verbatim, violating the disjoint-key contract above
+            raise SystemExit(f"{t}: SHIFT keys {missing} not in {cols}")
         parts = []
         for i in range(REPLICAS):
             sel = []
@@ -72,6 +89,8 @@ def main() -> None:
                     sel.append(f"{c} + {i * OFFSET} AS {c}")
                 elif t == "documents" and c == "text":
                     sel.append(f"{TEXT_VARIANT[i]} AS text")
+                elif t == "embeddings" and c == "embedding":
+                    sel.append(f"{VEC_VARIANT[i]} AS embedding")
                 else:
                     sel.append(c)
             parts.append(
