@@ -453,3 +453,73 @@ def test_countmin_bucket_matches_python(spark, keys):
         for k in keys
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hour-spine linear interpolation: the DuckDB oracle already pins values
+# bit-for-bit on the corpus; this pins the STRUCTURAL contract on
+# arbitrary shapes (single-observation types, fully-observed types, long
+# edge gaps): complete |types|x|hours| spine, is_interpolated iff the
+# (type, hour) had no events, observed rows echo their own value, edge
+# rows clamp to the nearest observation, and every interpolated value
+# lies within [min, max] of its two neighbors.
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(evs=st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # event_type
+        st.integers(min_value=0, max_value=48),      # hour offset
+        st.integers(min_value=-50, max_value=50),    # value
+    ),
+    min_size=1, max_size=30,
+))
+def test_interpolation_structural_contract(spark, tmp_path_factory, evs):
+    from orionld_to_hive_spark.operators.temporal import (
+        interpolate_hourly_values,
+    )
+
+    tmp = tmp_path_factory.mktemp("interp")
+    rows = [
+        (i, BASE + timedelta(hours=h, minutes=7), 1, t, float(v), "{}")
+        for i, (t, h, v) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    observed: dict[tuple[str, int], list[int]] = {}
+    for t, h, v in evs:
+        observed.setdefault((t, h), []).append(v)
+    types = {t for t, _, _ in evs}
+    lo = min(h for _, h, _ in evs)
+    hi = max(h for _, h, _ in evs)
+
+    out = interpolate_hourly_values(spark, str(tmp)).collect()
+    got = {
+        (r.event_type, int((r.hour - BASE).total_seconds() // 3600)): r
+        for r in out
+    }
+    assert set(got) == {
+        (t, h) for t in types for h in range(lo, hi + 1)
+    }
+    for (t, h), r in got.items():
+        assert r.is_interpolated == ((t, h) not in observed)
+        if not r.is_interpolated:
+            assert r.v_interp == r.v_obs
+            assert r.v_interp == round(
+                sum(observed[(t, h)]) / len(observed[(t, h)]), 6
+            )
+        else:
+            assert r.v_obs is None
+            obs_hours = sorted(hh for (tt, hh) in observed if tt == t)
+            prevs = [hh for hh in obs_hours if hh < h]
+            nxts = [hh for hh in obs_hours if hh > h]
+            neighbors = []
+            if prevs:
+                neighbors.append(got[(t, prevs[-1])].v_interp)
+            if nxts:
+                neighbors.append(got[(t, nxts[0])].v_interp)
+            assert neighbors, "spine row outside any observation span"
+            eps = 1e-6  # betweenness up to the 6-dp output rounding
+            assert min(neighbors) - eps <= r.v_interp <= max(neighbors) + eps
