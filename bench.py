@@ -264,7 +264,7 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "detail": detail,
                 "ladder_detail": ladder_detail,
-                "high_ladder_sf": high_sf,
+                "high_ladder_sf": high_sf if high_detail else None,
                 "high_ladder_detail": high_detail,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,

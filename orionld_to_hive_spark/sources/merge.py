@@ -70,7 +70,18 @@ def merge_upsert(
     partitions that still have rows, which would otherwise leave the
     stale copy on disk)."""
     spark = updates.sparkSession
-    touched = updates.select(*partition_cols).distinct()
+    # Alongside each raw partition value, collect Spark's OWN string
+    # rendering of it (cast-to-string): the emptied-directory delete at
+    # the bottom must reproduce the writer's directory naming exactly,
+    # and Python str() diverges from it for non-string types (True vs
+    # 'true' for booleans, microsecond formatting for timestamps).
+    touched = updates.select(
+        *partition_cols,
+        *[
+            F.col(c).cast("string").alias(f"__str_{c}")
+            for c in partition_cols
+        ],
+    ).distinct()
     touched_rows = touched.collect()  # small: one row per touched partition
     if not touched_rows:
         return 0
@@ -117,7 +128,18 @@ def merge_upsert(
                 f"does not touch): {[tuple(m[k] for k in key_cols) for m in movers]}"
             )
 
-    existing = target.filter(pred).select(*updates.columns)
+    # Align the read-back slice to the update batch's schema: partition
+    # values live in directory names, and Spark's partition-type
+    # inference only covers numeric/date/timestamp/string — a boolean
+    # (or other uninferred) partition column reads back as STRING and
+    # would fail the union below. The cast is a no-op where types
+    # already match.
+    existing = target.filter(pred).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in updates.schema.fields
+        ]
+    )
 
     merged = existing.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
@@ -130,10 +152,19 @@ def merge_upsert(
     # two executions pick DIFFERENT winners, and the emptied-partition
     # delete would then remove the directory the write populated. The
     # row-hash tail makes row_number a pure function of row values.
+    # xxhash64 rejects map-typed columns at analysis time; for schemas
+    # containing one, hash the row's JSON rendering instead (slower, but
+    # merge isn't a hot path and the determinism guarantee must hold for
+    # every schema the warehouse accepts).
+    row_cols = [F.col(c) for c in updates.columns]
+    if any("map<" in f.dataType.simpleString() for f in updates.schema.fields):
+        tiebreak = F.xxhash64(F.to_json(F.struct(*row_cols)))
+    else:
+        tiebreak = F.xxhash64(*row_cols)
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
         F.col("_src").desc(),
-        F.xxhash64(*[F.col(c) for c in updates.columns]),
+        tiebreak,
     )
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
@@ -174,7 +205,8 @@ def merge_upsert(
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for r in emptied:
             rel = "/".join(
-                f"{c}={esc.escapePathName(str(r[c]))}" for c in partition_cols
+                f"{c}={esc.escapePathName(r[f'__str_{c}'])}"
+                for c in partition_cols
             )
             p = jvm.org.apache.hadoop.fs.Path(target_path, rel)
             fs = p.getFileSystem(hconf)

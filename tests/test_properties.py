@@ -379,7 +379,7 @@ def test_sessionize_matches_sequential_scan(spark, tmp_path_factory, evs):
         ]
         for r in sessionize_events(spark, str(tmp)).collect()
     }
-    assert got == {k: v for k, v in want.items()}
+    assert got == want
 
 
 # ---------------------------------------------------------------------------

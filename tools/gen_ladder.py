@@ -76,11 +76,17 @@ def main() -> None:
     for t, keys in SHIFT.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        missing = [k for k in keys if k not in cols]
+        required = list(keys)
+        if t == "documents":
+            required.append("text")  # TEXT_VARIANT target
+        if t == "embeddings":
+            required.append("embedding")  # VEC_VARIANT target
+        missing = [k for k in required if k not in cols]
         if missing:
-            # a typo'd key would otherwise silently copy the replicas
-            # verbatim, violating the disjoint-key contract above
-            raise SystemExit(f"{t}: SHIFT keys {missing} not in {cols}")
+            # a typo'd key (or renamed variant column) would otherwise
+            # silently copy the replicas verbatim, violating the
+            # disjoint-key / decorrelation contract above
+            raise SystemExit(f"{t}: required columns {missing} not in {cols}")
         parts = []
         for i in range(REPLICAS):
             sel = []
