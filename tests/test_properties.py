@@ -523,3 +523,47 @@ def test_interpolation_structural_contract(spark, tmp_path_factory, evs):
             assert neighbors, "spine row outside any observation span"
             eps = 1e-6  # betweenness up to the 6-dp output rounding
             assert min(neighbors) - eps <= r.v_interp <= max(neighbors) + eps
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive content fingerprint: independent hashlib model.
+# Checks the full canonicalization chain (split on ' ', distinct, sort,
+# join, sha256) including empty tokens from repeated delimiters and the
+# permutation-invariance the operator exists to provide.
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.lists(st.text(alphabet="abXY.9", min_size=0, max_size=4),
+             min_size=1, max_size=12),
+    min_size=1, max_size=8,
+))
+def test_doc_fingerprint_matches_hashlib(spark, tmp_path_factory, docs):
+    import hashlib
+
+    from orionld_to_hive_spark.operators.text import doc_fingerprint
+
+    tmp = tmp_path_factory.mktemp("fp")
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        r.doc_id: r.fingerprint
+        for r in doc_fingerprint(spark, str(tmp)).collect()
+    }
+    want = {
+        i: hashlib.sha256(
+            " ".join(sorted(set(" ".join(toks).split(" ")))).encode()
+        ).hexdigest()
+        for i, toks in enumerate(docs)
+    }
+    assert got == want
+    # permutation invariance: same vocabulary, shuffled order -> same hash
+    for i, toks in enumerate(docs):
+        rev = " ".join(reversed(" ".join(toks).split(" ")))
+        assert want[i] == hashlib.sha256(
+            " ".join(sorted(set(rev.split(" ")))).encode()
+        ).hexdigest()
