@@ -8,9 +8,41 @@ import glob
 from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.sources.warehouse import load_table
-from orionld_to_hive_spark.sources.zorder import zorder_write
+from orionld_to_hive_spark.sources.zorder import (
+    _partition_tokens,
+    _zkey_cutpoints,
+    with_zorder_key,
+    zorder_write,
+)
 
 N_FILES = 8
+
+
+def test_cutpoints_deterministic_and_sorted(spark, sf_oracle):
+    """The histogram-derived cut points are bit-identical across calls
+    (the flaky-layout fix) and strictly increasing."""
+    ev = load_table(spark, sf_oracle, "events").select(
+        F.unix_micros("ts").alias("t_us"), "user_id"
+    )
+    keyed = with_zorder_key(ev, "t_us", "user_id", bits=16)
+    a = _zkey_cutpoints(keyed, N_FILES, bits=16)
+    b = _zkey_cutpoints(keyed, N_FILES, bits=16)
+    assert a == b
+    assert a == sorted(set(a))
+    assert 1 <= len(a) <= N_FILES - 1
+
+
+def test_partition_tokens_land_on_their_partition(spark):
+    """Token t_p must hash (Spark murmur3, pmod n) to partition p."""
+    for n in (1, 2, 8, 13):
+        toks = _partition_tokens(spark, n)
+        assert len(toks) == n
+        got = (
+            spark.createDataFrame([(t,) for t in toks], "c int")
+            .select(F.pmod(F.hash("c"), F.lit(n)).alias("p"))
+            .collect()
+        )
+        assert sorted(r.p for r in got) == list(range(n))
 
 
 def _mean_file_span(spark, path: str, col: str) -> float:
