@@ -153,9 +153,32 @@ WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
 
 
 # --------------------------------------------------------------------------
-# LSH path: deterministic random-hyperplane signatures via a vectorized
-# Pandas UDF (Arrow-batched; one (batch, 64) @ (64, 16) matmul per batch).
-_PLANES = np.random.RandomState(LSH_SEED).randn(EMBED_DIM, LSH_BITS)
+# LSH path (r6: graduated from rows-only to an EXACT DuckDB oracle):
+# sign-random-projection with RADEMACHER (±1) hyperplanes instead of
+# seeded Gaussians.  The ±1 entries come from a portable affine hash of
+# the (bit, dim) index — plain integer arithmetic both engines (and the
+# reader of the oracle SQL) reproduce bit-for-bit, the same move that
+# graduated dedup_simhash / count-min / Bloom.  Rademacher projections
+# are a valid cosine-LSH family (Achlioptas 2003 — database-friendly
+# random projections), so the bucketing quality argument is unchanged.
+#
+# Exactness of the SIGN: the projection is computed over
+# floor(v_i * 1e6) in INT64 — float→double widening, one IEEE multiply
+# and floor are bit-identical everywhere, and the integer dot product
+# is order-independent — so bucket ids (and therefore the whole
+# approximate result) are engine-exact, never "within float noise".
+_LSH_HASH_P = 2147483647  # 2^31 - 1, shared with the sketch family
+_LSH_HASH_A, _LSH_HASH_B = 1000003, 12345
+_LSH_QUANT = 1_000_000
+_LSH_SIGNS = [
+    [
+        1
+        if ((_LSH_HASH_A * (b * EMBED_DIM + i) + _LSH_HASH_B) % _LSH_HASH_P) % 2
+        else -1
+        for i in range(EMBED_DIM)
+    ]
+    for b in range(LSH_BITS)
+]
 
 # Banded cosine-LSH for threshold pair-mining (the dedup_minhash_lsh
 # pattern applied to hyperplane signatures): NEARDUP_BANDS bands of
@@ -234,8 +257,10 @@ def _lsh_bucket_udf():
 
     @pandas_udf(T.IntegerType())
     def _lsh_bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat @ _PLANES) > 0  # (batch, LSH_BITS)
+        mat = np.stack(vecs.to_numpy())  # (batch, dim) float64
+        quant = np.floor(mat * _LSH_QUANT).astype(np.int64)
+        signs = np.asarray(_LSH_SIGNS, dtype=np.int64).T  # (dim, LSH_BITS)
+        bits = (quant @ signs) > 0  # exact int64 dot products
         weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
         return pd.Series((bits @ weights).astype(np.int32))
 
@@ -244,7 +269,10 @@ def _lsh_bucket_udf():
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors: cosine only within the query's LSH
-    bucket. Sub-linear at scale; recall < 1 by design ⇒ rows-only check."""
+    bucket. Sub-linear at scale; recall < 1 by design, but the
+    bucketing is portable-hash Rademacher projection over integer-
+    quantized components (see _LSH_SIGNS), so the approximate answer
+    itself is engine-exact and carries a full DuckDB oracle."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_udf()(F.col("vec")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -278,11 +306,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (labels stand in for k-means cells, which would be trained offline at
 # scale), query → nearest centroid → exact search within that cell.
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat probe (coarse cells = labels): query → nearest centroid
+    → exact search within the cell.  r6: centroid components use the
+    exact-decimal mean convention (round(x,9) → DECIMAL(27,12) sum /
+    count — order-independent, so Spark's unordered partial aggregation
+    and DuckDB agree bit-for-bit), which makes the cell assignment and
+    therefore the whole approximate result oracle-exact."""
     emb = _emb(spark, sf_dir)
+    dterm = F.round(F.col("x"), 9).cast("decimal(27,12)")
     centroids = (
         emb.select("label", F.posexplode("vec").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.avg("x").alias("cx"))
+        .agg((F.sum(dterm).cast("double") / F.count(F.lit(1))).alias("cx"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["cx"]).alias("cvec"))
@@ -736,6 +771,117 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Exact oracles for the approximate ANN paths (r6). Both reproduce the
+# approximation itself — the LSH bucketing / IVF cell routing — in
+# portable arithmetic, then the in-bucket exact search verbatim.
+def _cos_sql(a: str, b: str) -> str:
+    """Strict-left-fold cosine of two DOUBLE[] columns (DuckDB)."""
+    return f"""
+  list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))
+  / (sqrt(list_sum(list_transform({a}, x -> x*x)))
+     * sqrt(list_sum(list_transform({b}, x -> x*x))))"""
+
+
+_LSH_SIGN_VALUES = ", ".join(
+    f"({b}, {i}, {s})"
+    for b, row in enumerate(_LSH_SIGNS)
+    for i, s in enumerate(row)
+)
+
+ANN_LSH_SQL = f"""
+WITH s(b, i, sgn) AS (VALUES {_LSH_SIGN_VALUES}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT e.vec_id, s.b,
+         CASE WHEN SUM(CAST(floor(e.v[s.i + 1] * {_LSH_QUANT}) AS BIGINT)
+                       * s.sgn) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM emb e CROSS JOIN s
+  GROUP BY e.vec_id, s.b
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(bit << b) AS INTEGER) AS bucket
+  FROM bits GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, bk.bucket AS qbucket
+  FROM emb e JOIN buckets bk USING (vec_id)
+  WHERE e.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.query_id, q.qv, e.vec_id AS neighbor_id, e.v AS nv
+  FROM q
+  JOIN buckets nb ON nb.bucket = q.qbucket
+  JOIN emb e ON e.vec_id = nb.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "nv")} AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(round(x, 9) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+           AS c
+  FROM ex GROUP BY label, pos
+),
+centl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+qc AS (
+  SELECT q.query_id, cl.label, {_cos_sql("q.qv", "cl.cv")} AS ccos
+  FROM q CROSS JOIN centl cl
+),
+best AS (
+  SELECT query_id, label AS cell FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ccos DESC, label ASC) AS rn
+    FROM qc
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT b.query_id, q.qv, e.vec_id AS neighbor_id, e.v AS nv
+  FROM best b
+  JOIN q USING (query_id)
+  JOIN emb e ON e.label = b.cell
+  WHERE e.vec_id <> b.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "nv")} AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -763,6 +909,10 @@ ORACLES = {
     "embedding_quantization_report": EMBEDDING_QUANT_SQL,
     "embedding_centroid_by_label": EMBEDDING_CENTROID_SQL,
     "embedding_outlier_report": EMBEDDING_OUTLIER_SQL,
-    # ann_lsh_topk / ann_ivf_topk: approximate by design — rows-only
+    # r6: the approximate ANN paths carry exact oracles — the
+    # approximation (portable-hash LSH bucketing / exact-decimal IVF
+    # cells) is itself engine-reproducible, so the full result matches.
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     # kmeans_embeddings_report: iterative fit — rows-only + units
 }
