@@ -252,6 +252,38 @@ def p6_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sample(fraction=0.5, seed=42).select("event_id", "value")
 
 
+# P6 twin (r6) — HASH-threshold Bernoulli at the same fraction: keep a
+# row iff the first 32 md5 bits of its key fall under fraction·2³².
+# Same statistical behavior as the seeded sample (md5 bits are uniform),
+# but the coin flip is content-addressed — independent of partitioning,
+# row order, AND engine — so unlike the RNG variant this one carries an
+# exact DuckDB oracle. This is also the right 100 TB design: the sample
+# is stable under repartitioning/backfills, and the predicate is one
+# row-local expression in the scan stage (no shuffle, no state).
+_P6_FRACTION = 0.5
+_P6_THRESHOLD = int(_P6_FRACTION * 4294967296)
+
+
+def p6_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":p6"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return events.filter(u32 < _P6_THRESHOLD).select("event_id", "value")
+
+
+P6_SAMPLE_HASH_SQL = f"""
+SELECT event_id, value
+FROM events
+WHERE CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':p6'), 1, 8)
+                AS UBIGINT) AS BIGINT) < {_P6_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # O1+ — deterministic top-k (reference has ORDER BY only, `hive.py:59`;
 # top-k is the idiomatic scale-safe variant: per-partition local top-k,
@@ -418,6 +450,7 @@ QUERIES = {
     "u1_union_all": u1_union_all,
     "p5_dropna": p5_dropna,
     "p6_sample_seeded": p6_sample_seeded,
+    "p6_sample_hash": p6_sample_hash,
     "topk_events": topk_events,
     "scalar_suite": scalar_suite,
 }
@@ -434,7 +467,9 @@ ORACLES = {
     "q4_join_hourly": Q4_SQL,
     "u1_union_all": U1_SQL,
     "p5_dropna": P5_SQL,
-    # p6_sample_seeded: engine-specific RNG — rows-only check by design
+    # p6_sample_seeded: engine-specific RNG — rows-only check by design;
+    # p6_sample_hash is its exact-oracle hash-threshold twin
+    "p6_sample_hash": P6_SAMPLE_HASH_SQL,
     "topk_events": TOPK_SQL,
     "scalar_suite": SCALAR_SQL,
 }

@@ -183,6 +183,45 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified twin (r6, same move as parity.p6_sample_hash): the
+# per-stratum coin flip is a content-addressed md5 threshold —
+# keep iff first-32-md5-bits(doc_id) < fraction(lang)·2³². Identical
+# statistics, but partitioning/order/engine independent ⇒ exact DuckDB
+# oracle, and the sample is stable across backfills at 100 TB. Strata
+# not listed get fraction 0 (drop), matching sampleBy semantics.
+_STRATA_THRESHOLDS = {
+    lang: int(f * 4294967296) for lang, f in STRATA_FRACTIONS.items()
+}
+
+
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh = F.lit(0)
+    for lang, t in sorted(_STRATA_THRESHOLDS.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return docs.filter(u32 < thresh).select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{lang}' THEN {t}" for lang, t in sorted(_STRATA_THRESHOLDS.items())
+)
+
+STRATIFIED_SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)
+                AS UBIGINT) AS BIGINT)
+      < (CASE lang {_STRATA_CASE} ELSE 0 END)
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic shard assignment: shard = h(doc_id) mod N with the same
 # PORTABLE affine hash family the count-min/Bloom sketches use
@@ -628,6 +667,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "train_val_split_report": train_val_split_report,
     "stratified_sample_docs": stratified_sample_docs,
+    "stratified_sample_hash": stratified_sample_hash,
     "shard_assignment_report": shard_assignment_report,
     "pack_sequences_report": pack_sequences_report,
     "dp_count_report": dp_count_report,
@@ -639,6 +679,7 @@ ORACLES = {
     "mixture_resample_report": MIXTURE_RESAMPLE_SQL,
     "reservoir_sample_per_source": RESERVOIR_SAMPLE_SQL,
     "train_val_split_report": TRAIN_VAL_SPLIT_SQL,
+    "stratified_sample_hash": STRATIFIED_SAMPLE_HASH_SQL,
     "shard_assignment_report": SHARD_ASSIGNMENT_SQL,
     "pack_sequences_report": PACK_SEQUENCES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,

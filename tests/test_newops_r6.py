@@ -43,3 +43,58 @@ def test_ann_lsh_and_ivf_recall_vs_bruteforce(spark, sf_smoke):
     # single-probe IVF with label cells recalls less by design — the
     # bound only rules out a fully uncorrelated routing
     assert len(exact & ivf) / len(exact) >= 0.1
+
+
+def test_hash_sample_is_stable_under_repartition(spark, sf_smoke):
+    """The content-addressed Bernoulli twin must select the SAME rows
+    regardless of physical layout (the property the RNG variant lacks)."""
+    from orionld_to_hive_spark.operators.parity import p6_sample_hash
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    import orionld_to_hive_spark.operators.parity as parity
+
+    base = {r.event_id for r in p6_sample_hash(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    n = ev.count()
+    # fraction lands near 0.5 (binomial 3σ at smoke scale)
+    assert abs(len(base) / n - 0.5) < 0.1
+    relaid = (
+        ev.repartition(13, "user_id")
+        .sortWithinPartitions(F.col("value").desc())
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":p6"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < parity._P6_THRESHOLD
+        )
+        .select("event_id")
+    )
+    assert {r.event_id for r in relaid.collect()} == base
+
+
+def test_stratified_hash_respects_strata(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.pipeline import (
+        STRATA_FRACTIONS,
+        stratified_sample_hash,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    sample = stratified_sample_hash(spark, sf_smoke)
+    got = {r.lang: r.n for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {
+        r.lang: r.n
+        for r in load_table(spark, sf_smoke, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) <= set(STRATA_FRACTIONS)
+    for lang, f in STRATA_FRACTIONS.items():
+        if lang in tot and tot[lang] >= 20:
+            assert abs(got.get(lang, 0) / tot[lang] - f) < 0.25
