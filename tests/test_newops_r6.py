@@ -78,6 +78,86 @@ def test_hash_sample_is_stable_under_repartition(spark, sf_smoke):
     assert {r.event_id for r in relaid.collect()} == base
 
 
+def test_decode_wav_roundtrip_and_formats():
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.multimodal import decode_asset, decode_wav
+
+    pcm = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    samples, rate = decode_wav(bio.getvalue())
+    assert rate == 8000
+    assert np.array_equal(samples * 32768.0, pcm.astype(np.float64))
+
+    # stereo averages to mono
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.array([100, 300, -50, -150], dtype="<i2").tobytes())
+    samples, _ = decode_wav(bio.getvalue())
+    assert np.allclose(samples * 32768.0, [200.0, -100.0])
+
+    # 8-bit PCM: unsigned, centered at 128
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(bytes([128, 255, 0]))
+    samples, _ = decode_wav(bio.getvalue())
+    assert np.array_equal(samples * 128.0, [0.0, 127.0, -128.0])
+
+    # odd-sized extra chunk before data must be skipped (word alignment)
+    hdr = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 16000, 32000, 2, 16
+    )
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded to 4
+    data = b"data" + struct.pack("<I", 2) + struct.pack("<h", 4096)
+    samples, _ = decode_wav(hdr + fmt + junk + data)
+    assert np.array_equal(samples * 32768.0, [4096.0])
+
+    # non-WAV payloads still refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"\x89PNG\r\n\x1a\nnotawave")
+    with pytest.raises(NotImplementedError):
+        decode_asset(b"\x89PNG\r\n\x1a\nnotawave")
+
+
+def test_wav_rms_matches_byte_domain_rescale(spark, sf_smoke):
+    """Real-decode WAV rms must equal the raw-byte audio_energy rms / 128
+    (the synthesized samples are an exact power-of-two rescale)."""
+    from orionld_to_hive_spark.operators.multimodal import (
+        multimodal_audio_energy,
+        multimodal_wav_rms,
+    )
+
+    byte_rows = {
+        r.asset_id: r for r in multimodal_audio_energy(spark, sf_smoke).collect()
+    }
+    wav_rows = {r.asset_id: r for r in multimodal_wav_rms(spark, sf_smoke).collect()}
+    assert set(byte_rows) == set(wav_rows)
+    for aid, wr in wav_rows.items():
+        br = byte_rows[aid]
+        assert wr.n_windows == br.n_windows
+        assert wr.n_active == br.n_active
+        assert abs(wr.max_rms - br.max_rms / 128.0) < 2e-6
+        assert abs(wr.mean_rms - br.mean_rms / 128.0) < 2e-6
+
+
 def test_stratified_hash_respects_strata(spark, sf_smoke):
     from orionld_to_hive_spark.operators.pipeline import (
         STRATA_FRACTIONS,
