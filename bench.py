@@ -72,15 +72,34 @@ HIGH_REPS = {
     "tpch_q3_shipping": 15,
 }
 
-# The >1.3 s headliners re-measured at the generated sf0.3 replica
-# (high-end ladder honesty, VERDICT r4 item 7).
-HIGH_LADDER_QUERIES = (
+# Every headliner >0.5 s at sf0.1 (official r5 numbers) re-measured at
+# the generated sf0.3 replica (high-end ladder honesty, VERDICT r4
+# item 7, widened per VERDICT r5 item 5). The six heaviest — the
+# original r4 set — additionally get an sf1.0 point (10 replicas,
+# tools/gen_ladder.py 1.0) and more reps; the widened tail runs 3 reps
+# (means there are ~0.5-1 s — CI lands well under the 1.5×-per-3×
+# flagging threshold the scaling report applies).
+SF1_LADDER_QUERIES = (
     "graph_nation_trade_pagerank",
     "bigram_logprob_score",
     "interpolate_hourly_values",
     "dedup_minhash_lsh",
     "sessionize_events",
     "session_window_stats",
+)
+HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
+    "tpch_q1_pricing",
+    "dwell_time_profile",
+    "trailing_hour_stats",
+    "stats_moments",
+    "quality_ensemble_report",
+    "having_large_orders",
+    "doc_entropy_report",
+    "tpch_q21_waiting_suppliers",
+    "doc_repetition_report",
+    "rollup_pricing",
+    "span_dedup_report",
+    "ann_bruteforce_topk",
 )
 
 # Headline set: the four reference-parity queries plus one representative
@@ -238,10 +257,28 @@ def main() -> None:
     high_sf = _sf_of(high_dir)
     if os.path.isdir(high_dir):
         for name in HIGH_LADDER_QUERIES:
-            stats = time_query(qmap[name], spark, high_dir, reps=5)
-            stats["reps"] = 5
+            n = 5 if name in SF1_LADDER_QUERIES else 3
+            stats = time_query(qmap[name], spark, high_dir, reps=n)
+            stats["reps"] = n
             high_detail[name] = stats
             high[name] = stats["mean"]
+    # sf1.0 point for the six heaviest (VERDICT r5 item 5): 10-replica
+    # build of sf0.1 — the top of the scaling curve. Skipped silently
+    # when the replica hasn't been generated (tools/gen_ladder.py 1.0).
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".ladder", "sf1.0"),
+    )
+    sf1: dict[str, float] = {}
+    sf1_detail: dict[str, dict] = {}
+    sf1_sf = _sf_of(sf1_dir)
+    if os.path.isdir(sf1_dir):
+        for name in SF1_LADDER_QUERIES:
+            stats = time_query(qmap[name], spark, sf1_dir, reps=3)
+            stats["reps"] = 3
+            sf1_detail[name] = stats
+            sf1[name] = stats["mean"]
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
     # style 3-point scaling curve) — measured once, reported in both.
     ladder[str(_sf_of(sf_dir))] = total
@@ -253,6 +290,32 @@ def main() -> None:
     parity_total = round(
         sum(per_query[q] for q in ("q1_time_filter", "q2_hourly_avg",
                                    "q3_union_cube", "q4_join_hourly")), 4)
+
+    # Scaling report (VERDICT r5 item 5): per-query growth ratios and
+    # log-scale exponents across the generated ladder points. exponent
+    # 1.0 = linear in data size; the flag marks anything growing >1.5×
+    # per 3× data (the verdict's drift threshold) — on a fixed-resource
+    # box constant overheads usually keep ratios well below 3.
+    import math
+
+    scaling: dict[str, dict] = {}
+    for name in HIGH_LADDER_QUERIES:
+        base = per_query.get(name)
+        if not base:
+            continue
+        row: dict[str, float | bool] = {"sf0.1": base}
+        if name in high:
+            row["sf0.3"] = high[name]
+            row["ratio_3x"] = round(high[name] / base, 3)
+            row["exp_3x"] = round(math.log(high[name] / base) / math.log(3), 3)
+        if name in sf1:
+            row["sf1.0"] = sf1[name]
+            row["ratio_10x"] = round(sf1[name] / base, 3)
+            row["exp_10x"] = round(
+                math.log(sf1[name] / base) / math.log(10), 3
+            )
+        row["flag_superlinear"] = bool(row.get("ratio_3x", 0) > 1.5)
+        scaling[name] = row
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -266,6 +329,9 @@ def main() -> None:
                 "ladder_detail": ladder_detail,
                 "high_ladder_sf": high_sf if high_detail else None,
                 "high_ladder_detail": high_detail,
+                "sf1_ladder_sf": sf1_sf if sf1_detail else None,
+                "sf1_ladder_detail": sf1_detail,
+                "scaling": scaling,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,
                     "ours_parity_total_s": parity_total,
@@ -294,6 +360,8 @@ def main() -> None:
         summary[f"high_sf{high_sf}"] = {
             k: round(v, 3) for k, v in high.items()
         }
+    if sf1:
+        summary[f"high_sf{sf1_sf}"] = {k: round(v, 3) for k, v in sf1.items()}
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 

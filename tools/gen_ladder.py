@@ -19,7 +19,13 @@ replica of sf0.1 under <repo>/.ladder/sf0.3 (gitignored, regenerable):
   - events keep their timestamps — 3x event density per hour, i.e.
     sessionization state and window fan-in scale 3x.
 
-Usage: python tools/gen_ladder.py  (idempotent; ~50 MB)
+Usage: python tools/gen_ladder.py [0.3|1.0] (default 0.3; idempotent;
+sf0.3 ~70 MB, sf1.0 ~240 MB). The r6 sf1.0 point (VERDICT r5 item 5)
+uses the same construction with 10 replicas; decorrelation variants
+3..9 are per-replica Caesar rotations (bijective character maps keep
+every replica's internal shingle/similarity structure while killing
+cross-replica matches) and, for embeddings, coordinate rotations ±
+negation (isometries — internal pairwise distances preserved).
 """
 
 from __future__ import annotations
@@ -29,10 +35,10 @@ import os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".ladder", "sf0.3")
+LADDER_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ladder"
+)
 OFFSET = 10_000_000
-REPLICAS = 3
 
 # table -> list of key columns to shift by replica*OFFSET
 SHIFT: dict[str, list[str]] = {
@@ -48,8 +54,24 @@ SHIFT: dict[str, list[str]] = {
 COPY_AS_IS = ["nation", "region"]
 
 # per-replica text decorrelation for documents (keeps intra-replica
-# similarity structure, kills cross-replica near-dups)
-TEXT_VARIANT = {0: "text", 1: "reverse(text)", 2: "upper(text)"}
+# similarity structure, kills cross-replica near-dups). 0-2 unchanged
+# from the original sf0.3 build (comparability of that ladder point);
+# 3+ are Caesar rotations.
+ABC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _text_variant(i: int) -> str:
+    if i == 0:
+        return "text"
+    if i == 1:
+        return "reverse(text)"
+    if i == 2:
+        return "upper(text)"
+    r = i - 2
+    rot = ABC[r:] + ABC[:r]
+    return (
+        f"translate(text, '{ABC}{ABC.upper()}', '{rot}{rot.upper()}')"
+    )
 
 # same idea for embedding vectors: a fixed per-replica isometry
 # (identity / dimension reversal / negation) preserves every replica's
@@ -57,20 +79,32 @@ TEXT_VARIANT = {0: "text", 1: "reverse(text)", 2: "upper(text)"}
 # exact twins — otherwise every vector would gain two perfect
 # duplicates and near-dup/top-k queries would measure a different
 # problem than "3x more vectors".
-VEC_VARIANT = {
-    0: "embedding",
-    1: "list_reverse(embedding)",
-    2: "list_transform(embedding, x -> -x)",
-}
+def _vec_variant(i: int) -> str:
+    if i == 0:
+        return "embedding"
+    if i == 1:
+        return "list_reverse(embedding)"
+    if i == 2:
+        return "list_transform(embedding, x -> -x)"
+    r = 6 * (i - 2)  # coordinate rotation: a permutation = isometry
+    rolled = f"list_concat(embedding[{r + 1}:], embedding[1:{r}])"
+    if i % 2:
+        return f"list_transform({rolled}, x -> -x)"
+    return rolled
 
 
 def main() -> None:
-    os.makedirs(DST, exist_ok=True)
+    import sys
+
+    scale = sys.argv[1] if len(sys.argv) > 1 else "0.3"
+    replicas = {"0.3": 3, "1.0": 10}[scale]
+    dst = os.path.join(LADDER_ROOT, f"sf{scale}")
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
-            f"'{DST}/{t}.parquet' (FORMAT PARQUET)"
+            f"'{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied")
     for t, keys in SHIFT.items():
@@ -88,26 +122,26 @@ def main() -> None:
             # disjoint-key / decorrelation contract above
             raise SystemExit(f"{t}: required columns {missing} not in {cols}")
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             sel = []
             for c in cols:
                 if c in keys:
                     sel.append(f"{c} + {i * OFFSET} AS {c}")
                 elif t == "documents" and c == "text":
-                    sel.append(f"{TEXT_VARIANT[i]} AS text")
+                    sel.append(f"{_text_variant(i)} AS text")
                 elif t == "embeddings" and c == "embedding":
-                    sel.append(f"{VEC_VARIANT[i]} AS embedding")
+                    sel.append(f"{_vec_variant(i)} AS embedding")
                 else:
                     sel.append(c)
             parts.append(
                 f"SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet'"
             )
         con.execute(
-            f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' "
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/{t}.parquet' "
             "(FORMAT PARQUET)"
         )
         n = con.execute(
-            f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+            f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
 
