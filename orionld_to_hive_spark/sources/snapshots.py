@@ -57,16 +57,76 @@ def write_snapshot(df: DataFrame, base: str) -> int:
     Returns the new version number. The data write happens entirely
     before the pointer flip, so a crash mid-write leaves the previous
     snapshot live and the orphan directory invisible to readers.
+
+    Concurrency (r6): racing writers are SAFE — each writes its data
+    into a private staging directory, then claims a version number by
+    atomically renaming the staged directory to `v=NNNN` (rename onto
+    an existing directory fails with EEXIST/ENOTEMPTY, so a version can
+    only ever be claimed once; the loser just retries with the next
+    number, its data already written). The original formulation relied
+    on Spark's errorifexists, whose driver-side existence check races —
+    the r6 torture test (tests/test_concurrency.py) caught two writers
+    interleaving files into ONE version directory. The pointer flip is
+    serialized by a short-lived `_latest.lock` (O_CREAT|O_EXCL spin)
+    and is forward-only, so a slow low-version writer can never roll
+    the pointer back over a committed higher version. On object stores
+    without atomic rename/create, use conditional puts for both steps.
     """
-    versions = list_versions(base)
-    version = (versions[-1] + 1) if versions else 0
-    df.write.mode("errorifexists").parquet(_vdir(base, version))
+    import uuid
+
     os.makedirs(base, exist_ok=True)
-    tmp = os.path.join(base, _LATEST + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(base, _LATEST))  # atomic pointer flip
+    stage = os.path.join(base, f"_stage-{os.getpid()}-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(stage)
+    while True:
+        versions = list_versions(base)
+        version = (versions[-1] + 1) if versions else 0
+        try:
+            os.rename(stage, _vdir(base, version))
+            break
+        except OSError as e:
+            import errno
+
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
+            # lost the claim race — the directory we just failed to take
+            # belongs to a concurrent writer; try the next number
+
+    def flip() -> None:
+        cur = latest_version(base)
+        if cur is not None and cur >= version:
+            return  # a higher version already committed — stay forward
+        tmp = os.path.join(base, _LATEST + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(base, _LATEST))  # atomic flip
+
+    _with_pointer_lock(base, flip)
     return version
+
+
+def _with_pointer_lock(base: str, fn, attempts: int = 2000) -> None:
+    """Run `fn` while holding `_latest.lock` (atomic O_CREAT|O_EXCL).
+    The critical section is a sub-millisecond pointer check+replace, so
+    a short bounded spin is enough; a crash inside it can orphan the
+    lock — the wait is bounded and the error names the file to remove."""
+    import time
+
+    lockp = os.path.join(base, _LATEST + ".lock")
+    for _ in range(attempts):
+        try:
+            fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            time.sleep(0.005)
+            continue
+        try:
+            fn()
+            return
+        finally:
+            os.close(fd)
+            os.unlink(lockp)
+    raise RuntimeError(
+        f"could not acquire {lockp} — remove it if a writer crashed"
+    )
 
 
 def read_snapshot(
