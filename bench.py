@@ -317,6 +317,26 @@ def main() -> None:
         row["flag_superlinear"] = bool(row.get("ratio_3x", 0) > 1.5)
         scaling[name] = row
 
+    # Layout-payoff table (VERDICT r5 item 9): files/row-groups a
+    # footer-stats reader skips under time+user and user-only
+    # predicates for plain vs time-sorted vs z-ordered layouts of the
+    # events table — the z-order component's evidence. Layout builds
+    # are cached under .ladder/; the measurement itself is ~1 s.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from layoutstats import layout_skip_report
+
+        layout_root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".ladder",
+            f"layouts-{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        layout_skip = layout_skip_report(spark, sf_dir, layout_root)
+    except Exception as e:  # measurement is evidence, not a gate
+        layout_skip = {"error": repr(e)}
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -332,6 +352,7 @@ def main() -> None:
                 "sf1_ladder_sf": sf1_sf if sf1_detail else None,
                 "sf1_ladder_detail": sf1_detail,
                 "scaling": scaling,
+                "layout_skip": layout_skip,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,
                     "ours_parity_total_s": parity_total,
