@@ -772,6 +772,66 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Exact oracle for the k-means fit (r6): KMEANS_ITERS is a fixed small
+# constant, so Lloyd's loop UNROLLS into a chain of CTEs — one
+# assignment + one exact-decimal mean per round, then the final
+# assignment/report. Every step is already engine-exact: the L2²
+# distance is the strict left fold both engines share, assignment
+# tie-breaks on (d, cid), means use the DECIMAL(27,6) convention, and
+# empty clusters drop out of both engines' mean tables identically.
+def _kmeans_sql() -> str:
+    l2 = (
+        "list_sum(list_transform(range(1, len(e.v)+1), "
+        "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])))"
+    )
+
+    def assign(a: str, c: str) -> str:
+        return f"""{a} AS (
+  SELECT vec_id, v, cid, d FROM (
+    SELECT s.vec_id, s.v, s.cid, s.d,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.d ASC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cid, {l2} AS d
+          FROM emb e CROSS JOIN {c} c) s
+  ) WHERE rn = 1
+)"""
+
+    def means(c: str, a: str) -> str:
+        return f"""{c} AS (
+  SELECT cid, list(m ORDER BY i) AS cvec FROM (
+    SELECT cid, i,
+           CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x) AS m
+    FROM (SELECT cid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+          FROM {a})
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cvec "
+        f"FROM emb WHERE vec_id < {KMEANS_K})",
+    ]
+    cur = "c0"
+    for it in range(KMEANS_ITERS):
+        ctes.append(assign(f"a{it}", cur))
+        cur = f"c{it + 1}"
+        ctes.append(means(cur, f"a{it}"))
+    ctes.append(assign("af", cur))
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT cid, COUNT(*) AS n_points,
+       round(CAST(SUM(CAST(round(d, 6) AS DECIMAL(27,6))) AS DOUBLE), 6)
+         AS inertia
+FROM af GROUP BY cid ORDER BY cid
+"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact oracles for the approximate ANN paths (r6). Both reproduce the
 # approximation itself — the LSH bucketing / IVF cell routing — in
 # portable arithmetic, then the in-bucket exact search verbatim.
@@ -914,5 +974,8 @@ ORACLES = {
     # cells) is itself engine-reproducible, so the full result matches.
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
-    # kmeans_embeddings_report: iterative fit — rows-only + units
+    # r6: the Lloyd's fit unrolls (KMEANS_ITERS is a fixed constant)
+    # into an exact CTE chain — the last of the graduate-able
+    # no_oracle rows
+    "kmeans_embeddings_report": KMEANS_SQL,
 }
