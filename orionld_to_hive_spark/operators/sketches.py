@@ -363,10 +363,138 @@ FROM hits h LEFT JOIN members m ON h.key = m.key
 """
 
 
+# --------------------------------------------------------------------------
+# PORTABLE HyperLogLog (r6) — the exact-oracle twin of the native
+# hll_mergeable_rollup above, the same move count-min/Bloom made for
+# their families. Every step is engine-reproducible INTEGER arithmetic:
+#
+#   h      = affine hash of user_id (the sketch family's (a,b,p))
+#   bucket = h mod m (m = 1024 registers)
+#   v      = h div m (21-bit suffix)
+#   rho    = trailing-zeros(v) + 1 via bit_count((v & -v) - 1) + 1
+#            (P(tz >= k) = 2^-k — the same geometric observable as
+#            leading zeros, cf. Flajolet-Martin; v = 0 -> rho = 22)
+#
+# The register table is max(rho) per (event_type, day, bucket) — the
+# mergeable daily-sketch layout of the native op; the type-level
+# rollup is max over days. The harmonic sum Σ 2^-rho uses exact
+# power-of-two doubles (1/(1<<rho)) whose sum spans < 53 mantissa bits,
+# so it is order-independent; empty registers contribute 2^0 via the
+# (m - registers_used) term. Linear-counting (E <= 2.5m with empty
+# registers, the standard small-range correction) needs ln(m/V) —
+# libm ln is NOT cross-engine exact, so both engines read the SAME
+# precomputed 1024-entry double table (Spark: literal array lookup;
+# DuckDB: VALUES join). The estimate is therefore bit-identical and
+# the oracle checks it exactly. Large-range correction (E > 2^32/30)
+# is irrelevant at 31-bit hash width and omitted.
+#
+# Scale shape: three map-side-combined shuffles of at most
+# |types|·|days|·m tiny rows; never the fact table.
+HLL_M = 1024
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_A, _HLL_B = 999979, 54321
+_HLL_MAX_RHO = 22  # suffix width 21 bits -> tz in 0..20, +1; v=0 -> 22
+_HLL_LN_TABLE = [0.0] + [
+    float(__import__("math").log(HLL_M / v)) for v in range(1, HLL_M + 1)
+]
+
+
+def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    h = (F.lit(_HLL_A) * F.pmod(u, F.lit(_CM_P)) + F.lit(_HLL_B)) % F.lit(_CM_P)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    v = ((h - bucket) / F.lit(HLL_M)).cast("long")
+    rho = F.when(v == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.bit_count(v.bitwiseAND(-v) - 1) + 1
+    )
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    typed = daily.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+    per_type = typed.groupBy("event_type").agg(
+        # 2^-rho as 1/(1<<rho): exact power-of-two doubles (the
+        # DataFrame-API shiftleft wants a literal shift, so SQL form)
+        F.sum(F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), rho)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).cast("int").alias("registers_used"),
+    )
+    s = (F.lit(float(HLL_M)) - F.col("registers_used")) + F.col("s_present")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    v_empty = F.lit(HLL_M) - F.col("registers_used")
+    ln_arr = F.array(*[F.lit(x) for x in _HLL_LN_TABLE])
+    linear = F.lit(float(HLL_M)) * F.element_at(ln_arr, v_empty + 1)
+    est = F.when((v_empty > 0) & (e_raw <= F.lit(2.5 * HLL_M)), linear).otherwise(
+        e_raw
+    )
+    return per_type.select(
+        "event_type",
+        F.round(est, 4).alias("n_users_hll"),
+        "registers_used",
+    ).orderBy("event_type")
+
+
+_HLL_LN_VALUES = ", ".join(
+    f"({v}, {_HLL_LN_TABLE[v]!r})" for v in range(0, HLL_M + 1)
+)
+
+HLL_PORTABLE_SQL = f"""
+WITH hx AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         (({_HLL_A} * (user_id % {_CM_P}) + {_HLL_B}) % {_CM_P}) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, day, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {_HLL_MAX_RHO}
+              ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+         END AS rho
+  FROM hx
+),
+daily AS (
+  SELECT event_type, day, bucket, MAX(rho) AS rho
+  FROM reg GROUP BY event_type, day, bucket
+),
+typed AS (
+  SELECT event_type, bucket, MAX(rho) AS rho
+  FROM daily GROUP BY event_type, bucket
+),
+per_type AS (
+  SELECT event_type,
+         SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS s_present,
+         CAST(COUNT(*) AS INTEGER) AS registers_used
+  FROM typed GROUP BY event_type
+),
+lnt(v, lnv) AS (VALUES {_HLL_LN_VALUES})
+SELECT p.event_type,
+       round(CASE WHEN ({HLL_M} - p.registers_used) > 0
+                   AND ({HLL_ALPHA * HLL_M * HLL_M!r}
+                        / (({HLL_M}.0 - p.registers_used) + p.s_present))
+                       <= {2.5 * HLL_M}
+                  THEN {HLL_M}.0 * l.lnv
+                  ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                       / (({HLL_M}.0 - p.registers_used) + p.s_present)
+             END, 4) AS n_users_hll,
+       p.registers_used
+FROM per_type p
+JOIN lnt l ON l.v = {HLL_M} - p.registers_used
+ORDER BY p.event_type
+"""
+
+
 QUERIES = {
     "ndv_exact_users_per_type": ndv_exact_users_per_type,
     "ndv_approx_users_per_type": ndv_approx_users_per_type,
     "hll_mergeable_rollup": hll_mergeable_rollup,
+    "hll_portable_rollup": hll_portable_rollup,
     "freq_topk_users": freq_topk_users,
     "quantile_summary": quantile_summary,
     "quantile_approx_value": quantile_approx_value,
@@ -376,6 +504,7 @@ QUERIES = {
 
 ORACLES = {
     "ndv_exact_users_per_type": NDV_EXACT_SQL,
+    "hll_portable_rollup": HLL_PORTABLE_SQL,
     "freq_topk_users": FREQ_TOPK_SQL,
     "quantile_summary": QUANTILE_SQL,
     "countmin_freq_estimate": COUNTMIN_SQL,
