@@ -314,7 +314,14 @@ def main() -> None:
             row["exp_10x"] = round(
                 math.log(sf1[name] / base) / math.log(10), 3
             )
-        row["flag_superlinear"] = bool(row.get("ratio_3x", 0) > 1.5)
+        # Growth-ratio gate, not a superlinearity test: fires when cost
+        # grows >1.5x per 3x data (exponent ~0.37) — the verdict's drift
+        # threshold. A true superlinearity flag would compare exp_3x /
+        # exp_10x against 1.0; that is reported alongside for readers.
+        row["flag_steep_growth"] = bool(row.get("ratio_3x", 0) > 1.5)
+        row["flag_superlinear_exp"] = bool(
+            row.get("exp_3x", 0) > 1.0 or row.get("exp_10x", 0) > 1.0
+        )
         scaling[name] = row
 
     # Layout-payoff table (VERDICT r5 item 9): files/row-groups a

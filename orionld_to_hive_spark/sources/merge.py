@@ -137,8 +137,34 @@ def merge_upsert(
                 lock_fs.getFileStatus(lock).getModificationTime() / 1000.0
             )
             if age_s > break_stale_lock_s:
-                lock_fs.delete(lock, False)
-                broke = lock_fs.createNewFile(lock)
+                # Break via atomic rename-aside, not delete+create: two
+                # writers that both measured the old lock as stale would
+                # otherwise race delete/create and B could delete A's
+                # freshly recreated lock (TOCTOU — r6 ADVICE). rename is
+                # atomic on local/HDFS, so exactly one breaker captures
+                # any given lock file. Because a breaker can still
+                # capture a lock that was *recreated* between its age
+                # check and its rename, re-verify staleness on the
+                # captured file (rename preserves mtime): a fresh
+                # capture is handed back instead of broken.
+                import uuid as _uuid
+
+                aside = jvm.org.apache.hadoop.fs.Path(
+                    target_path, f"{_LOCK_NAME}.broken-{_uuid.uuid4().hex}"
+                )
+                if lock_fs.rename(lock, aside):
+                    aged = _time.time() - (
+                        lock_fs.getFileStatus(aside).getModificationTime()
+                        / 1000.0
+                    )
+                    if aged > break_stale_lock_s:
+                        lock_fs.delete(aside, False)
+                        broke = lock_fs.createNewFile(lock)
+                    elif not lock_fs.rename(aside, lock):
+                        # someone re-locked meanwhile; our capture is
+                        # redundant — drop it and fall through to the
+                        # ConcurrentMergeError below
+                        lock_fs.delete(aside, False)
         if not broke:
             raise ConcurrentMergeError(
                 f"merge already in progress on {target_path} "

@@ -76,20 +76,28 @@ def write_snapshot(df: DataFrame, base: str) -> int:
 
     os.makedirs(base, exist_ok=True)
     stage = os.path.join(base, f"_stage-{os.getpid()}-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(stage)
-    while True:
-        versions = list_versions(base)
-        version = (versions[-1] + 1) if versions else 0
-        try:
-            os.rename(stage, _vdir(base, version))
-            break
-        except OSError as e:
-            import errno
+    try:
+        df.write.mode("errorifexists").parquet(stage)
+        while True:
+            versions = list_versions(base)
+            version = (versions[-1] + 1) if versions else 0
+            try:
+                os.rename(stage, _vdir(base, version))
+                break
+            except OSError as e:
+                import errno
 
-            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
-                raise
-            # lost the claim race — the directory we just failed to take
-            # belongs to a concurrent writer; try the next number
+                if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                    raise
+                # lost the claim race — the directory we just failed to
+                # take belongs to a concurrent writer; try the next number
+    except BaseException:
+        # failed write or claim must not leak the staging directory;
+        # writer *crashes* (no except runs) are swept by vacuum()
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
 
     def flip() -> None:
         cur = latest_version(base)
@@ -160,15 +168,32 @@ def snapshot_diff(
     return added.unionByName(removed)
 
 
-def vacuum(base: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    base: str, keep_last: int = 2, stage_ttl_s: float = 3600.0
+) -> list[int]:
     """Delete all but the last `keep_last` versions (never the committed
     latest). Returns the versions removed. Explicit, so reproducibility
-    is only given up on purpose."""
+    is only given up on purpose.
+
+    Also sweeps `_stage-*` directories older than `stage_ttl_s`: those
+    are orphans from writers that crashed between staging their data
+    and claiming a version (a live writer's stage is at most seconds
+    old). Pass stage_ttl_s=None to skip the sweep."""
+    import glob as _glob
     import shutil
+    import time as _time
 
     latest = latest_version(base)
     versions = list_versions(base)
     removable = [v for v in versions[:-keep_last] if v != latest]
     for v in removable:
         shutil.rmtree(_vdir(base, v))
+    if stage_ttl_s is not None:
+        now = _time.time()
+        for d in _glob.glob(os.path.join(base, "_stage-*")):
+            try:
+                if now - os.path.getmtime(d) > stage_ttl_s:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass  # raced with its writer claiming/removing it
     return removable

@@ -78,7 +78,13 @@ def _row_groups(path: str, cols: set[str]):
             st = {}
             for j in range(rg.num_columns):
                 c = rg.column(j)
-                if c.path_in_schema in cols and c.statistics is not None:
+                if (
+                    c.path_in_schema in cols
+                    and c.statistics is not None
+                    and c.statistics.has_min_max
+                ):
+                    # without has_min_max the stats object stores
+                    # (None, None) and the skip predicate would raise
                     st[c.path_in_schema] = (c.statistics.min, c.statistics.max)
             out.append((f, g, st))
     return out
