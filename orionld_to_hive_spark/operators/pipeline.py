@@ -527,6 +527,157 @@ ORDER BY user_token
 
 
 # --------------------------------------------------------------------------
+# Content-level PII detection + redaction — the stage every serious
+# training-data pipeline runs before text leaves curation (companion to
+# pseudonymize_events, which only covers structured IDs). Pure JVM-side
+# regexp_count/regexp_replace — a row-local scan expression with ZERO
+# shuffle before the per-source rollup, so at 100 TB it is exactly one
+# pass over the corpus fused into the scan stage. Patterns use [0-9]
+# classes and no backreferences/lookaround so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte. The synthetic corpus contains no
+# natural PII, so the query PLANTS deterministic doc_id-derived PII in
+# both engines identically — the detector, the redactor, and the
+# length-delta accounting are then checked against real per-source
+# variation, not a vacuous all-zeros table. A unit test plants literal
+# PII strings and asserts the redacted text directly.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_SECRET = "(api_key|secret|token)=[A-Za-z0-9_]{8,}"
+
+
+def _pii_redact_col(t: F.Column) -> F.Column:
+    # email → ssn → phone → secret; placeholders contain no digits or
+    # '@'/'=' runs, so later patterns never match earlier replacements.
+    red = F.regexp_replace(t, _PII_EMAIL, "[EMAIL]")
+    red = F.regexp_replace(red, _PII_SSN, "[SSN]")
+    red = F.regexp_replace(red, _PII_PHONE, "[PHONE]")
+    return F.regexp_replace(red, _PII_SECRET, "[SECRET]")
+
+
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            (did % 7) == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 11) == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 13) == 0,
+            F.concat(
+                F.lit(" ssn 987-65-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 17) == 0,
+            F.concat(
+                F.lit(" api_key=tok_"), F.lpad(did.cast("string"), 12, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select(
+        "source",
+        planted.alias("t"),
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "e"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "p"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_SSN), F.lit(0))).alias(
+            "s"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_SECRET), F.lit(0))).alias(
+            "k"
+        ),
+        (F.length(_pii_redact_col(F.col("t"))) - F.length("t")).alias(
+            "delta"
+        ),
+    )
+    hit = (F.col("e") + F.col("p") + F.col("s") + F.col("k")) > 0
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(hit.cast("int")).alias("docs_with_pii"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("s").alias("n_ssns"),
+            F.sum("k").alias("n_secrets"),
+            F.sum("delta").alias("redaction_len_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_REDACTION_SQL = (
+    """
+WITH aug AS (
+  SELECT source,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' api_key=tok_' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                 ELSE '' END
+         AS t
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         len(regexp_extract_all(t, '__EMAIL__')) AS e,
+         len(regexp_extract_all(t, '__PHONE__')) AS p,
+         len(regexp_extract_all(t, '__SSN__')) AS s,
+         len(regexp_extract_all(t, '__SECRET__')) AS k,
+         length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             t, '__EMAIL__', '[EMAIL]', 'g'),
+                '__SSN__', '[SSN]', 'g'),
+                '__PHONE__', '[PHONE]', 'g'),
+                '__SECRET__', '[SECRET]', 'g')) - length(t) AS delta
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN e + p + s + k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(p) AS BIGINT) AS n_phones,
+       CAST(SUM(s) AS BIGINT) AS n_ssns,
+       CAST(SUM(k) AS BIGINT) AS n_secrets,
+       CAST(SUM(delta) AS BIGINT) AS redaction_len_delta
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+    .replace("__EMAIL__", _PII_EMAIL)
+    .replace("__PHONE__", _PII_PHONE)
+    .replace("__SSN__", _PII_SSN)
+    .replace("__SECRET__", _PII_SECRET)
+)
+
+
+# --------------------------------------------------------------------------
 # Differential-privacy noised release — the Laplace mechanism on per-type
 # counts (sensitivity 1), with DETERMINISTIC portable noise: the uniform
 # draw is the first 15 decimal digits of md5(key || group), identical in
@@ -662,6 +813,7 @@ FROM groups
 QUERIES = {
     "pipeline_curation_report": pipeline_curation_report,
     "pseudonymize_events": pseudonymize_events,
+    "pii_redaction_report": pii_redaction_report,
     "mixture_resample_report": mixture_resample_report,
     "reservoir_sample_per_source": reservoir_sample_per_source,
     "weighted_sample_docs": weighted_sample_docs,
@@ -684,6 +836,7 @@ ORACLES = {
     "pack_sequences_report": PACK_SEQUENCES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "pseudonymize_events": PSEUDONYMIZE_SQL,
+    "pii_redaction_report": PII_REDACTION_SQL,
     "dp_count_report": DP_COUNT_SQL,
     "kanonymity_audit": KANONYMITY_SQL,
 }

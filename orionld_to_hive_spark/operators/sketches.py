@@ -170,6 +170,80 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact distributed quantiles over events.value — the PORTABLE twin of
+# quantile_approx_value, graduating the quantile family to an exact
+# DuckDB oracle the way hll_portable_rollup graduated NDV. Spark's
+# approx_percentile summary is engine-specific, so instead of checking
+# "plausible" we compute the EXACT type-1 (lower-value) quantile with
+# the distinct-value histogram + cumulative-sum move proven in
+# analytics.dwell_time_profile: group by (event_type, value) — the
+# histogram shuffles ONCE with full map-side combine and its size is
+# bounded by distinct values, not rows — then a per-type cumulative
+# window picks the smallest value whose cumulative count reaches
+# ceil(tot·q). Both engines select an actual data value (no
+# interpolation), so doubles compare bit-exactly. At 100 TB the
+# histogram is the only fact-scale shuffle; the windows run over
+# |distinct values per type|, and the final agg is |types| rows.
+def quantile_portable_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    sized = hist.select(
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    q = lambda frac: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.col("tot") * F.lit(frac)), F.col("value")
+        )
+    )
+    return (
+        sized.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_values"),
+            q(0.5).alias("p50"),
+            q(0.95).alias("p95"),
+            q(0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUANTILE_PORTABLE_SQL = """
+WITH hist AS (
+  SELECT event_type, value, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+),
+sized AS (
+  SELECT event_type, value, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum >= ceil(tot * 0.5) THEN value END) AS p50,
+       MIN(CASE WHEN cum >= ceil(tot * 0.95) THEN value END) AS p95,
+       MIN(CASE WHEN cum >= ceil(tot * 0.99) THEN value END) AS p99
+FROM sized
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch — frequency estimation with a PORTABLE hash family
 # (h_i(u) = ((a_i·(u mod p) + b_i) mod p) mod w, p = 2³¹−1), so the
 # sketch is bit-identical across engines and the DuckDB oracle checks
@@ -498,6 +572,7 @@ QUERIES = {
     "freq_topk_users": freq_topk_users,
     "quantile_summary": quantile_summary,
     "quantile_approx_value": quantile_approx_value,
+    "quantile_portable_value": quantile_portable_value,
     "countmin_freq_estimate": countmin_freq_estimate,
     "bloom_membership_report": bloom_membership_report,
 }
@@ -507,6 +582,7 @@ ORACLES = {
     "hll_portable_rollup": HLL_PORTABLE_SQL,
     "freq_topk_users": FREQ_TOPK_SQL,
     "quantile_summary": QUANTILE_SQL,
+    "quantile_portable_value": QUANTILE_PORTABLE_SQL,
     "countmin_freq_estimate": COUNTMIN_SQL,
     "bloom_membership_report": BLOOM_SQL,
 }

@@ -1,0 +1,112 @@
+"""Round-7 additions: PII redaction, portable exact quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.operators.pipeline import _pii_redact_col
+
+
+def test_pii_redaction_on_planted_literals(spark):
+    rows = [
+        ("reach me at jane.doe+spam@corp-mail.example.org today",
+         "reach me at [EMAIL] today"),
+        ("ssn is 123-45-6789 ok", "ssn is [SSN] ok"),
+        ("dial +44-555-0142 now", "dial [PHONE] now"),
+        ("cfg: api_key=sk_live_abc123XYZ end", "cfg: [SECRET] end"),
+        ("token=short7 stays", "token=short7 stays"),  # <8 chars: no match
+        ("a@b.c too short tld", "a@b.c too short tld"),  # 1-char TLD
+        ("two hits x@y.io and 999-88-7777 done",
+         "two hits [EMAIL] and [SSN] done"),
+        ("clean text with no identifiers at all",
+         "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["t", "expect"]).withColumn(
+        "red", _pii_redact_col(F.col("t"))
+    )
+    for r in df.collect():
+        assert r.red == r.expect, (r.t, r.red, r.expect)
+
+
+def test_pii_report_counts_cover_all_pattern_families(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.pipeline import pii_redaction_report
+
+    out = pii_redaction_report(spark, sf_smoke).toPandas()
+    # every planted family fires somewhere in the corpus, and hit docs
+    # never exceed scanned docs
+    assert out["n_emails"].sum() > 0
+    assert out["n_phones"].sum() > 0
+    assert out["n_ssns"].sum() > 0
+    assert out["n_secrets"].sum() > 0
+    assert (out["docs_with_pii"] <= out["docs"]).all()
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (0, 1, 5, 31, 32, 33, 64, 200, 1000):
+        raw = rng.randint(0, 256, size=n).astype(np.uint8)
+        px, w, h = decode_png(encode_png_gray(raw))
+        exp_h = max(1, -(-n // 32))
+        assert (w, h) == (32, exp_h)
+        exp = np.zeros(exp_h * 32, dtype=np.uint8)
+        exp[:n] = raw
+        # n=1000 → 32 rows → the 0..4 filter cycle runs 6+ times; a
+        # reconstruction bug in ANY filter breaks this equality
+        assert np.array_equal(px, exp), n
+
+
+def test_png_decode_rejects_corruption_and_non_png():
+    import numpy as np
+    import pytest
+
+    from orionld_to_hive_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    good = bytearray(
+        encode_png_gray(np.arange(100, dtype=np.uint8))
+    )
+    good[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+
+
+def test_quantile_portable_matches_exact_percentile_disc(spark, sf_smoke):
+    """The histogram+cumsum quantile equals Spark's own exact
+    percentile_disc-style lower quantile computed the naive way."""
+    from orionld_to_hive_spark.operators.sketches import (
+        quantile_portable_value,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    got = {
+        r.event_type: r
+        for r in quantile_portable_value(spark, sf_smoke).collect()
+    }
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    for et, rows in (
+        ev.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    ):
+        import math
+
+        vs = rows
+        for frac, field in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            k = math.ceil(len(vs) * frac)
+            assert got[et][field] == vs[k - 1], (et, field)
+        assert got[et]["n_values"] == len(vs)
