@@ -60,7 +60,9 @@ HIGH_REPS = {
     "interpolate_hourly_values": 30,
     "session_window_stats": 30,
     "bigram_logprob_score": 20,
-    "dedup_minhash_lsh": 15,
+    # r7: the A/B (PLANS.md) measured warmed stdev ~0.11 — the largest
+    # of any headliner — so its official mean needs the full 30
+    "dedup_minhash_lsh": 30,
     "sessionize_events": 15,
     "dwell_time_profile": 15,
     "stats_moments": 15,
@@ -179,6 +181,28 @@ def time_query(fn, spark, sf_dir: str, reps: int | None = None) -> dict:
     }
 
 
+def time_engine(fn, spark, sf_dir: str, reps: int = 3) -> float:
+    """Engine-only timing: execute the FULL physical plan (including
+    final sorts) into the noop sink — no driver-side row transfer.
+    The official metric stays collect()-timed (the reference's
+    cursor.execute + fetchall window, kept for longitudinal
+    comparability); this companion isolates distributed compute from
+    result materialization. r7 finding: the two sessionization
+    headliners return ~1M session rows at sf1.0 and 84-87% of their
+    collect-timed cost is PySpark Row deserialization on the driver —
+    engine time is 1.1-1.4 s and grows at exponent 0.13-0.24, so the
+    'steepest curves' in the scaling report are fetch-bound, not a
+    shuffle bottleneck (PLANS.md: sessionize_events)."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warmup
+    return round(min(once() for _ in range(reps)), 4)
+
+
 def _sf_of(sf_dir: str) -> float | str:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf
@@ -277,6 +301,11 @@ def main() -> None:
         for name in SF1_LADDER_QUERIES:
             stats = time_query(qmap[name], spark, sf1_dir, reps=3)
             stats["reps"] = 3
+            # engine-only companion at both ends of the 10× step: the
+            # collect-vs-noop split shows whether a steep curve is
+            # distributed compute or driver result-fetch
+            stats["engine_s"] = time_engine(qmap[name], spark, sf1_dir)
+            stats["engine_s_sf0.1"] = time_engine(qmap[name], spark, sf_dir)
             sf1_detail[name] = stats
             sf1[name] = stats["mean"]
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
@@ -322,6 +351,18 @@ def main() -> None:
         row["flag_superlinear_exp"] = bool(
             row.get("exp_3x", 0) > 1.0 or row.get("exp_10x", 0) > 1.0
         )
+        # engine-only exponent over the 10× step, when measured: the
+        # collect-timed exponent above includes O(result_rows) driver
+        # fetch; this one is the distributed-compute growth the 100 TB
+        # claim actually rests on
+        eng1 = sf1_detail.get(name, {}).get("engine_s")
+        eng01 = sf1_detail.get(name, {}).get("engine_s_sf0.1")
+        if eng1 and eng01:
+            row["engine_sf0.1"] = eng01
+            row["engine_sf1.0"] = eng1
+            row["engine_exp_10x"] = round(
+                math.log(eng1 / eng01) / math.log(10), 3
+            )
         scaling[name] = row
 
     # Layout-payoff table (VERDICT r5 item 9): files/row-groups a
@@ -371,7 +412,13 @@ def main() -> None:
         )
 
     # The driver tail-captures stdout and parses the LAST line as JSON —
-    # keep it compact (3-dp means, no per-query detail) and flush it.
+    # keep it SMALL. r6 lesson: widening the high-ladder dicts pushed
+    # the line past the driver's tail window and BENCH_r06.json came
+    # back `parsed: None` (truncated mid-key). Everything beyond the
+    # contract fields (metric/value/unit/queries/sf) plus the tiny
+    # parity_total/ladder roll-ups lives ONLY in BENCH_DETAIL.json now;
+    # the high/sf1 ladders are under high_ladder_detail/sf1_ladder_detail
+    # there, keyed by the directory actually measured.
     summary = {
         "metric": "sum_of_mean_latencies_headline",
         "value": total,
@@ -381,17 +428,12 @@ def main() -> None:
         "parity_total": parity_total,
         "ladder": ladder,
     }
-    if high:
-        # label by the directory actually measured — SPARK_GRAFT_SF_HIGH
-        # may point anywhere, and a point published under the wrong scale
-        # name defeats the ladder's purpose
-        summary[f"high_sf{high_sf}"] = {
-            k: round(v, 3) for k, v in high.items()
-        }
-    if sf1:
-        summary[f"high_sf{sf1_sf}"] = {k: round(v, 3) for k, v in sf1.items()}
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 2000:  # stay inside the observed tail window
+        summary.pop("ladder", None)
+        line = json.dumps(summary, separators=(",", ":"))
     sys.stdout.flush()
-    print(json.dumps(summary, separators=(",", ":")), flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
