@@ -786,8 +786,142 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume — revenue from lineitems where
+# the CUSTOMER and the SUPPLIER sit in the same nation of one region.
+# The classic join-ordering benchmark. Spark-first plan: region⋈nation
+# folds to a ≤25-row broadcast; supplier picks up its nation through
+# it (AQE broadcasts the dim automatically — no hint needed); orders
+# is date-filtered AT THE SCAN (PushedFilters) before the keyed
+# customer join; the only fact-fact shuffle is lineitem⋈orders on the
+# order key. The locality constraint (c_nationkey = s_nationkey) is a
+# post-join filter on two small int columns — never a join explosion.
+# At 100 TB every shuffle here is on a primary join key; the r_name
+# filter prunes 4/5 of nations before any fact work.
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nk"), "n_name")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+        )
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", F.col("c_nationkey").alias("cust_nk"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("cust_nk") == F.col("supp_nk"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders. The spec's HAVING SUM(qty) >
+# 300 is scaled to 250 for the testdata's ≤7-lines-per-order corpus
+# (300 leaves 5 rows at sf0.001 — too thin to certify). One
+# improvement over the textbook formulation: the outer re-aggregation
+# of lineitem is DROPPED — the per-order quantity sum already exists
+# in the HAVING subquery, and o_orderkey is unique in orders, so the
+# qualifying sums join straight onto orders⋈customer. One lineitem
+# scan instead of two; at 100 TB that halves the dominant I/O. The
+# survivor side is sf-proportional (HAVING prunes hard but grows with
+# data), so per the repo's broadcast-hint policy it carries NO
+# explicit hint — AQE broadcasts it while small and falls back to a
+# keyed shuffle at scale (the broadcast gate enforces this; same
+# stance as having_large_orders). Deterministic tiebreak (o_orderkey)
+# appended to the spec's ORDER BY so LIMIT 100 is engine-stable.
+TPCH_Q18_MIN_QTY = 250
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > TPCH_Q18_MIN_QTY)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum("l_quantity")} AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {sql_dsum("l_quantity")} > {TPCH_Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q4_priority": tpch_q4_priority,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q10_returned": tpch_q10_returned,
     "tpch_q12_priority_split": tpch_q12_priority_split,
     "tpch_q13_custdist": tpch_q13_custdist,
@@ -804,6 +938,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q5_local_supplier": TPCH_Q5_SQL,
+    "tpch_q18_large_orders": TPCH_Q18_SQL,
     "tpch_q7_nation_volume": TPCH_Q7_SQL,
     "tpch_q8_market_share": TPCH_Q8_SQL,
     "tpch_q9_profit": TPCH_Q9_SQL,

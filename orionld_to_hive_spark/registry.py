@@ -48,12 +48,13 @@ _MODULES = (
 # LSH/IVF sign-projection buckets, k-means, the two hash-threshold
 # sampling twins, decoded-WAV RMS, portable HLL) but were never
 # driver-graded against those oracles, plus p5_dropna (its newest green
-# row is r1 — the registry's stalest); (b) the three r7-new operators
-# (portable exact quantiles, PII redaction, real-PNG pixel stats); (c)
-# backfill with the entire r2-era cohort — the 35 oracle-backed queries
-# whose newest green rows date to round 2, the oldest block left — and
-# the first four r3-era rows. After this round every certified row in
-# the prefix is at most two rounds old.
+# row is r1 — the registry's stalest); (b) the five r7-new operators
+# (portable exact quantiles, PII redaction, real-PNG pixel stats,
+# literal TPC-H Q5/Q18); (c) backfill with the entire r2-era cohort —
+# the 35 oracle-backed queries whose newest green rows date to round 2,
+# the oldest block left — and the first two r3-era rows. After this
+# round every certified row in the prefix is at most two rounds old
+# except the r3 block, which rotates next.
 _PRIORITY = (
     # (a) oracle-graduated in r6, never driver-certified (7) + stalest (1)
     "ann_lsh_topk",
@@ -64,10 +65,12 @@ _PRIORITY = (
     "multimodal_wav_rms",
     "hll_portable_rollup",
     "p5_dropna",
-    # (b) new in r7 (3)
+    # (b) new in r7 (5)
     "quantile_portable_value",
     "pii_redaction_report",
     "multimodal_png_stats",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
     # (c) r2-era green rows, the oldest remaining cohort (35)
     "ann_bruteforce_topk",
     "asof_click_before_purchase",
@@ -104,11 +107,9 @@ _PRIORITY = (
     "text_token_stats",
     "tumbling_window_agg",
     "vocab_coverage_report",
-    # (c) first r3-era rows (4)
+    # (c) first r3-era rows (2)
     "acctbal_vs_global_avg",
     "budget_select_report",
-    "cohort_retention",
-    "conditional_agg_per_type",
 )
 
 
