@@ -351,10 +351,18 @@ WHERE event_id < 500
 # --------------------------------------------------------------------------
 # P8 — per-key debounce (reference `subscriber.py:21-23,111-118`), batch
 # form of the stateful streaming operator (streaming/debounce.py). The
-# kept-set depends on previously-kept rows, so this is inherently a
+# kept-set depends on previously-KEPT rows, so this is inherently a
 # sequential per-key scan — grouped-map Pandas, keys parallelized.
-# Not expressible in plain SQL ⇒ rows-only check (pytest asserts the
-# exact semantics on golden bursts).
+# r7: graduated from rows-only to an EXACT oracle — a DuckDB recursive
+# CTE replays the scan in the same integer-microsecond arithmetic (the
+# EWMA move: recursion over per-key row_number, state = last-accepted
+# µs). An event_id tiebreak pins same-timestamp scan order in both
+# engines, making the kept-set well-defined instead of shuffle-order-
+# dependent. Recursion depth = max events per key — bounded by the
+# per-key burst length, not corpus size.
+P8_DELAY_US = 3_600_000_000  # 3600 s in µs
+
+
 def p8_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orionld_to_hive_spark.streaming.debounce import debounce_batch
 
@@ -364,7 +372,31 @@ def p8_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         arrival_col="ts",
         delay_s=3600.0,
+        tiebreak_col="event_id",
     )
+
+
+P8_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+scan AS (
+  SELECT user_id, event_id, ts, value, t_us, rn,
+         TRUE AS kept, t_us AS last_us
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.ts, s.value, s.t_us, s.rn,
+         s.t_us - p.last_us >= {P8_DELAY_US} AS kept,
+         CASE WHEN s.t_us - p.last_us >= {P8_DELAY_US}
+              THEN s.t_us ELSE p.last_us END AS last_us
+  FROM seq s JOIN scan p ON s.user_id = p.user_id AND s.rn = p.rn + 1
+)
+SELECT event_id, user_id, ts, value
+FROM scan WHERE kept
+"""
 
 
 # --------------------------------------------------------------------------
@@ -470,6 +502,7 @@ ORACLES = {
     # p6_sample_seeded: engine-specific RNG — rows-only check by design;
     # p6_sample_hash is its exact-oracle hash-threshold twin
     "p6_sample_hash": P6_SAMPLE_HASH_SQL,
+    "p8_debounce": P8_SQL,
     "topk_events": TOPK_SQL,
     "scalar_suite": SCALAR_SQL,
 }

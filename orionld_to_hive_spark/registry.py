@@ -71,6 +71,9 @@ _PRIORITY = (
     "multimodal_png_stats",
     "tpch_q5_local_supplier",
     "tpch_q18_large_orders",
+    # graduated to an exact recursive-CTE oracle in r7, never
+    # hash-certified before (was rows-only by design)
+    "p8_debounce",
     # (c) r2-era green rows, the oldest remaining cohort (35)
     "ann_bruteforce_topk",
     "asof_click_before_purchase",
@@ -107,9 +110,8 @@ _PRIORITY = (
     "text_token_stats",
     "tumbling_window_agg",
     "vocab_coverage_report",
-    # (c) first r3-era rows (2)
+    # (c) first r3-era row (1)
     "acctbal_vs_global_avg",
-    "budget_select_report",
 )
 
 

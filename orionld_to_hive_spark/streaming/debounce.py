@@ -29,7 +29,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def _debounce_scan(
-    pdf: pd.DataFrame, arrival_col: str, delay_s: float, last_emit: float | None
+    pdf: pd.DataFrame,
+    arrival_col: str,
+    delay_s: float,
+    last_emit: float | None,
+    tiebreak_col: str | None = None,
 ) -> tuple[pd.DataFrame, float | None]:
     """Sequential keep/drop scan in arrival order; returns kept rows and
     the updated last-accepted time.
@@ -39,8 +43,15 @@ def _debounce_scan(
     `delay_s` apart flap on double rounding (~2.4e-7 s at 2020s epochs).
     `last_emit` stays a float epoch-seconds value for the streaming
     state schema; it is re-quantized to micros on entry.
+
+    `tiebreak_col` (r7) pins the order of same-arrival-time rows — the
+    kept-set depends on scan order, so without it equal timestamps
+    resolve in shuffle order (run-dependent) and the result cannot be
+    oracle-diffed. The mergesort is stable, so omitting it preserves
+    the pre-r7 behavior exactly.
     """
-    pdf = pdf.sort_values(arrival_col, kind="mergesort")
+    sort_cols = [arrival_col] + ([tiebreak_col] if tiebreak_col else [])
+    pdf = pdf.sort_values(sort_cols, kind="mergesort")
     arrivals_us = pdf[arrival_col].astype("int64") // 1000  # ns → µs
     delay_us = round(delay_s * 1_000_000)
     last_us = None if last_emit is None else round(last_emit * 1_000_000)
@@ -60,11 +71,12 @@ def debounce_batch(
     key_col: str,
     arrival_col: str,
     delay_s: float,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Static-frame debounce via applyInPandas (grouped map)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        kept, _ = _debounce_scan(pdf, arrival_col, delay_s, None)
+        kept, _ = _debounce_scan(pdf, arrival_col, delay_s, None, tiebreak_col)
         return kept
 
     return df.groupBy(key_col).applyInPandas(fn, df.schema)
