@@ -51,6 +51,7 @@ def merge_upsert(
     partition_cols: tuple[str, ...],
     check_partition_stability: bool = False,
     break_stale_lock_s: float | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE `updates` into the parquet table at `target_path`.
 
@@ -92,7 +93,19 @@ def merge_upsert(
     On object stores without atomic create (S3 pre-conditional-write),
     front this with a real coordinator — the lock here is exactly the
     guard HDFS/local deployments need and a visible contract for the
-    rest."""
+    rest.
+
+    Schema contract (r7): updates missing a column the target has is
+    ALWAYS an error — rows are replaced whole, so the rewritten
+    partitions would silently lose that column (the pre-r7 code did
+    exactly that). Updates carrying NEW columns are an error by default
+    and an EVOLUTION with `schema_evolution=True`: rewritten partitions
+    gain the column (existing rows NULL-filled, the Delta/Iceberg
+    add-column semantics), untouched partitions keep their old footers,
+    and the target read-back uses parquet mergeSchema so later merges
+    see the union schema. Readers of an evolved table must read with
+    mergeSchema (or an explicit schema) — plain footer-sampling reads
+    can miss post-evolution columns; `read_merged` wraps that."""
     spark = updates.sparkSession
     # Alongside each raw partition value, collect Spark's OWN string
     # rendering of it (cast-to-string): the emptied-directory delete at
@@ -172,7 +185,28 @@ def merge_upsert(
                 "pass break_stale_lock_s or remove the lock file"
             )
     try:
-        target = spark.read.parquet(target_path)
+        # mergeSchema only when evolving: it reads every file footer,
+        # which a 100 TB table should not pay on the default path
+        target = (
+            spark.read.option("mergeSchema", "true").parquet(target_path)
+            if schema_evolution
+            else spark.read.parquet(target_path)
+        )
+
+        # ---- schema contract -----------------------------------------
+        lost = [c for c in target.columns if c not in updates.columns]
+        if lost:
+            raise ValueError(
+                f"update batch is missing target column(s) {lost}: rows "
+                "are replaced whole, so merging would drop them from "
+                "every rewritten partition"
+            )
+        new_cols = [c for c in updates.columns if c not in target.columns]
+        if new_cols and not schema_evolution:
+            raise ValueError(
+                f"update batch adds new column(s) {new_cols}; pass "
+                "schema_evolution=True to evolve the table"
+            )
 
         # touched-partition predicate: a disjunction of partition-value
         # conjunctions, which Catalyst folds into partition pruning
@@ -212,10 +246,15 @@ def merge_upsert(
         # inference only covers numeric/date/timestamp/string — a boolean
         # (or other uninferred) partition column reads back as STRING and
         # would fail the union below. The cast is a no-op where types
-        # already match.
+        # already match. Evolved-in columns the target has never seen
+        # read back as typed NULLs (add-column semantics).
         existing = target.filter(pred).select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in target.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
                 for f in updates.schema.fields
             ]
         )
@@ -316,3 +355,13 @@ def merge_upsert(
         return len(touched_rows)
     finally:
         lock_fs.delete(lock, False)
+
+
+def read_merged(spark, target_path: str) -> DataFrame:
+    """Read a merge target whose schema may have evolved: parquet
+    mergeSchema unions every file footer, so partitions written before
+    an add-column evolution contribute typed NULLs for the new columns
+    instead of silently narrowing the schema to whichever footer the
+    plain reader sampled. Pay it only on evolved tables — it lists and
+    reads all footers."""
+    return spark.read.option("mergeSchema", "true").parquet(target_path)

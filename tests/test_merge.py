@@ -353,3 +353,73 @@ def test_merge_handles_map_typed_columns(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1
     assert rows[0].version == 2 and rows[0].props == {"k": "w"}
+
+
+def test_merge_rejects_updates_missing_a_target_column(spark, tmp_path):
+    """Rows are replaced whole — a narrower update batch would silently
+    drop the column from every rewritten partition (the pre-r7 code did
+    exactly that), so it must refuse instead."""
+    import pytest
+
+    path = str(tmp_path / "tbl_narrow")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    narrow = spark.createDataFrame(
+        [(2, "a", 2)], "id LONG, day STRING, version LONG"
+    )
+    with pytest.raises(ValueError, match="missing target column"):
+        merge_upsert(path, narrow, ("id",), "version", ("day",))
+    # nothing rewritten
+    assert set(spark.read.parquet(path).columns) == {
+        "id", "day", "version", "value"
+    }
+
+
+def test_merge_rejects_new_columns_unless_evolving(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "tbl_newcol")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    wide = spark.createDataFrame(
+        [(2, "a", 2, 21.0, "gold")],
+        "id LONG, day STRING, version LONG, value DOUBLE, tier STRING",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert(path, wide, ("id",), "version", ("day",))
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    from orionld_to_hive_spark.sources.merge import read_merged
+
+    path = str(tmp_path / "tbl_evolve")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    before_c = _files_mtimes(path, "day=c")
+    wide = spark.createDataFrame(
+        [(2, "a", 2, 21.0, "gold"), (5, "b", 1, 50.0, "silver")],
+        "id LONG, day STRING, version LONG, value DOUBLE, tier STRING",
+    )
+    n = merge_upsert(
+        path, wide, ("id",), "version", ("day",), schema_evolution=True
+    )
+    assert n == 2
+    got = {
+        r.id: (r.version, r.value, r.tier)
+        for r in read_merged(spark, path).collect()
+    }
+    # update rows carry the new column
+    assert got[2] == (2, 21.0, "gold") and got[5] == (1, 50.0, "silver")
+    # existing rows in rewritten partitions: typed NULL (add-column)
+    assert got[1] == (1, 10.0, None) and got[3] == (1, 30.0, None)
+    # untouched partition: files byte-identical, NULL via mergeSchema
+    assert _files_mtimes(path, "day=c") == before_c
+    assert got[4] == (1, 40.0, None)
+    # a SECOND merge with the evolved schema sees the union schema via
+    # the mergeSchema read-back (old-footer partitions included)
+    wide2 = spark.createDataFrame(
+        [(4, "c", 2, 41.0, "bronze")],
+        "id LONG, day STRING, version LONG, value DOUBLE, tier STRING",
+    )
+    merge_upsert(
+        path, wide2, ("id",), "version", ("day",), schema_evolution=True
+    )
+    got2 = {r.id: r.tier for r in read_merged(spark, path).collect()}
+    assert got2[4] == "bronze" and got2[2] == "gold"
