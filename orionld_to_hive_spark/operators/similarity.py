@@ -168,7 +168,15 @@ WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
 # is order-independent — so bucket ids (and therefore the whole
 # approximate result) are engine-exact, never "within float noise".
 _LSH_HASH_P = 2147483647  # 2^31 - 1, shared with the sketch family
-_LSH_HASH_A, _LSH_HASH_B = 1000003, 12345
+# The multiplier must be large enough that a·k WRAPS mod p for the
+# index range k < LSH_BITS·EMBED_DIM. r7 found the original a=1000003
+# never wrapped (a·384 ≈ 3.8e8 < p), so the "hash" reduced to the
+# parity of an un-wrapped linear function — which depends only on
+# parity(i), making ALL SIX sign rows identical: six copies of one
+# hyperplane, every corpus (even isotropic) collapsing to the two
+# codes {0, 63}. With the classic LCG multiplier the product wraps
+# ~200× across the range and the rows decorrelate (pinned by unit).
+_LSH_HASH_A, _LSH_HASH_B = 1103515245, 12345
 _LSH_QUANT = 1_000_000
 _LSH_SIGNS = [
     [
@@ -179,6 +187,9 @@ _LSH_SIGNS = [
     ]
     for b in range(LSH_BITS)
 ]
+assert (
+    len({tuple(row) for row in _LSH_SIGNS}) == LSH_BITS
+), "LSH sign rows must be distinct hyperplanes"
 
 # Banded cosine-LSH for threshold pair-mining (the dedup_minhash_lsh
 # pattern applied to hyperplane signatures): NEARDUP_BANDS bands of
@@ -286,6 +297,120 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("nbucket"),
         ),
         (F.col("qbucket") == F.col("nbucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _lsh_proj_udf():
+    """Raw integer projections (one per hyperplane), before the sign —
+    the balanced variant thresholds these at the per-bit corpus median
+    instead of 0."""
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _proj(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        quant = np.floor(mat * _LSH_QUANT).astype(np.int64)
+        signs = np.asarray(_LSH_SIGNS, dtype=np.int64).T  # (dim, LSH_BITS)
+        return pd.Series(list(quant @ signs))
+
+    return _proj
+
+
+def balanced_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket) with per-bit MEDIAN-thresholded projections
+    (spectral-hashing-style bit balancing): each bit splits the corpus
+    exactly 50/50 regardless of where the data sits, where a
+    zero-threshold can put everything on one side. Engine-exact: the
+    projections are integer dot products and the threshold is the
+    type-1 lower median via the distinct-value histogram +
+    cumulative-sum move (the quantile_portable_value machinery)."""
+    from pyspark.sql.window import Window
+
+    proj = emb.withColumn("proj", _lsh_proj_udf()(F.col("vec")))
+    pb = proj.select("vec_id", F.posexplode("proj").alias("b", "p"))
+    hist = pb.groupBy("b", "p").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("b")
+    wcum = wt.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    sized = hist.select(
+        "b",
+        "p",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    thr = sized.groupBy("b").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("tot") * 0.5), F.col("p"))
+        ).alias("t")
+    )  # LSH_BITS rows — broadcast by construction
+    return (
+        pb.join(F.broadcast(thr), "b")
+        .select(
+            "vec_id",
+            F.expr("shiftleft(CAST(p > t AS BIGINT), b)").alias("term"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("term").cast("int").alias("bucket"))
+    )
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-threshold LSH + 1-bit multiprobe — the two production
+    recall knobs, both engine-exact (integer projections, type-1
+    median thresholds, XOR probing ⇒ full DuckDB oracle).
+
+    Balancing (see balanced_buckets) guarantees every bit splits the
+    corpus 50/50; multiprobe (own bucket ∪ every 1-bit XOR flip,
+    LSH_BITS+1 probes) recovers the recall that finer codes cost by
+    visiting adjacent populated codes instead of rebuilding the index
+    with fewer bits. A neighbor matches at most one probe (it has one
+    bucket), so no dedup stage. Measured on the testdata (after the
+    r7 hyperplane fix — see the _LSH_HASH_A note): the corpus spreads
+    over ~53 of 64 codes, and multiprobe lifts recall@5 vs brute force
+    from 0.16 (single probe) to 0.28 at ~7× the candidate fan-out —
+    the knob doing exactly its job (pinned by unit test).
+
+    Scale: the threshold pass is one extra (bit, projection) shuffle
+    bounded by distinct projection values (at 100 TB you'd compute it
+    on a sample and pin it in the index metadata); the probe join's
+    fan-out is probes × bucket size with buckets ~n/2^bits."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    emb = emb.join(balanced_buckets(emb), "vec_id").select(
+        "vec_id", "vec", "bucket"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(LSH_BITS)
+        ],
+    )
+    probed = queries.select(
+        "query_id", "qv", F.explode(probes).alias("pbucket")
+    )
+    cands = probed.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nv"),
+            F.col("bucket").alias("nbucket"),
+        ),
+        (F.col("pbucket") == F.col("nbucket"))
         & (F.col("query_id") != F.col("neighbor_id")),
     )
     scored = cands.select(
@@ -891,6 +1016,73 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+# Balanced-multiprobe twin: same integer projections, per-bit type-1
+# median threshold via histogram+cumsum, probe set = own bucket ∪ all
+# 1-bit XOR flips — pure integer arithmetic end to end, so still exact.
+_LSH_PROBE_LIST = ", ".join(
+    ["qbucket"] + [f"xor(qbucket, {1 << b})" for b in range(LSH_BITS)]
+)
+
+ANN_LSH_MULTIPROBE_SQL = f"""
+WITH s(b, i, sgn) AS (VALUES {_LSH_SIGN_VALUES}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, s.b,
+         SUM(CAST(floor(e.v[s.i + 1] * {_LSH_QUANT}) AS BIGINT) * s.sgn)
+           AS p
+  FROM emb e CROSS JOIN s
+  GROUP BY e.vec_id, s.b
+),
+hist AS (SELECT b, p, COUNT(*) AS c FROM proj GROUP BY b, p),
+sized AS (
+  SELECT b, p, c,
+         SUM(c) OVER (PARTITION BY b ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY b) AS tot
+  FROM hist
+),
+thr AS (
+  SELECT b, MIN(CASE WHEN cum >= ceil(tot * 0.5) THEN p END) AS t
+  FROM sized GROUP BY b
+),
+buckets AS (
+  SELECT proj.vec_id,
+         CAST(SUM((CASE WHEN proj.p > thr.t THEN 1 ELSE 0 END) << proj.b)
+              AS INTEGER) AS bucket
+  FROM proj JOIN thr USING (b)
+  GROUP BY proj.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, bk.bucket AS qbucket
+  FROM emb e JOIN buckets bk USING (vec_id)
+  WHERE e.vec_id < {N_QUERIES}
+),
+probed AS (
+  SELECT query_id, qv, unnest([{_LSH_PROBE_LIST}]) AS pbucket FROM q
+),
+cand AS (
+  SELECT p.query_id, p.qv, e.vec_id AS neighbor_id, e.v AS nv
+  FROM probed p
+  JOIN buckets nb ON nb.bucket = p.pbucket
+  JOIN emb e ON e.vec_id = nb.vec_id
+  WHERE e.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "nv")} AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
 ANN_IVF_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 ex AS (
@@ -946,6 +1138,7 @@ QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -973,6 +1166,7 @@ ORACLES = {
     # approximation (portable-hash LSH bucketing / exact-decimal IVF
     # cells) is itself engine-reproducible, so the full result matches.
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_lsh_multiprobe_topk": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     # r6: the Lloyd's fit unrolls (KMEANS_ITERS is a fixed constant)
     # into an exact CTE chain — the last of the graduate-able

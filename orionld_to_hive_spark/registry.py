@@ -48,13 +48,13 @@ _MODULES = (
 # LSH/IVF sign-projection buckets, k-means, the two hash-threshold
 # sampling twins, decoded-WAV RMS, portable HLL) but were never
 # driver-graded against those oracles, plus p5_dropna (its newest green
-# row is r1 — the registry's stalest); (b) the five r7-new operators
-# (portable exact quantiles, PII redaction, real-PNG pixel stats,
-# literal TPC-H Q5/Q18); (c) backfill with the entire r2-era cohort —
-# the 35 oracle-backed queries whose newest green rows date to round 2,
-# the oldest block left — and the first two r3-era rows. After this
-# round every certified row in the prefix is at most two rounds old
-# except the r3 block, which rotates next.
+# row is r1 — the registry's stalest); (b) the six r7-new operators
+# (balanced-multiprobe ANN, portable exact quantiles, PII redaction,
+# real-PNG pixel stats, literal TPC-H Q5/Q18); (c) backfill with the
+# entire r2-era cohort — the 35 oracle-backed queries whose newest
+# green rows date to round 2, the oldest block left. After this round
+# every certified row in the prefix is at most two rounds old; the
+# r3-era block rotates next.
 _PRIORITY = (
     # (a) oracle-graduated in r6, never driver-certified (7) + stalest (1)
     "ann_lsh_topk",
@@ -65,7 +65,8 @@ _PRIORITY = (
     "multimodal_wav_rms",
     "hll_portable_rollup",
     "p5_dropna",
-    # (b) new in r7 (5)
+    # (b) new in r7 (6)
+    "ann_lsh_multiprobe_topk",
     "quantile_portable_value",
     "pii_redaction_report",
     "multimodal_png_stats",
@@ -110,8 +111,6 @@ _PRIORITY = (
     "text_token_stats",
     "tumbling_window_agg",
     "vocab_coverage_report",
-    # (c) first r3-era row (1)
-    "acctbal_vs_global_avg",
 )
 
 

@@ -35,11 +35,16 @@ def test_ann_lsh_and_ivf_recall_vs_bruteforce(spark, sf_smoke):
     lsh = _pairs(ann_lsh_topk(spark, sf_smoke))
     ivf = _pairs(ann_ivf_topk(spark, sf_smoke))
     assert len(exact) == 50
-    # approximate paths must return full top-k rows and be usefully
-    # correlated with the exact answer (guards against a degenerate
-    # projection that isolates every vector or lumps them all together)
-    assert len(lsh) == 50 and len(ivf) == 50
-    assert len(exact & lsh) / len(exact) >= 0.2
+    # IVF routes to a whole label cell, so it always fills top-k; LSH
+    # buckets hold ~n/2^bits vectors after the r7 hyperplane fix (the
+    # pre-fix "full top-k + 0.72 recall" came from all six sign rows
+    # being ONE plane — half the corpus per bucket), so sparse buckets
+    # may return fewer than k rows. Correlation with the exact answer
+    # still guards against degenerate routing, and the multiprobe op
+    # is the recall knob (see test_newops_r7).
+    assert len(ivf) == 50
+    assert 0 < len(lsh) <= 50
+    assert len(exact & lsh) / len(exact) >= 0.1
     # single-probe IVF with label cells recalls less by design — the
     # bound only rules out a fully uncorrelated routing
     assert len(exact & ivf) / len(exact) >= 0.1
@@ -133,8 +138,13 @@ def test_decode_wav_roundtrip_and_formats():
 
     with pytest.raises(ValueError):
         decode_wav(b"\x89PNG\r\n\x1a\nnotawave")
-    with pytest.raises(NotImplementedError):
+    # r7: a PNG signature now routes to the real PNG decoder, which
+    # rejects the corrupt body loudly; only genuinely unsupported
+    # formats stay NotImplementedError
+    with pytest.raises(ValueError):
         decode_asset(b"\x89PNG\r\n\x1a\nnotawave")
+    with pytest.raises(NotImplementedError):
+        decode_asset(b"GIF89a not decodable here")
 
 
 def test_wav_rms_matches_byte_domain_rescale(spark, sf_smoke):

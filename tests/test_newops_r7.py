@@ -110,3 +110,78 @@ def test_quantile_portable_matches_exact_percentile_disc(spark, sf_smoke):
             k = math.ceil(len(vs) * frac)
             assert got[et][field] == vs[k - 1], (et, field)
         assert got[et]["n_values"] == len(vs)
+
+
+def test_balanced_lsh_on_isotropic_corpus_spreads_and_multiprobe_expands(
+    spark,
+):
+    """On an isotropic (synthetic, seeded) corpus the balanced codes
+    spread across the grid and 1-bit XOR probes reach populated
+    buckets — multiprobe candidates strictly contain single-probe
+    candidates."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.similarity import (
+        EMBED_DIM,
+        LSH_BITS,
+        balanced_buckets,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(EMBED_DIM)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, vec ARRAY<DOUBLE>")
+    buckets = {r.vec_id: r.bucket for r in balanced_buckets(emb).collect()}
+    import collections
+
+    byb = collections.Counter(buckets.values())
+    assert len(byb) > 8  # codes spread, not the 2-bucket degenerate case
+    single = sum(byb[buckets[q]] - 1 for q in range(10))
+    multi = sum(
+        byb[buckets[q]]
+        - 1
+        + sum(byb.get(buckets[q] ^ (1 << b), 0) for b in range(LSH_BITS))
+        for q in range(10)
+    )
+    assert multi > single  # probes actually reach populated neighbors
+
+
+def test_lsh_hyperplanes_are_distinct_and_multiprobe_lifts_recall(
+    spark, sf_smoke
+):
+    """Pin the r7 hyperplane fix: the original sign hash never wrapped
+    mod p, so all six rows were ONE plane and every corpus collapsed
+    to codes {0, 63}. With distinct planes the corpus spreads over the
+    grid and multiprobe strictly beats single-probe recall against the
+    brute-force reference."""
+    import collections
+
+    from orionld_to_hive_spark.operators.similarity import (
+        _LSH_SIGNS,
+        _emb,
+        balanced_buckets,
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+        ann_lsh_multiprobe_topk,
+    )
+
+    assert len({tuple(r) for r in _LSH_SIGNS}) == len(_LSH_SIGNS)
+    emb = _emb(spark, sf_smoke).select("vec_id", "vec")
+    byb = collections.Counter(
+        r.bucket for r in balanced_buckets(emb).collect()
+    )
+    assert len(byb) > 16  # spread across the grid, not 2 codewords
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(spark, sf_smoke).collect()
+    }
+    sp = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(spark, sf_smoke).collect()
+    }
+    mp = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_multiprobe_topk(spark, sf_smoke).collect()
+    }
+    assert len(mp & bf) > len(sp & bf)  # multiprobe lifts recall
