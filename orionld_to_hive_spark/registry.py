@@ -38,6 +38,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.tpch",
     "orionld_to_hive_spark.operators.dedup",
     "orionld_to_hive_spark.operators.graph",
+    "orionld_to_hive_spark.operators.cdc",
 )
 
 # Driver grading covers a ~50-query PREFIX of the queries() dict order
@@ -48,13 +49,13 @@ _MODULES = (
 # LSH/IVF sign-projection buckets, k-means, the two hash-threshold
 # sampling twins, decoded-WAV RMS, portable HLL) but were never
 # driver-graded against those oracles, plus p5_dropna (its newest green
-# row is r1 — the registry's stalest); (b) the six r7-new operators
-# (balanced-multiprobe ANN, portable exact quantiles, PII redaction,
-# real-PNG pixel stats, literal TPC-H Q5/Q18); (c) backfill with the
-# entire r2-era cohort — the 35 oracle-backed queries whose newest
-# green rows date to round 2, the oldest block left. After this round
-# every certified row in the prefix is at most two rounds old; the
-# r3-era block rotates next.
+# row is r1 — the registry's stalest); (b) the eight r7-new operators
+# (CDC changelog apply + tombstone-aware SCD2, balanced-multiprobe ANN,
+# portable exact quantiles, PII redaction, real-PNG pixel stats,
+# literal TPC-H Q5/Q18); (c) backfill with the r2-era cohort — 33 of
+# the 35 oracle-backed queries whose newest green rows date to round 2,
+# the oldest block left (the last two alphabetically yield their slots
+# to the CDC pair and rotate with the r3 block next round).
 _PRIORITY = (
     # (a) oracle-graduated in r6, never driver-certified (7) + stalest (1)
     "ann_lsh_topk",
@@ -65,7 +66,9 @@ _PRIORITY = (
     "multimodal_wav_rms",
     "hll_portable_rollup",
     "p5_dropna",
-    # (b) new in r7 (6)
+    # (b) new in r7 (8)
+    "cdc_apply_changelog",
+    "cdc_scd2_history",
     "ann_lsh_multiprobe_topk",
     "quantile_portable_value",
     "pii_redaction_report",
@@ -109,8 +112,8 @@ _PRIORITY = (
     "text_quality_score",
     "text_regex_pretokenize",
     "text_token_stats",
-    "tumbling_window_agg",
-    "vocab_coverage_report",
+    # (tumbling_window_agg / vocab_coverage_report yield their r2-era
+    # slots to the two r7 CDC ops; they rotate with the r3 block next)
 )
 
 

@@ -52,12 +52,31 @@ def merge_upsert(
     check_partition_stability: bool = False,
     break_stale_lock_s: float | None = None,
     schema_evolution: bool = False,
+    delete_col: str | None = None,
 ) -> int:
     """MERGE `updates` into the parquet table at `target_path`.
 
     Latest `version_col` per key wins; at equal version the update row
     wins (idempotent re-merge). Returns the number of partitions
     rewritten.
+
+    CDC deletes (r7): pass `delete_col=<bool column in updates>` to
+    treat rows where it is true as TOMBSTONES — the Delta MERGE
+    "WHEN MATCHED ... THEN DELETE" / CDC apply-changes semantics. A
+    tombstone competes in the same latest-wins window as any other row
+    (so a delete at version 5 beats an update at version 4, and an
+    update at version 6 re-inserts the key after a version-5 delete —
+    ordering within one batch or across batches is identical); if the
+    tombstone wins, the key is simply absent from the rewritten slice.
+    The marker column is never written to the table. Tombstones must
+    carry the partition value of the row they delete (the same
+    partition-stability contract updates have — a tombstone aimed at a
+    key owned by an untouched partition deletes nothing, and
+    `check_partition_stability=True` catches exactly that). Replaying
+    a batch containing tombstones is idempotent: the winning tombstone
+    is filtered out again and the rewrite converges to the same state.
+    A partition whose every row is deleted is removed from disk via
+    the emptied-partition path below.
 
     Contract: keys must be PARTITION-STABLE — an update that moves a
     key to a different partition value would leave the stale row in the
@@ -107,6 +126,19 @@ def merge_upsert(
     mergeSchema (or an explicit schema) — plain footer-sampling reads
     can miss post-evolution columns; `read_merged` wraps that."""
     spark = updates.sparkSession
+    if delete_col is not None:
+        if delete_col not in updates.columns:
+            raise ValueError(
+                f"delete_col {delete_col!r} is not a column of the "
+                "update batch"
+            )
+        if delete_col in key_cols or delete_col == version_col or (
+            delete_col in partition_cols
+        ):
+            raise ValueError(
+                f"delete_col {delete_col!r} must be a dedicated marker "
+                "column, not a key/version/partition column"
+            )
     # Alongside each raw partition value, collect Spark's OWN string
     # rendering of it (cast-to-string): the emptied-directory delete at
     # the bottom must reproduce the writer's directory naming exactly,
@@ -201,7 +233,11 @@ def merge_upsert(
                 "are replaced whole, so merging would drop them from "
                 "every rewritten partition"
             )
-        new_cols = [c for c in updates.columns if c not in target.columns]
+        new_cols = [
+            c
+            for c in updates.columns
+            if c not in target.columns and c != delete_col
+        ]
         if new_cols and not schema_evolution:
             raise ValueError(
                 f"update batch adds new column(s) {new_cols}; pass "
@@ -288,7 +324,15 @@ def merge_upsert(
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_src")
-        ).persist()  # one evaluation shared by the collect and the write
+        )
+        if delete_col is not None:
+            # a winning tombstone removes its key from the rewritten
+            # slice; existing rows carry a NULL marker (aligned above)
+            # which coalesces to "keep". The marker never hits disk.
+            latest = latest.filter(
+                ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            ).drop(delete_col)
+        latest = latest.persist()  # one evaluation shared by collect + write
         try:
             # one row per surviving touched partition — bounded by the
             # touched count, so the collect is driver-safe at warehouse scale

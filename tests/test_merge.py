@@ -423,3 +423,100 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     )
     got2 = {r.id: r.tier for r in read_merged(spark, path).collect()}
     assert got2[4] == "bronze" and got2[2] == "gold"
+
+
+def test_merge_tombstone_deletes_key_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    path = str(tmp_path / "tbl_cdc")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    before_c = _files_mtimes(path, "day=c")
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 2, None, True),   # delete id 1
+            (2, "a", 2, 21.0, False),  # update id 2
+            (5, "b", 1, 50.0, False),  # insert id 5
+        ],
+        "id LONG, day STRING, version LONG, value DOUBLE, _deleted BOOLEAN",
+    )
+    n = merge_upsert(
+        path, batch, ("id",), "version", ("day",), delete_col="_deleted"
+    )
+    assert n == 2
+    got = {r.id: (r.day, r.version, r.value)
+           for r in spark.read.parquet(path).collect()}
+    assert 1 not in got                      # deleted
+    assert got[2] == ("a", 2, 21.0)          # updated
+    assert got[5] == ("b", 1, 50.0)          # inserted
+    assert got[3] == ("b", 1, 30.0)
+    # marker column never hits disk
+    assert "_deleted" not in spark.read.parquet(path).columns
+    # untouched partition byte-identical
+    assert _files_mtimes(path, "day=c") == before_c
+    # replaying the same CDC batch converges to the same state
+    merge_upsert(
+        path, batch, ("id",), "version", ("day",), delete_col="_deleted"
+    )
+    again = {r.id: (r.day, r.version, r.value)
+             for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_merge_tombstone_respects_version_order(spark, tmp_path):
+    """A stale tombstone loses to a newer row; a newer update after a
+    delete re-inserts the key — pure latest-wins, in one batch."""
+    path = str(tmp_path / "tbl_cdc2")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    batch = spark.createDataFrame(
+        [
+            (2, "a", 0, None, True),   # stale delete: existing v1 wins
+            (3, "b", 2, None, True),   # delete at v2 ...
+            (3, "b", 3, 31.0, False),  # ... then re-insert at v3
+            (4, "c", 2, None, True),   # delete id 4 outright
+        ],
+        "id LONG, day STRING, version LONG, value DOUBLE, _deleted BOOLEAN",
+    )
+    merge_upsert(
+        path, batch, ("id",), "version", ("day",), delete_col="_deleted"
+    )
+    got = {r.id: (r.version, r.value)
+           for r in spark.read.parquet(path).collect()}
+    assert got[2] == (1, 20.0)   # stale tombstone ignored
+    assert got[3] == (3, 31.0)   # delete then re-insert: newest wins
+    assert 4 not in got          # deleted
+
+
+def test_merge_delete_empties_partition_directory(spark, tmp_path):
+    """Deleting every row of a partition removes its directory (the
+    emptied-partition path), so stale files never linger."""
+    path = str(tmp_path / "tbl_cdc3")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    batch = spark.createDataFrame(
+        [(4, "c", 2, None, True)],
+        "id LONG, day STRING, version LONG, value DOUBLE, _deleted BOOLEAN",
+    )
+    merge_upsert(
+        path, batch, ("id",), "version", ("day",), delete_col="_deleted"
+    )
+    assert not (Path(path) / "day=c").exists()
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_merge_delete_col_validation(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "tbl_cdc4")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    batch = spark.createDataFrame(
+        [(1, "a", 2, None, True)],
+        "id LONG, day STRING, version LONG, value DOUBLE, _deleted BOOLEAN",
+    )
+    with pytest.raises(ValueError, match="not a column"):
+        merge_upsert(
+            path, batch, ("id",), "version", ("day",), delete_col="nope"
+        )
+    with pytest.raises(ValueError, match="dedicated marker"):
+        merge_upsert(
+            path, batch, ("id",), "version", ("day",), delete_col="version"
+        )

@@ -185,3 +185,36 @@ def test_lsh_hyperplanes_are_distinct_and_multiprobe_lifts_recall(
         for r in ann_lsh_multiprobe_topk(spark, sf_smoke).collect()
     }
     assert len(mp & bf) > len(sp & bf)  # multiprobe lifts recall
+
+
+def test_cdc_changelog_semantics_against_independent_replay(
+    spark, sf_smoke
+):
+    """Cross-check the CDC ops against a driver-side python replay of
+    the changelog (independent of both Spark windows and the DuckDB
+    oracle): live/deleted key counts and the one-current-row-per-live-
+    key SCD2 invariant."""
+    from orionld_to_hive_spark.operators.cdc import (
+        _changelog,
+        cdc_apply_changelog,
+        cdc_scd2_history,
+    )
+
+    log = _changelog(spark, sf_smoke)
+    rows = log.select("user_id", "ts", "event_id", "is_delete").collect()
+    n_del = sum(1 for r in rows if r.is_delete)
+    assert 0 < n_del < len(rows)  # both op classes present (~5% deletes)
+    last: dict[int, tuple] = {}
+    for r in rows:
+        k = (r.ts, r.event_id)
+        if r.user_id not in last or k > last[r.user_id][0]:
+            last[r.user_id] = (k, r.is_delete)
+    n_live = sum(1 for _, d in last.values() if not d)
+
+    state = cdc_apply_changelog(spark, sf_smoke).collect()
+    assert sum(r.n_live_users for r in state) == n_live
+    assert sum(r.n_deleted_users for r in state) == len(last) - n_live
+
+    cur = cdc_scd2_history(spark, sf_smoke).filter("is_current").collect()
+    assert len(cur) == n_live  # delete-terminated keys have no current row
+    assert len({r.user_id for r in cur}) == n_live  # exactly one each
