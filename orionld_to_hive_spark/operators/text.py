@@ -862,6 +862,141 @@ ORDER BY span
 
 
 # --------------------------------------------------------------------------
+# The APPLICATION half of span_dedup_report — C4-style exact-span
+# dedup that REWRITES the corpus: every 8-token block keeps only its
+# globally FIRST occurrence (ordered by doc_id, then block position;
+# later copies are cut) and each document is reassembled from its
+# surviving blocks plus the sub-block tail. This is the standard
+# "remove duplicated lines/paragraphs corpus-wide" stage of
+# training-data pipelines, at the block granularity the single-line
+# testdata supports.
+#
+# Scale shape: two keyed shuffles, both linear in corpus token count —
+# one on the block text (the global first-occurrence window; identical
+# cost to span_dedup_report's groupBy) and one on doc_id to
+# reassemble. No broadcast, no collect; determinism comes from the
+# total (doc_id, idx) order within each block partition.
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    n_blocks = F.floor(F.size(toks) / SPAN_TOKENS).cast("int")
+    blocks = F.when(
+        n_blocks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        n_blocks.alias("nb"),
+        blocks.alias("blocks"),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode("blocks").alias("idx", "span")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("span").orderBy("doc_id", "idx")
+    kept = exploded.withColumn("rn", F.row_number().over(w))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        # collect_list drops the NULLs the rn>1 branch produces;
+        # array_sort on (idx, span) structs restores block order
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("idx", "span")
+                        )
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("body"),
+    )
+    tail = F.array_join(
+        F.slice(
+            F.col("toks"),
+            F.col("nb") * SPAN_TOKENS + 1,
+            F.size("toks") - F.col("nb") * SPAN_TOKENS,
+        ),
+        " ",
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.when(F.col("body") != "", F.col("body")),
+                    F.when(tail != "", tail),
+                ),
+                F.col("text"),
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DEDUP_REWRITE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(floor(len(string_split(text, ' ')) / {SPAN_TOKENS})
+              AS BIGINT) AS nb
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, nb),
+           i -> {{'idx': i,
+                  'span': array_to_string(
+                            list_slice(toks, i*{SPAN_TOKENS} + 1,
+                                       (i+1)*{SPAN_TOKENS}), ' ')}})) AS u
+  FROM d
+),
+kept AS (
+  SELECT doc_id, (u).idx AS idx, (u).span AS span,
+         row_number() OVER (PARTITION BY (u).span
+                            ORDER BY doc_id, (u).idx) AS rn
+  FROM b
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx)
+           AS body
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_blocks, 0) AS n_blocks,
+       COALESCE(a.n_removed, 0) AS n_removed,
+       COALESCE(
+         concat_ws(' ',
+           NULLIF(a.body, ''),
+           NULLIF(array_to_string(
+                    list_slice(d.toks, d.nb*{SPAN_TOKENS} + 1,
+                               len(d.toks)), ' '), '')),
+         d.text) AS cleaned_text
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-doc unigram entropy H = -Σ (c/n)·ln(c/n): a compression-adjacent
 # quality signal (low entropy ⇒ repetitive/template docs). Cross-engine
 # exactness: c/n is one exact-rounded double division, ln agrees
@@ -1291,6 +1426,7 @@ QUERIES = {
     "text_corpus_stats": text_corpus_stats,
     "doc_repetition_report": doc_repetition_report,
     "span_dedup_report": span_dedup_report,
+    "span_dedup_rewrite": span_dedup_rewrite,
     "doc_entropy_report": doc_entropy_report,
     "ngram_topk_corpus": ngram_topk_corpus,
     "gopher_quality_report": gopher_quality_report,
@@ -1315,6 +1451,7 @@ ORACLES = {
     "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
     "doc_repetition_report": DOC_REPETITION_SQL,
     "span_dedup_report": SPAN_DEDUP_SQL,
+    "span_dedup_rewrite": SPAN_DEDUP_REWRITE_SQL,
     "doc_entropy_report": DOC_ENTROPY_SQL,
     "ngram_topk_corpus": NGRAM_TOPK_SQL,
     "gopher_quality_report": GOPHER_QUALITY_SQL,

@@ -218,3 +218,69 @@ def test_cdc_changelog_semantics_against_independent_replay(
     cur = cdc_scd2_history(spark, sf_smoke).filter("is_current").collect()
     assert len(cur) == n_live  # delete-terminated keys have no current row
     assert len({r.user_id for r in cur}) == n_live  # exactly one each
+
+
+def test_span_dedup_rewrite_invariants_and_planted_duplicate(
+    spark, sf_smoke, tmp_path
+):
+    """(1) Corpus-wide: removed blocks == total block occurrences minus
+    distinct spans (every span keeps exactly its first occurrence,
+    including same-doc repeats). (2) Planted: a block shared by two
+    docs survives only in the lower doc_id; unique text is untouched."""
+    from orionld_to_hive_spark.operators.text import (
+        SPAN_TOKENS,
+        span_dedup_rewrite,
+    )
+
+    out = span_dedup_rewrite(spark, sf_smoke)
+    tot = out.agg(
+        F.sum("n_blocks").alias("b"), F.sum("n_removed").alias("r")
+    ).collect()[0]
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    distinct_spans = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            F.size(F.split("text", " ")) / SPAN_TOKENS
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.split("text", " "),
+                            i * SPAN_TOKENS + 1,
+                            SPAN_TOKENS,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("span")
+        )
+        .filter(F.col("span").isNotNull())
+        .distinct()
+        .count()
+    )
+    assert tot.r == tot.b - distinct_spans and tot.r > 0
+
+    dup = " ".join(f"w{i}" for i in range(SPAN_TOKENS))
+    uniq = " ".join(f"u{i}" for i in range(SPAN_TOKENS))
+    planted = spark.createDataFrame(
+        [
+            (0, f"{dup} tail0", "en", "s", 1),
+            (1, f"{dup} {uniq} tail1", "en", "s", 1),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    d = str(tmp_path / "sf")
+    planted.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in span_dedup_rewrite(spark, d).collect()
+    }
+    assert got[0] == (0, f"{dup} tail0")  # first occurrence kept intact
+    assert got[1] == (1, f"{uniq} tail1")  # shared block cut, rest kept
