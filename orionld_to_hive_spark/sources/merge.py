@@ -40,7 +40,63 @@ _LOCK_NAME = "_merge.lock"
 
 
 class ConcurrentMergeError(RuntimeError):
-    """Another merge_upsert holds the table's `_merge.lock`."""
+    """Another writer holds the table's `_merge.lock`."""
+
+
+def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
+    """Atomic create of the table's lock file (Hadoop createNewFile —
+    atomic on local/HDFS; on S3 front this with a real coordinator).
+    A crashed writer leaves the lock behind; pass break_stale_lock_s to
+    reclaim locks older than that many seconds. Returns (fs, lock_path);
+    the caller must delete the lock in a finally block."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    lock = jvm.org.apache.hadoop.fs.Path(target_path, _LOCK_NAME)
+    lock_fs = lock.getFileSystem(hconf)
+    if not lock_fs.createNewFile(lock):
+        broke = False
+        if break_stale_lock_s is not None and lock_fs.exists(lock):
+            import time as _time
+
+            age_s = _time.time() - (
+                lock_fs.getFileStatus(lock).getModificationTime() / 1000.0
+            )
+            if age_s > break_stale_lock_s:
+                # Break via atomic rename-aside, not delete+create: two
+                # writers that both measured the old lock as stale would
+                # otherwise race delete/create and B could delete A's
+                # freshly recreated lock (TOCTOU — r6 ADVICE). rename is
+                # atomic on local/HDFS, so exactly one breaker captures
+                # any given lock file. Because a breaker can still
+                # capture a lock that was *recreated* between its age
+                # check and its rename, re-verify staleness on the
+                # captured file (rename preserves mtime): a fresh
+                # capture is handed back instead of broken.
+                import uuid as _uuid
+
+                aside = jvm.org.apache.hadoop.fs.Path(
+                    target_path, f"{_LOCK_NAME}.broken-{_uuid.uuid4().hex}"
+                )
+                if lock_fs.rename(lock, aside):
+                    aged = _time.time() - (
+                        lock_fs.getFileStatus(aside).getModificationTime()
+                        / 1000.0
+                    )
+                    if aged > break_stale_lock_s:
+                        lock_fs.delete(aside, False)
+                        broke = lock_fs.createNewFile(lock)
+                    elif not lock_fs.rename(aside, lock):
+                        # someone re-locked meanwhile; our capture is
+                        # redundant — drop it and fall through to the
+                        # ConcurrentMergeError below
+                        lock_fs.delete(aside, False)
+        if not broke:
+            raise ConcurrentMergeError(
+                f"a writer is already active on {target_path} "
+                f"({_LOCK_NAME} exists); if the previous writer crashed, "
+                "pass break_stale_lock_s or remove the lock file"
+            )
+    return lock_fs, lock
 
 
 def merge_upsert(
@@ -163,59 +219,11 @@ def merge_upsert(
             )
 
     # ---- single-writer critical section -------------------------------
-    # Atomic create of the lock file (Hadoop createNewFile — atomic on
-    # local/HDFS; on S3 use a stronger coordinator, documented below).
     # Everything between the target read and the emptied-partition
     # delete is read-modify-write and must not interleave with another
-    # writer. A crashed merge leaves the lock behind; pass
-    # break_stale_lock_s to reclaim locks older than that many seconds.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    lock = jvm.org.apache.hadoop.fs.Path(target_path, _LOCK_NAME)
-    lock_fs = lock.getFileSystem(hconf)
-    if not lock_fs.createNewFile(lock):
-        broke = False
-        if break_stale_lock_s is not None and lock_fs.exists(lock):
-            import time as _time
-
-            age_s = _time.time() - (
-                lock_fs.getFileStatus(lock).getModificationTime() / 1000.0
-            )
-            if age_s > break_stale_lock_s:
-                # Break via atomic rename-aside, not delete+create: two
-                # writers that both measured the old lock as stale would
-                # otherwise race delete/create and B could delete A's
-                # freshly recreated lock (TOCTOU — r6 ADVICE). rename is
-                # atomic on local/HDFS, so exactly one breaker captures
-                # any given lock file. Because a breaker can still
-                # capture a lock that was *recreated* between its age
-                # check and its rename, re-verify staleness on the
-                # captured file (rename preserves mtime): a fresh
-                # capture is handed back instead of broken.
-                import uuid as _uuid
-
-                aside = jvm.org.apache.hadoop.fs.Path(
-                    target_path, f"{_LOCK_NAME}.broken-{_uuid.uuid4().hex}"
-                )
-                if lock_fs.rename(lock, aside):
-                    aged = _time.time() - (
-                        lock_fs.getFileStatus(aside).getModificationTime()
-                        / 1000.0
-                    )
-                    if aged > break_stale_lock_s:
-                        lock_fs.delete(aside, False)
-                        broke = lock_fs.createNewFile(lock)
-                    elif not lock_fs.rename(aside, lock):
-                        # someone re-locked meanwhile; our capture is
-                        # redundant — drop it and fall through to the
-                        # ConcurrentMergeError below
-                        lock_fs.delete(aside, False)
-        if not broke:
-            raise ConcurrentMergeError(
-                f"merge already in progress on {target_path} "
-                f"({_LOCK_NAME} exists); if the previous merge crashed, "
-                "pass break_stale_lock_s or remove the lock file"
-            )
+    # writer (shared across merge_upsert and delete_where — they mutate
+    # the same partitions, so they exclude each other too).
+    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
     try:
         # mergeSchema only when evolving: it reads every file footer,
         # which a 100 TB table should not pay on the default path
@@ -354,51 +362,159 @@ def merge_upsert(
             for r in touched_rows
             if tuple(r[c] for c in partition_cols) not in remaining
         ]
-        if emptied:
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-            # Spark escapes partition values in directory names (Hive path
-            # escaping: '=', ':', '%', '#', '/', control chars → %XX), so
-            # the delete path must be built with the SAME escaping or it
-            # silently misses the directory (fs.delete of a nonexistent path
-            # returns False) and the stale copy this delete exists to clear
-            # survives. Use Spark's own escapePathName so the two can never
-            # drift.
-            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            for r in emptied:
-                segs = [
-                    f"{c}={esc.escapePathName(r[f'__str_{c}'])}"
-                    for c in partition_cols
-                ]
-                p = jvm.org.apache.hadoop.fs.Path(target_path, "/".join(segs))
-                fs = p.getFileSystem(hconf)
-                # An emptied partition that never existed on disk (all of
-                # a brand-new partition's rows lost latest-wins) is fine;
-                # an EXISTING directory that fails to delete is not — the
-                # stale duplicate this delete exists to clear would
-                # silently survive (r6 ADVICE fix: check the result).
-                if fs.exists(p) and not fs.delete(p, True):
-                    raise RuntimeError(
-                        f"failed to delete emptied partition directory {p}"
-                    )
-                # walk up multi-column partition paths and drop parent
-                # directories the leaf delete emptied (day=a/region=us →
-                # day=a), so directory-listing tooling never sees hollow
-                # intermediate levels (r6 ADVICE fix).
-                for depth in range(len(segs) - 1, 0, -1):
-                    parent = jvm.org.apache.hadoop.fs.Path(
-                        target_path, "/".join(segs[:depth])
-                    )
-                    if (
-                        fs.exists(parent)
-                        and len(fs.listStatus(parent)) == 0
-                    ):
-                        fs.delete(parent, False)
-                    else:
-                        break
+        _delete_partition_dirs(spark, target_path, partition_cols, emptied)
         return len(touched_rows)
     finally:
         lock_fs.delete(lock, False)
+
+
+def _delete_partition_dirs(
+    spark, target_path: str, partition_cols: tuple[str, ...], rows
+) -> None:
+    """Remove the partition directories named by `rows` (which carry
+    both raw values and the writer's `__str_<col>` renderings).
+
+    Spark escapes partition values in directory names (Hive path
+    escaping: '=', ':', '%', '#', '/', control chars → %XX), so the
+    delete path must be built with the SAME escaping or it silently
+    misses the directory (fs.delete of a nonexistent path returns
+    False) and the stale copy this delete exists to clear survives.
+    Use Spark's own escapePathName so the two can never drift."""
+    if not rows:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for r in rows:
+        # a NULL partition value (possible via delete_where on tables
+        # other writers produced; merge rejects them on ingest) lands in
+        # Spark's default-partition directory
+        segs = [
+            (
+                f"{c}={esc.escapePathName(r[f'__str_{c}'])}"
+                if r[f"__str_{c}"] is not None
+                else f"{c}=__HIVE_DEFAULT_PARTITION__"
+            )
+            for c in partition_cols
+        ]
+        p = jvm.org.apache.hadoop.fs.Path(target_path, "/".join(segs))
+        fs = p.getFileSystem(hconf)
+        # An emptied partition that never existed on disk (all of a
+        # brand-new partition's rows lost latest-wins) is fine; an
+        # EXISTING directory that fails to delete is not — the stale
+        # duplicate this delete exists to clear would silently survive
+        # (r6 ADVICE fix: check the result).
+        if fs.exists(p) and not fs.delete(p, True):
+            raise RuntimeError(
+                f"failed to delete emptied partition directory {p}"
+            )
+        # walk up multi-column partition paths and drop parent
+        # directories the leaf delete emptied (day=a/region=us →
+        # day=a), so directory-listing tooling never sees hollow
+        # intermediate levels (r6 ADVICE fix).
+        for depth in range(len(segs) - 1, 0, -1):
+            parent = jvm.org.apache.hadoop.fs.Path(
+                target_path, "/".join(segs[:depth])
+            )
+            if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+                fs.delete(parent, False)
+            else:
+                break
+
+
+def delete_where(
+    spark,
+    target_path: str,
+    condition,
+    partition_cols: tuple[str, ...],
+    break_stale_lock_s: float | None = None,
+) -> int:
+    """Conditional DELETE (Delta's `DELETE FROM t WHERE ...`) over the
+    partitioned-parquet warehouse — copy-on-write, rewriting ONLY the
+    partitions that contain matching rows. Returns the number of
+    partitions rewritten (0 if nothing matched).
+
+    `condition` is a pyspark Column (or SQL string) selecting the rows
+    to REMOVE. Rows where it evaluates to NULL are kept — a DELETE must
+    never drop a row the predicate didn't affirmatively match.
+
+    Scale: one scan to find the touched partitions (partition-pruned
+    when the condition constrains partition columns — Catalyst does
+    this for free), then a pruned rewrite of just those partitions;
+    cost is O(matching partitions), independent of table size. A
+    partition whose every row matches is removed from disk entirely
+    (same emptied-directory path MERGE uses). Shares MERGE's
+    single-writer lock: a concurrent merge/delete pair would otherwise
+    race read-modify-write on the same directories.
+
+    This is also the CDC tombstone-retention primitive: see
+    `purge_tombstones` for the guarded wrapper."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
+    try:
+        target = spark.read.parquet(target_path)
+        matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+        touched_rows = (
+            target.filter(matched)
+            .select(
+                *partition_cols,
+                *[
+                    F.col(c).cast("string").alias(f"__str_{c}")
+                    for c in partition_cols
+                ],
+            )
+            .distinct()
+            .collect()  # small: one row per touched partition
+        )
+        if not touched_rows:
+            return 0
+        pred = None
+        for r in touched_rows:
+            conj = None
+            for c in partition_cols:
+                term = F.col(c).eqNullSafe(F.lit(r[c]))
+                conj = term if conj is None else (conj & term)
+            pred = conj if pred is None else (pred | conj)
+        keep = target.filter(pred).filter(~matched).persist()
+        try:
+            remaining = {
+                tuple(r[c] for c in partition_cols)
+                for r in keep.select(*partition_cols).distinct().collect()
+            }
+            overwrite_partitions(keep, target_path, partition_cols)
+        finally:
+            keep.unpersist()
+        emptied = [
+            r
+            for r in touched_rows
+            if tuple(r[c] for c in partition_cols) not in remaining
+        ]
+        _delete_partition_dirs(spark, target_path, partition_cols, emptied)
+        return len(touched_rows)
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def purge_tombstones(
+    spark,
+    target_path: str,
+    delete_col: str,
+    partition_cols: tuple[str, ...],
+    up_to_version=None,
+    version_col: str | None = None,
+) -> int:
+    """Remove persisted CDC tombstones (see `streaming/cdc.py`) from a
+    table — the retention rewrite. ONLY safe for tombstones older than
+    the transport's maximum delivery lag: purging a tombstone reopens
+    the resurrection window for pre-delete upserts still in flight, so
+    callers should bound the purge with `up_to_version` (tombstones
+    with `version_col` <= it) rather than purging everything."""
+    cond = F.col(delete_col).cast("boolean")
+    if up_to_version is not None:
+        if version_col is None:
+            raise ValueError("up_to_version requires version_col")
+        cond = cond & (F.col(version_col) <= F.lit(up_to_version))
+    return delete_where(spark, target_path, cond, partition_cols)
 
 
 def read_merged(spark, target_path: str) -> DataFrame:

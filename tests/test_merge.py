@@ -520,3 +520,82 @@ def test_merge_delete_col_validation(spark, tmp_path):
         merge_upsert(
             path, batch, ("id",), "version", ("day",), delete_col="version"
         )
+
+
+def test_delete_where_rewrites_only_matching_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.merge import delete_where
+
+    path = str(tmp_path / "tbl_del")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    before_b = _files_mtimes(path, "day=b")
+    before_c = _files_mtimes(path, "day=c")
+    n = delete_where(spark, path, F.col("value") < 15.0, ("day",))
+    assert n == 1  # only partition a contains a match
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {2, 3, 4}
+    # untouched partitions byte-identical
+    assert _files_mtimes(path, "day=b") == before_b
+    assert _files_mtimes(path, "day=c") == before_c
+    # SQL-string condition and no-match fast path
+    assert delete_where(spark, path, "value > 1e9", ("day",)) == 0
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark, tmp_path):
+    from orionld_to_hive_spark.sources.merge import delete_where
+
+    path = str(tmp_path / "tbl_del2")
+    df = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "a", 1, 20.0)],
+        "id LONG, day STRING, version LONG, value DOUBLE",
+    )
+    write_partitioned(df, path, partition_cols=("day",))
+    delete_where(spark, path, "value > 10.0", ("day",))
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1}  # NULL never affirmatively matches a DELETE
+
+
+def test_delete_where_empties_whole_partition(spark, tmp_path):
+    from orionld_to_hive_spark.sources.merge import delete_where
+
+    path = str(tmp_path / "tbl_del3")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    delete_where(spark, path, "day = 'c'", ("day",))
+    assert not (Path(path) / "day=c").exists()
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
+
+
+def test_purge_tombstones_bounded_by_version(spark, tmp_path):
+    from orionld_to_hive_spark.sources.merge import purge_tombstones
+    from orionld_to_hive_spark.streaming.cdc import StreamingCdcApplier
+
+    path = str(tmp_path / "tbl_purge")
+    schema = (
+        "id LONG, day STRING, version LONG, value DOUBLE, deleted BOOLEAN"
+    )
+    applier = StreamingCdcApplier(
+        path, ("id",), "version", ("day",), "deleted"
+    )
+    applier.apply_batch(
+        spark.createDataFrame(
+            [
+                (1, "a", 5, None, True),    # old tombstone: purgeable
+                (2, "a", 9, None, True),    # recent tombstone: kept
+                (3, "b", 1, 30.0, False),   # live row: untouched
+            ],
+            schema,
+        ),
+        0,
+    )
+    n = purge_tombstones(
+        spark, path, "deleted", ("day",), up_to_version=7,
+        version_col="version",
+    )
+    assert n == 1
+    raw = {r.id: bool(r.deleted) for r in spark.read.parquet(path).collect()}
+    assert raw == {2: True, 3: False}  # old tombstone gone, guard kept
+    import pytest
+
+    with pytest.raises(ValueError, match="version_col"):
+        purge_tombstones(spark, path, "deleted", ("day",), up_to_version=1)
