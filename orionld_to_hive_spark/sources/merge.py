@@ -495,6 +495,82 @@ def delete_where(
         lock_fs.delete(lock, False)
 
 
+def update_where(
+    spark,
+    target_path: str,
+    condition,
+    assignments: dict,
+    partition_cols: tuple[str, ...],
+    break_stale_lock_s: float | None = None,
+) -> int:
+    """Conditional UPDATE (Delta's `UPDATE t SET ... WHERE ...`) —
+    copy-on-write, rewriting only partitions containing matches; with
+    `delete_where` and `merge_upsert` this completes the warehouse DML
+    triad. Returns partitions rewritten.
+
+    `assignments` maps column name -> new value (a Column, or a SQL
+    expression string evaluated against the row — so `{"value":
+    "value * 2"}` works). Assigned columns must already exist and must
+    not be partition columns: changing a row's partition value under
+    copy-on-write would need to MOVE the row between directories, which
+    is `merge_upsert`'s job (delete + reinsert), not an in-place
+    rewrite's. Rows where the condition is NULL are left unmodified,
+    matching delete_where's affirmative-match rule."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
+    try:
+        target = spark.read.parquet(target_path)
+        bad = [c for c in assignments if c not in target.columns]
+        if bad:
+            raise ValueError(f"assigned column(s) {bad} not in the table")
+        parts = [c for c in assignments if c in partition_cols]
+        if parts:
+            raise ValueError(
+                f"cannot assign partition column(s) {parts}: moving rows "
+                "between partitions is a MERGE (delete + reinsert), not "
+                "an in-place update"
+            )
+        matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+        touched_rows = (
+            target.filter(matched)
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        )
+        if not touched_rows:
+            return 0
+        pred = None
+        for r in touched_rows:
+            conj = None
+            for c in partition_cols:
+                term = F.col(c).eqNullSafe(F.lit(r[c]))
+                conj = term if conj is None else (conj & term)
+            pred = conj if pred is None else (pred | conj)
+        updated = target.filter(pred).select(
+            *[
+                (
+                    F.when(
+                        matched,
+                        (
+                            F.expr(assignments[c])
+                            if isinstance(assignments[c], str)
+                            else assignments[c]
+                        ).cast(f.dataType),
+                    ).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c, f in zip(target.columns, target.schema.fields)
+            ]
+        )
+        # an update never empties a partition (rows are modified, not
+        # removed), so no emptied-directory pass is needed
+        overwrite_partitions(updated, target_path, partition_cols)
+        return len(touched_rows)
+    finally:
+        lock_fs.delete(lock, False)
+
+
 def purge_tombstones(
     spark,
     target_path: str,

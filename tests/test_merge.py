@@ -599,3 +599,54 @@ def test_purge_tombstones_bounded_by_version(spark, tmp_path):
 
     with pytest.raises(ValueError, match="version_col"):
         purge_tombstones(spark, path, "deleted", ("day",), up_to_version=1)
+
+
+def test_update_where_modifies_only_matches_in_touched_partitions(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.merge import update_where
+
+    path = str(tmp_path / "tbl_upd")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    before_c = _files_mtimes(path, "day=c")
+    n = update_where(
+        spark,
+        path,
+        F.col("value") < 25.0,
+        {"value": "value * 10", "version": F.lit(2)},
+        ("day",),
+    )
+    assert n == 1  # only partition a has matches
+    got = {r.id: (r.version, r.value)
+           for r in spark.read.parquet(path).collect()}
+    assert got[1] == (2, 100.0) and got[2] == (2, 200.0)  # updated
+    assert got[3] == (1, 30.0) and got[4] == (1, 40.0)    # untouched rows
+    assert _files_mtimes(path, "day=c") == before_c       # untouched files
+
+
+def test_update_where_validates_assignments(spark, tmp_path):
+    import pytest
+
+    from orionld_to_hive_spark.sources.merge import update_where
+
+    path = str(tmp_path / "tbl_upd2")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    with pytest.raises(ValueError, match="not in the table"):
+        update_where(spark, path, "id = 1", {"nope": "1"}, ("day",))
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(spark, path, "id = 1", {"day": "'z'"}, ("day",))
+    # NULL-condition rows untouched; assignment cast keeps the schema
+    df = spark.createDataFrame(
+        [(9, "a", 1, None)],
+        "id LONG, day STRING, version LONG, value DOUBLE",
+    )
+    from orionld_to_hive_spark.sources.merge import merge_upsert
+
+    merge_upsert(path, df, ("id",), "version", ("day",))
+    update_where(spark, path, "value > 5.0", {"version": "version + 1"},
+                 ("day",))
+    got = {r.id: r.version for r in spark.read.parquet(path).collect()}
+    assert got[9] == 1  # NULL predicate -> unmodified
+    assert got[1] == 2 and got[2] == 2  # affirmative matches bumped
