@@ -453,9 +453,14 @@ def delete_where(
     lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
     try:
         target = spark.read.parquet(target_path)
-        matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+        # discovery uses the RAW condition: filter() already excludes
+        # NULL-evaluating rows, and — unlike a coalesce(cond, false)
+        # wrapper — the bare predicate stays pushable, so a condition
+        # constraining partition columns prunes this scan at planning
+        # time (plan-gated in tests/test_plans.py; the first draft
+        # wrapped it and silently scanned the whole table)
         touched_rows = (
-            target.filter(matched)
+            target.filter(cond)
             .select(
                 *partition_cols,
                 *[
@@ -475,7 +480,14 @@ def delete_where(
                 term = F.col(c).eqNullSafe(F.lit(r[c]))
                 conj = term if conj is None else (conj & term)
             pred = conj if pred is None else (pred | conj)
-        keep = target.filter(pred).filter(~matched).persist()
+        # the keep side must RETAIN NULL-evaluating rows (~NULL is NULL
+        # and would drop them), hence the coalesce — pruning is already
+        # done by `pred`, so the wrapper costs nothing here
+        keep = (
+            target.filter(pred)
+            .filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+            .persist()
+        )
         try:
             remaining = {
                 tuple(r[c] for c in partition_cols)
@@ -530,9 +542,11 @@ def update_where(
                 "between partitions is a MERGE (delete + reinsert), not "
                 "an in-place update"
             )
-        matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+        # raw condition: pushable/prunable for discovery (see
+        # delete_where); the when() below already treats a NULL
+        # condition as "not matched", leaving the row unmodified
         touched_rows = (
-            target.filter(matched)
+            target.filter(cond)
             .select(*partition_cols)
             .distinct()
             .collect()
@@ -550,7 +564,7 @@ def update_where(
             *[
                 (
                     F.when(
-                        matched,
+                        cond,
                         (
                             F.expr(assignments[c])
                             if isinstance(assignments[c], str)

@@ -528,3 +528,37 @@ def test_fact_hint_gate_detects_violation(spark, sf_smoke):
         any(m in s for m in _FACT_COL_MARKERS) and "Aggregate" not in s
         for s in subs
     ), subs
+
+
+def test_delete_where_scan_prunes_partitions(spark, tmp_path):
+    # the DML writers' 100 TB claim: when the DELETE predicate
+    # constrains the partition column, the touched-partition discovery
+    # scan must prune at planning time — the table-sized scan is the
+    # difference between O(matching partitions) and O(table)
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.sources.warehouse import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i)) for i in range(30)],
+        "id LONG, day STRING, value DOUBLE",
+    )
+    path = str(tmp_path / "tbl")
+    write_partitioned(df, path, partition_cols=("day",))
+
+    # the discovery scan filters on the RAW condition — a
+    # coalesce(cond, false) wrapper (the first draft) is unpushable
+    # and turns discovery into a full-table scan
+    cond = (F.col("day") == "a") & (F.col("value") < 5.0)
+    probe = spark.read.parquet(path).filter(cond)
+    plan = formatted(probe)
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan
+
+    from orionld_to_hive_spark.sources.merge import delete_where
+
+    assert delete_where(spark, path, cond, ("day",)) == 1
+    left = spark.read.parquet(path)
+    assert left.filter("day = 'a' AND value < 5.0").count() == 0
+    assert left.count() == 30 - 2  # ids 0 and 3 matched
