@@ -305,7 +305,12 @@ def main() -> None:
             # collect-vs-noop split shows whether a steep curve is
             # distributed compute or driver result-fetch
             stats["engine_s"] = time_engine(qmap[name], spark, sf1_dir)
-            stats["engine_s_sf0.1"] = time_engine(qmap[name], spark, sf_dir)
+            # keyed by the HEADLINE dir's actual sf, not a hardcoded
+            # "sf0.1" — with SPARK_GRAFT_SF_DIR repointed, a point
+            # published under the wrong scale name defeats the ladder
+            stats[f"engine_s_sf{_sf_of(sf_dir)}"] = time_engine(
+                qmap[name], spark, sf_dir
+            )
             sf1_detail[name] = stats
             sf1[name] = stats["mean"]
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
@@ -356,13 +361,21 @@ def main() -> None:
         # fetch; this one is the distributed-compute growth the 100 TB
         # claim actually rests on
         eng1 = sf1_detail.get(name, {}).get("engine_s")
-        eng01 = sf1_detail.get(name, {}).get("engine_s_sf0.1")
-        if eng1 and eng01:
-            row["engine_sf0.1"] = eng01
-            row["engine_sf1.0"] = eng1
-            row["engine_exp_10x"] = round(
-                math.log(eng1 / eng01) / math.log(10), 3
-            )
+        eng01 = sf1_detail.get(name, {}).get(f"engine_s_sf{_sf_of(sf_dir)}")
+        # `is not None`: a sub-resolution noop run legitimately rounds
+        # to 0.0 and must be REPORTED, not silently omitted (the
+        # exponent is skipped — log of 0 — but the points stay visible)
+        if eng1 is not None and eng01 is not None:
+            row[f"engine_sf{_sf_of(sf_dir)}"] = eng01
+            row[f"engine_sf{sf1_sf}"] = eng1
+            if eng1 > 0 and eng01 > 0:
+                try:
+                    ratio = float(sf1_sf) / float(_sf_of(sf_dir))
+                    row["engine_exp_10x"] = round(
+                        math.log(eng1 / eng01) / math.log(ratio), 3
+                    )
+                except (TypeError, ValueError, ZeroDivisionError):
+                    pass
         scaling[name] = row
 
     # Layout-payoff table (VERDICT r5 item 9): files/row-groups a

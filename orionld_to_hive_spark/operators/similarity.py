@@ -339,7 +339,13 @@ def balanced_buckets(emb: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     proj = emb.withColumn("proj", _lsh_proj_udf()(F.col("vec")))
-    pb = proj.select("vec_id", F.posexplode("proj").alias("b", "p"))
+    # cache: pb feeds BOTH the threshold histogram and the bucket
+    # assembly, and Catalyst does not reuse the Arrow projection
+    # across the two consumers (verified: 8 ArrowEvalPython nodes
+    # before caching, r7 review) — the UDF is the dominant cost
+    pb = proj.select(
+        "vec_id", F.posexplode("proj").alias("b", "p")
+    ).cache()
     hist = pb.groupBy("b", "p").agg(F.count(F.lit(1)).alias("c"))
     wt = Window.partitionBy("b")
     wcum = wt.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
@@ -386,8 +392,11 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sample and pin it in the index metadata); the probe join's
     fan-out is probes × bucket size with buckets ~n/2^bits."""
     emb = _emb(spark, sf_dir).select("vec_id", "vec")
-    emb = emb.join(balanced_buckets(emb), "vec_id").select(
-        "vec_id", "vec", "bucket"
+    # cached: consumed by the query side AND the candidate side below
+    emb = (
+        emb.join(balanced_buckets(emb), "vec_id")
+        .select("vec_id", "vec", "bucket")
+        .cache()
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -47,8 +47,11 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
     """Atomic create of the table's lock file (Hadoop createNewFile —
     atomic on local/HDFS; on S3 front this with a real coordinator).
     A crashed writer leaves the lock behind; pass break_stale_lock_s to
-    reclaim locks older than that many seconds. Returns (fs, lock_path);
-    the caller must delete the lock in a finally block."""
+    reclaim locks older than that many seconds. Returns
+    (fs, lock_path, owned_mtime); the caller must release through
+    `_release_lock` in a finally block — the mtime is the ownership
+    witness that keeps a writer from deleting a lock someone else
+    created after its own was broken."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     lock = jvm.org.apache.hadoop.fs.Path(target_path, _LOCK_NAME)
@@ -58,26 +61,35 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
         if break_stale_lock_s is not None and lock_fs.exists(lock):
             import time as _time
 
-            age_s = _time.time() - (
-                lock_fs.getFileStatus(lock).getModificationTime() / 1000.0
-            )
+            seen_mtime = lock_fs.getFileStatus(lock).getModificationTime()
+            age_s = _time.time() - seen_mtime / 1000.0
             if age_s > break_stale_lock_s:
                 # Break via atomic rename-aside, not delete+create: two
                 # writers that both measured the old lock as stale would
                 # otherwise race delete/create and B could delete A's
                 # freshly recreated lock (TOCTOU — r6 ADVICE). rename is
                 # atomic on local/HDFS, so exactly one breaker captures
-                # any given lock file. Because a breaker can still
-                # capture a lock that was *recreated* between its age
-                # check and its rename, re-verify staleness on the
-                # captured file (rename preserves mtime): a fresh
-                # capture is handed back instead of broken.
+                # any given lock file. Two guards close the remaining
+                # windows (r7 review): (1) re-stat immediately before
+                # the rename and abort the break if the mtime moved — a
+                # breaker must never take a lock someone just recreated,
+                # because handing it back leaves the lock path VACANT
+                # for the duration of the rename round-trip, a window a
+                # third writer could acquire in; (2) if a fresh capture
+                # does slip through (mtime races are possible at clock
+                # resolution), re-verify age on the captured file
+                # (rename preserves mtime) and hand it back.
                 import uuid as _uuid
 
                 aside = jvm.org.apache.hadoop.fs.Path(
                     target_path, f"{_LOCK_NAME}.broken-{_uuid.uuid4().hex}"
                 )
-                if lock_fs.rename(lock, aside):
+                still_same = (
+                    lock_fs.exists(lock)
+                    and lock_fs.getFileStatus(lock).getModificationTime()
+                    == seen_mtime
+                )
+                if still_same and lock_fs.rename(lock, aside):
                     aged = _time.time() - (
                         lock_fs.getFileStatus(aside).getModificationTime()
                         / 1000.0
@@ -86,9 +98,9 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
                         lock_fs.delete(aside, False)
                         broke = lock_fs.createNewFile(lock)
                     elif not lock_fs.rename(aside, lock):
-                        # someone re-locked meanwhile; our capture is
-                        # redundant — drop it and fall through to the
-                        # ConcurrentMergeError below
+                        # someone re-locked during the vacancy; our
+                        # capture is redundant — drop it and fall
+                        # through to the ConcurrentMergeError below
                         lock_fs.delete(aside, False)
         if not broke:
             raise ConcurrentMergeError(
@@ -96,7 +108,24 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
                 f"({_LOCK_NAME} exists); if the previous writer crashed, "
                 "pass break_stale_lock_s or remove the lock file"
             )
-    return lock_fs, lock
+    owned_mtime = lock_fs.getFileStatus(lock).getModificationTime()
+    return lock_fs, lock, owned_mtime
+
+
+def _release_lock(lock_fs, lock, owned_mtime) -> None:
+    """Delete the lock ONLY if it is still the one we created (mtime
+    witness): if our lock was broken as stale and another writer now
+    holds a fresh one, deleting blindly would evict THAT writer and
+    cascade a third into its critical section."""
+    try:
+        if (
+            lock_fs.exists(lock)
+            and lock_fs.getFileStatus(lock).getModificationTime()
+            == owned_mtime
+        ):
+            lock_fs.delete(lock, False)
+    except Exception:
+        pass  # release is best-effort; a leftover lock is reclaimable
 
 
 def merge_upsert(
@@ -180,7 +209,14 @@ def merge_upsert(
     and the target read-back uses parquet mergeSchema so later merges
     see the union schema. Readers of an evolved table must read with
     mergeSchema (or an explicit schema) — plain footer-sampling reads
-    can miss post-evolution columns; `read_merged` wraps that."""
+    can miss post-evolution columns; `read_merged` wraps that.
+    WRITERS too: once a table has evolved, EVERY later merge must keep
+    passing `schema_evolution=True` (and delete_where/update_where
+    their `schema_evolved=True`): under a plain read the footer sampler
+    may return a pre-evolution schema, in which case the missing-column
+    guard above cannot see the evolved column and a legacy batch
+    without it would rewrite touched partitions minus the column —
+    exactly the data loss the guard exists to stop."""
     spark = updates.sparkSession
     if delete_col is not None:
         if delete_col not in updates.columns:
@@ -223,7 +259,9 @@ def merge_upsert(
     # delete is read-modify-write and must not interleave with another
     # writer (shared across merge_upsert and delete_where — they mutate
     # the same partitions, so they exclude each other too).
-    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
+    lock_fs, lock, lock_mtime = _acquire_lock(
+        spark, target_path, break_stale_lock_s
+    )
     try:
         # mergeSchema only when evolving: it reads every file footer,
         # which a 100 TB table should not pay on the default path
@@ -234,6 +272,19 @@ def merge_upsert(
         )
 
         # ---- schema contract -----------------------------------------
+        if delete_col is not None and delete_col in target.columns:
+            # the table PERSISTS its tombstones (streaming/cdc.py) —
+            # destructive apply would filter out winning persisted
+            # tombstones (reopening the resurrection window) and drop
+            # the marker column from rewritten partitions only,
+            # diverging per-partition schemas. Deletes on such tables
+            # are plain merges of marker rows; purging is
+            # delete_where/purge_tombstones' job.
+            raise ValueError(
+                f"delete_col {delete_col!r} is a column of the TARGET "
+                "table (persisted tombstones) — merge the marker rows "
+                "without delete_col and purge via purge_tombstones()"
+            )
         lost = [c for c in target.columns if c not in updates.columns]
         if lost:
             raise ValueError(
@@ -365,7 +416,7 @@ def merge_upsert(
         _delete_partition_dirs(spark, target_path, partition_cols, emptied)
         return len(touched_rows)
     finally:
-        lock_fs.delete(lock, False)
+        _release_lock(lock_fs, lock, lock_mtime)
 
 
 def _delete_partition_dirs(
@@ -428,6 +479,7 @@ def delete_where(
     condition,
     partition_cols: tuple[str, ...],
     break_stale_lock_s: float | None = None,
+    schema_evolved: bool = False,
 ) -> int:
     """Conditional DELETE (Delta's `DELETE FROM t WHERE ...`) over the
     partitioned-parquet warehouse — copy-on-write, rewriting ONLY the
@@ -447,12 +499,25 @@ def delete_where(
     single-writer lock: a concurrent merge/delete pair would otherwise
     race read-modify-write on the same directories.
 
+    Tables evolved with `merge_upsert(schema_evolution=True)` MUST be
+    rewritten with `schema_evolved=True`: the default footer-sampling
+    read can return a pre-evolution schema, and a copy-on-write rewrite
+    under that schema would permanently drop the evolved column from
+    every rewritten partition. Same contract as `read_merged` — once a
+    table has evolved, every reader AND writer pays mergeSchema.
+
     This is also the CDC tombstone-retention primitive: see
     `purge_tombstones` for the guarded wrapper."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
+    lock_fs, lock, lock_mtime = _acquire_lock(
+        spark, target_path, break_stale_lock_s
+    )
     try:
-        target = spark.read.parquet(target_path)
+        target = (
+            spark.read.option("mergeSchema", "true").parquet(target_path)
+            if schema_evolved
+            else spark.read.parquet(target_path)
+        )
         # discovery uses the RAW condition: filter() already excludes
         # NULL-evaluating rows, and — unlike a coalesce(cond, false)
         # wrapper — the bare predicate stays pushable, so a condition
@@ -504,7 +569,7 @@ def delete_where(
         _delete_partition_dirs(spark, target_path, partition_cols, emptied)
         return len(touched_rows)
     finally:
-        lock_fs.delete(lock, False)
+        _release_lock(lock_fs, lock, lock_mtime)
 
 
 def update_where(
@@ -514,6 +579,7 @@ def update_where(
     assignments: dict,
     partition_cols: tuple[str, ...],
     break_stale_lock_s: float | None = None,
+    schema_evolved: bool = False,
 ) -> int:
     """Conditional UPDATE (Delta's `UPDATE t SET ... WHERE ...`) —
     copy-on-write, rewriting only partitions containing matches; with
@@ -527,11 +593,19 @@ def update_where(
     copy-on-write would need to MOVE the row between directories, which
     is `merge_upsert`'s job (delete + reinsert), not an in-place
     rewrite's. Rows where the condition is NULL are left unmodified,
-    matching delete_where's affirmative-match rule."""
+    matching delete_where's affirmative-match rule. Schema-evolved
+    tables MUST pass `schema_evolved=True` (see delete_where — a
+    plain-footer rewrite can silently drop evolved columns)."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    lock_fs, lock = _acquire_lock(spark, target_path, break_stale_lock_s)
+    lock_fs, lock, lock_mtime = _acquire_lock(
+        spark, target_path, break_stale_lock_s
+    )
     try:
-        target = spark.read.parquet(target_path)
+        target = (
+            spark.read.option("mergeSchema", "true").parquet(target_path)
+            if schema_evolved
+            else spark.read.parquet(target_path)
+        )
         bad = [c for c in assignments if c not in target.columns]
         if bad:
             raise ValueError(f"assigned column(s) {bad} not in the table")
@@ -582,7 +656,7 @@ def update_where(
         overwrite_partitions(updated, target_path, partition_cols)
         return len(touched_rows)
     finally:
-        lock_fs.delete(lock, False)
+        _release_lock(lock_fs, lock, lock_mtime)
 
 
 def purge_tombstones(
@@ -592,6 +666,7 @@ def purge_tombstones(
     partition_cols: tuple[str, ...],
     up_to_version=None,
     version_col: str | None = None,
+    break_stale_lock_s: float | None = None,
 ) -> int:
     """Remove persisted CDC tombstones (see `streaming/cdc.py`) from a
     table — the retention rewrite. ONLY safe for tombstones older than
@@ -604,7 +679,13 @@ def purge_tombstones(
         if version_col is None:
             raise ValueError("up_to_version requires version_col")
         cond = cond & (F.col(version_col) <= F.lit(up_to_version))
-    return delete_where(spark, target_path, cond, partition_cols)
+    return delete_where(
+        spark,
+        target_path,
+        cond,
+        partition_cols,
+        break_stale_lock_s=break_stale_lock_s,
+    )
 
 
 def read_merged(spark, target_path: str) -> DataFrame:

@@ -175,10 +175,15 @@ def vacuum(
     latest). Returns the versions removed. Explicit, so reproducibility
     is only given up on purpose.
 
-    Also sweeps `_stage-*` directories older than `stage_ttl_s`: those
-    are orphans from writers that crashed between staging their data
-    and claiming a version (a live writer's stage is at most seconds
-    old). Pass stage_ttl_s=None to skip the sweep."""
+    Also sweeps `_stage-*` directories older than `stage_ttl_s`. A
+    stage's age is the NEWEST mtime anywhere under it, not the
+    directory's own: a long parquet write accrues task files under
+    `_stage/_temporary/...` without ever touching the top directory's
+    mtime, so judging by the latter would rmtree a LIVE writer's stage
+    as soon as the write outlasts the TTL (r7 review). A genuinely
+    orphaned stage stops producing new files at the crash, so its
+    newest mtime ages past any sane TTL; a live one always has a
+    recent task file. Pass stage_ttl_s=None to skip the sweep."""
     import glob as _glob
     import shutil
     import time as _time
@@ -192,7 +197,17 @@ def vacuum(
         now = _time.time()
         for d in _glob.glob(os.path.join(base, "_stage-*")):
             try:
-                if now - os.path.getmtime(d) > stage_ttl_s:
+                newest = os.path.getmtime(d)
+                for root, _dirs, files in os.walk(d):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(root),
+                        *(
+                            os.path.getmtime(os.path.join(root, f))
+                            for f in files
+                        ),
+                    )
+                if now - newest > stage_ttl_s:
                     shutil.rmtree(d, ignore_errors=True)
             except OSError:
                 pass  # raced with its writer claiming/removing it

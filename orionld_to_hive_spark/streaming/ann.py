@@ -25,7 +25,10 @@ overwrite. The accumulated index reads back with plain
 The invariant the unit test pins: after any sequence of micro-batches
 (including replays), `bands()` is row-identical to band-keying the
 full corpus in one batch pass, and `query_topk()` over the maintained
-index equals the batch LSH query over the same vectors.
+index equals the batch LSH query over the same vectors. A vec_id
+re-delivered under a LATER batch_id supersedes its old version
+(latest-batch-wins on read), so updates/backfills neither duplicate
+neighbors in top-k nor pin stale embeddings.
 
 Scale stance: per-batch work is one Arrow-batched pandas_udf
 projection plus an O(batch) append — the accumulated index is never
@@ -99,11 +102,36 @@ class StreamingLshIndex:
         return writer.start()
 
     # -- read back -------------------------------------------------------
+    # A vec_id re-delivered under a DIFFERENT batch_id (offset reset
+    # after checkpoint loss, a backfill, an updated embedding) would
+    # otherwise sit in the store twice: query_topk's candidate distinct
+    # can't help because both copies rejoin from the vecs store and the
+    # same neighbor then occupies several top-k ranks — and an updated
+    # embedding is never superseded (r7 review). Latest-batch-wins per
+    # vec_id on read fixes all three; band rows of superseded versions
+    # are dropped by joining on the winning (vec_id, batch_id). At
+    # 100 TB you'd fold this into the compaction job so steady-state
+    # reads skip the window.
+    def _winners(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        v = spark.read.parquet(f"{self.base}/vecs")  # batch_id discovered
+        w = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
+        return (
+            v.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "batch_id", "vec")
+        )
+
     def bands(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.base}/bands").select("vec_id", "bk")
+        b = spark.read.parquet(f"{self.base}/bands")
+        return b.join(
+            self._winners(spark).select("vec_id", "batch_id"),
+            ["vec_id", "batch_id"],
+        ).select("vec_id", "bk")
 
     def vectors(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.base}/vecs").select("vec_id", "vec")
+        return self._winners(spark).select("vec_id", "vec")
 
     # -- query -----------------------------------------------------------
     def query_topk(

@@ -95,9 +95,20 @@ class StreamingCdcApplier:
         """Per-key latest-wins winners of ONE batch, tombstones KEPT —
         merge_upsert's ordering contract (version desc, then a pure
         row-hash so replays pick identical winners)."""
+        # xxhash64 rejects map-typed columns at analysis time — fall
+        # back to hashing the JSON rendering, exactly like merge_upsert
+        # (the merge path of every later batch), so a map-carrying
+        # changelog doesn't die on the bootstrap batch alone
+        row_cols = [F.col(c) for c in batch_df.columns]
+        if any(
+            "map<" in f.dataType.simpleString()
+            for f in batch_df.schema.fields
+        ):
+            tiebreak = F.xxhash64(F.to_json(F.struct(*row_cols)))
+        else:
+            tiebreak = F.xxhash64(*row_cols)
         w = Window.partitionBy(*self.key_cols).orderBy(
-            F.col(self.version_col).desc(),
-            F.xxhash64(*[F.col(c) for c in batch_df.columns]),
+            F.col(self.version_col).desc(), tiebreak
         )
         return (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -108,7 +108,13 @@ class StreamingQuantileStore:
                 F.col("value"),
             )
         )
+        # label with full precision (p99, p99_9, ...): rounding to whole
+        # percents would collide e.g. 0.999 and 1.0 into duplicate
+        # column names, poisoning any later select on the frame
+        labels = [f"p{f * 100:g}".replace(".", "_") for f in fracs]
+        if len(set(labels)) != len(labels):
+            raise ValueError(f"duplicate quantile labels from {fracs}")
         aggs = [F.sum("c").alias("n_values")] + [
-            q(f).alias(f"p{round(f * 100)}") for f in fracs
+            q(f).alias(lbl) for f, lbl in zip(fracs, labels)
         ]
         return sized.groupBy("grp").agg(*aggs).orderBy("grp")

@@ -44,9 +44,8 @@ def test_stream_maintained_buckets_equal_batch_buckets(
     q.awaitTermination(120)
     # >1 micro-batch actually ran (the cross-batch claim needs that)
     n_batches = (
-        idx.bands(spark)
-        .select(F.input_file_name().alias("f"))
-        .select(F.regexp_extract("f", r"batch_id=(\d+)", 1).alias("b"))
+        spark.read.parquet(str(tmp_path / "idx" / "bands"))
+        .select("batch_id")
         .distinct()
         .count()
     )
@@ -126,3 +125,43 @@ def test_probe_over_maintained_index_matches_batch_lsh(
         .collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_redelivered_vector_supersedes_instead_of_duplicating(
+    spark, corpus, tmp_path
+):
+    """A vec_id re-delivered under a LATER batch_id (offset reset,
+    backfill, updated embedding) must supersede its old version:
+    vectors()/bands() return one version, top-k never ranks the same
+    neighbor twice, and the NEW embedding is the one scored."""
+    idx = StreamingLshIndex(str(tmp_path / "idx"))
+    rows = corpus.limit(6).collect()
+    first = spark.createDataFrame(rows, corpus.schema)
+    idx.write_batch(first, batch_id=0)
+    # redeliver vec 0 with an UPDATED embedding in a later batch
+    updated = spark.createDataFrame(
+        [(rows[0].vec_id, [float(-x) for x in rows[0].vec])],
+        corpus.schema,
+    )
+    idx.write_batch(updated, batch_id=1)
+
+    vecs = idx.vectors(spark).filter(F.col("vec_id") == rows[0].vec_id)
+    got = vecs.collect()
+    assert len(got) == 1  # superseded, not duplicated
+    assert got[0].vec[0] == -float(rows[0].vec[0])  # the NEW version
+    # band rows of the stale version are gone too: every banded vec_id
+    # appears with exactly one batch's worth of band keys
+    from orionld_to_hive_spark.streaming.ann import band_keys as bk
+
+    n_bands_per_vec = bk(updated).count()
+    assert (
+        idx.bands(spark).filter(F.col("vec_id") == rows[0].vec_id).count()
+        == n_bands_per_vec
+    )
+    # and top-k never shows one neighbor at two ranks
+    queries = spark.createDataFrame(
+        [(999, rows[1].vec)], "query_id LONG, qv ARRAY<DOUBLE>"
+    )
+    topk = idx.query_topk(spark, queries, k=5).collect()
+    neighbors = [r.neighbor_id for r in topk]
+    assert len(neighbors) == len(set(neighbors))

@@ -650,3 +650,82 @@ def test_update_where_validates_assignments(spark, tmp_path):
     got = {r.id: r.version for r in spark.read.parquet(path).collect()}
     assert got[9] == 1  # NULL predicate -> unmodified
     assert got[1] == 2 and got[2] == 2  # affirmative matches bumped
+
+
+def test_release_lock_spares_a_foreign_lock(spark, tmp_path):
+    """Ownership-verified release: after our lock is broken and another
+    writer recreates the lock file, OUR release must not evict them."""
+    import time
+
+    from orionld_to_hive_spark.sources.merge import (
+        _acquire_lock,
+        _release_lock,
+    )
+
+    path = str(tmp_path / "tbl_lock")
+    (tmp_path / "tbl_lock").mkdir()
+    fs, lock, m1 = _acquire_lock(spark, path, None)
+    fs.delete(lock, False)  # simulate: someone broke our stale lock
+    time.sleep(0.05)  # ensure a distinct mtime (ms resolution)
+    fs2, lock2, m2 = _acquire_lock(spark, path, None)
+    assert m2 != m1
+    _release_lock(fs, lock, m1)  # stale owner must NOT delete it
+    assert fs.exists(lock)
+    _release_lock(fs2, lock2, m2)  # real owner releases normally
+    assert not fs.exists(lock)
+
+
+def test_merge_delete_col_refused_on_persisted_tombstone_table(
+    spark, tmp_path
+):
+    import pytest
+
+    from orionld_to_hive_spark.streaming.cdc import StreamingCdcApplier
+
+    path = str(tmp_path / "tbl_persist")
+    schema = (
+        "id LONG, day STRING, version LONG, value DOUBLE, deleted BOOLEAN"
+    )
+    applier = StreamingCdcApplier(
+        path, ("id",), "version", ("day",), "deleted"
+    )
+    applier.apply_batch(
+        spark.createDataFrame([(1, "a", 1, 10.0, False)], schema), 0
+    )
+    batch = spark.createDataFrame([(1, "a", 2, None, True)], schema)
+    with pytest.raises(ValueError, match="persisted tombstones"):
+        merge_upsert(
+            path, batch, ("id",), "version", ("day",), delete_col="deleted"
+        )
+
+
+def test_dml_on_evolved_table_keeps_evolved_column(spark, tmp_path):
+    """delete_where/update_where with schema_evolved=True must carry the
+    evolved column through the rewrite — a plain-footer rewrite could
+    sample a pre-evolution footer and drop it permanently."""
+    from orionld_to_hive_spark.sources.merge import (
+        delete_where,
+        read_merged,
+        update_where,
+    )
+
+    path = str(tmp_path / "tbl_evo_dml")
+    write_partitioned(_base(spark), path, partition_cols=("day",))
+    wide = spark.createDataFrame(
+        [(2, "a", 2, 21.0, "gold")],
+        "id LONG, day STRING, version LONG, value DOUBLE, tier STRING",
+    )
+    merge_upsert(
+        path, wide, ("id",), "version", ("day",), schema_evolution=True
+    )
+    # delete a row from the EVOLVED partition; tier must survive
+    delete_where(spark, path, "id = 1", ("day",), schema_evolved=True)
+    got = {r.id: r.tier for r in read_merged(spark, path).collect()}
+    assert 1 not in got and got[2] == "gold"
+    # update the evolved partition; tier must survive that too
+    update_where(
+        spark, path, "id = 2", {"value": "value + 1"}, ("day",),
+        schema_evolved=True,
+    )
+    got2 = {r.id: (r.value, r.tier) for r in read_merged(spark, path).collect()}
+    assert got2[2] == (22.0, "gold")

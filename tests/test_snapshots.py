@@ -54,3 +54,35 @@ def test_snapshot_diff_reports_added_and_removed(spark, tmp_path):
     diff = {(r.id, r.change) for r in snapshot_diff(spark, base, 0, 1, "id").collect()}
     assert diff == {(5, "added"), (6, "added"), (7, "added"),
                     (0, "removed"), (1, "removed")}
+
+
+def test_vacuum_stage_sweep_spares_live_long_write(tmp_path):
+    """A stage directory whose TOP mtime is ancient but which holds a
+    RECENT task file (a long parquet write in flight) must survive the
+    sweep; a stage whose newest file is old is an orphan and goes."""
+    import os
+    import time
+
+    from orionld_to_hive_spark.sources.snapshots import vacuum
+
+    base = str(tmp_path / "snaps")
+    os.makedirs(base)
+    old = time.time() - 7200
+    live = os.path.join(base, "_stage-live", "_temporary", "0")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0"), "w") as f:
+        f.write("x")  # fresh task file: writer is alive
+    os.utime(os.path.join(base, "_stage-live"), (old, old))
+    orphan = os.path.join(base, "_stage-orphan", "_temporary", "0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0"), "w") as f:
+        f.write("x")
+    for root, dirs, files in os.walk(os.path.join(base, "_stage-orphan"),
+                                     topdown=False):
+        for name in files + dirs:
+            os.utime(os.path.join(root, name), (old, old))
+    os.utime(os.path.join(base, "_stage-orphan"), (old, old))
+
+    vacuum(base, keep_last=2, stage_ttl_s=3600)
+    assert os.path.isdir(os.path.join(base, "_stage-live"))
+    assert not os.path.exists(os.path.join(base, "_stage-orphan"))
