@@ -567,3 +567,120 @@ def test_doc_fingerprint_matches_hashlib(spark, tmp_path_factory, docs):
         assert want[i] == hashlib.sha256(
             " ".join(sorted(set(rev.split(" ")))).encode()
         ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (streaming/cdc.py) vs a sequential Python replay:
+# for ANY changelog split into ANY batch sequence, read_current must be
+# the max-version-per-key state with delete-winners absent. (k, version)
+# pairs are globally deduped so the model never depends on the row-hash
+# tiebreak; order-independence is the point — batches deliver versions
+# in whatever order hypothesis picks.
+_cdc_row = st.tuples(
+    st.integers(min_value=0, max_value=8),  # key
+    st.integers(min_value=1, max_value=6),  # version
+    st.booleans(),                          # tombstone?
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    batches=st.lists(
+        st.lists(_cdc_row, min_size=0, max_size=10),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cdc_stream_apply_matches_python_replay(
+    spark, tmp_path_factory, batches
+):
+    from orionld_to_hive_spark.streaming.cdc import StreamingCdcApplier
+
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    path = str(tmp / "tbl")
+    schema = (
+        "id LONG, day STRING, version LONG, value DOUBLE, deleted BOOLEAN"
+    )
+    applier = StreamingCdcApplier(
+        path, ("id",), "version", ("day",), "deleted"
+    )
+    seen: set[tuple[int, int]] = set()
+    best: dict[int, tuple[int, bool]] = {}
+    any_rows = False
+    for bid, rows in enumerate(batches):
+        batch = []
+        for k, v, d in rows:
+            if (k, v) in seen:
+                continue
+            seen.add((k, v))
+            day = "ab"[k % 2]
+            val = None if d else float(k * 100 + v)
+            batch.append((k, day, v, val, d))
+            if k not in best or v > best[k][0]:
+                best[k] = (v, d)
+        applier.apply_batch(spark.createDataFrame(batch, schema), bid)
+        any_rows = any_rows or bool(batch)
+    if not any_rows:
+        return  # nothing ever delivered: no table to read
+    want = sorted(
+        (k, "ab"[k % 2], v, float(k * 100 + v))
+        for k, (v, d) in best.items()
+        if not d
+    )
+    got = sorted(
+        (r.id, r.day, r.version, r.value)
+        for r in applier.read_current(spark)
+        .select("id", "day", "version", "value")
+        .collect()
+    )
+    assert got == want
+    # raw table: exactly one row per key ever delivered (live or tomb)
+    raw = spark.read.parquet(path)
+    assert raw.count() == len(best)
+
+
+# ---------------------------------------------------------------------------
+# delete_where (sources/merge.py) vs a Python filter: arbitrary tables
+# and thresholds — surviving rows are exactly the non-matches, the
+# rewrite count is the matching-partition count, and fully-matched
+# partitions leave the disk.
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # id (unique)
+            st.integers(min_value=0, max_value=2),    # partition pick
+            st.integers(min_value=-50, max_value=50), # value
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    thresh=st.integers(min_value=-50, max_value=50),
+)
+def test_delete_where_matches_python_filter(
+    spark, tmp_path_factory, rows, thresh
+):
+    from pathlib import Path
+
+    from orionld_to_hive_spark.sources.merge import delete_where
+    from orionld_to_hive_spark.sources.warehouse import write_partitioned
+
+    tmp = tmp_path_factory.mktemp("delprop")
+    path = str(tmp / "tbl")
+    schema = "id LONG, day STRING, version LONG, value DOUBLE"
+    data = [(k, "abc"[p], 1, float(v)) for k, p, v in rows]
+    write_partitioned(
+        spark.createDataFrame(data, schema), path, partition_cols=("day",)
+    )
+    n = delete_where(spark, path, f"value < {thresh}", ("day",))
+    touched = {d for _, d, _, v in data if v < thresh}
+    assert n == len(touched)
+    want = sorted((k, d, v) for k, d, _, v in data if not v < thresh)
+    got = sorted(
+        (r.id, r.day, r.value) for r in spark.read.parquet(path).collect()
+    ) if want else []
+    assert got == want
+    for d in {d for _, d, _, _ in data}:
+        should_exist = any(dd == d and not v < thresh for _, dd, _, v in data)
+        assert (Path(path) / f"day={d}").exists() == should_exist
