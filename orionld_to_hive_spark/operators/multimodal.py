@@ -732,12 +732,13 @@ def encode_png_gray(raw: np.ndarray, width: int = PNG_W) -> bytes:
 
 
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """REAL decode of an 8-bit greyscale/RGB non-interlaced PNG — pure
-    stdlib zlib, no codec libraries. Returns (pixels row-major as
-    uint8 — RGB flattened, width, height). Walks chunks with CRC
-    verification, concatenates IDATs, inflates, and reverses the
-    per-scanline filter (all five types). Palette/interlaced/16-bit
-    PNGs raise NotImplementedError honestly."""
+    """REAL decode of an 8-bit greyscale/RGB/paletted non-interlaced
+    PNG — pure stdlib zlib, no codec libraries. Returns (pixels
+    row-major as uint8 — RGB flattened, width, height). Walks chunks
+    with CRC verification, concatenates IDATs, inflates, reverses the
+    per-scanline filter (all five types), and for color type 3 maps
+    indices through the PLTE palette (r7). Interlaced/16-bit/alpha
+    (tRNS) PNGs raise NotImplementedError honestly."""
     import struct
     import zlib
 
@@ -746,6 +747,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     pos, end = len(_PNG_SIG), len(payload)
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 12 <= end:
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -759,20 +762,28 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"IDAT":
             idat.extend(body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"tRNS":
+            trns = body
         elif typ == b"IEND":
             break
         pos += 12 + size
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt_method, interlace = ihdr
-    if depth != 8 or color not in (0, 2) or comp != 0 or filt_method != 0:
+    if depth != 8 or color not in (0, 2, 3) or comp != 0 or filt_method != 0:
         raise NotImplementedError(
-            f"only 8-bit greyscale/RGB supported (depth={depth}, "
+            f"only 8-bit greyscale/RGB/paletted supported (depth={depth}, "
             f"color={color})"
         )
     if interlace != 0:
         raise NotImplementedError("Adam7 interlacing not supported")
-    bpp = 1 if color == 0 else 3
+    if color == 3 and trns is not None:
+        raise NotImplementedError("paletted alpha (tRNS) not supported")
+    # paletted rows are 1 byte/pixel of palette INDICES; the filter
+    # operates on those bytes, the palette lookup happens after
+    bpp = 3 if color == 2 else 1
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (stride + 1):
@@ -810,6 +821,14 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError(f"bad filter type {ft}")
         px[r_i] = row
         prev = row
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("paletted PNG missing/invalid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(-1)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx.astype(np.intp)].reshape(-1), width, height
     return px.reshape(-1).astype(np.uint8), width, height
 
 

@@ -284,3 +284,55 @@ def test_span_dedup_rewrite_invariants_and_planted_duplicate(
     }
     assert got[0] == (0, f"{dup} tail0")  # first occurrence kept intact
     assert got[1] == (1, f"{uniq} tail1")  # shared block cut, rest kept
+
+
+def test_decode_png_paletted_roundtrip_and_guards():
+    """Color-type-3 PNGs decode through the PLTE palette to the same
+    RGB a truecolor encoding of the identical image yields; invalid
+    palettes and tRNS alpha fail loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from orionld_to_hive_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])  # 4 colors
+    w, h = 5, 4
+    rows = [[(x + y) % 4 for x in range(w)] for y in range(h)]
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)  # filter 0 rows
+
+    def build(plte=pal, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + extra
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    px, gw, gh = decode_png(build())
+    assert (gw, gh) == (w, h)
+    want = np.array(
+        [pal[3 * rows[y][x] + c] for y in range(h) for x in range(w)
+         for c in range(3)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(px, want)
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(build(plte=pal[:9]))  # 3 colors, image uses index 3
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(build(extra=chunk(b"tRNS", b"\x80")))
