@@ -731,6 +731,66 @@ def encode_png_gray(raw: np.ndarray, width: int = PNG_W) -> bytes:
     )
 
 
+# 4-color palette for the paletted-PNG twin: three saturated channels
+# plus one near-black entry, so every statistic (sum / max / dark) is a
+# distinct CASE over the index — any palette-lookup or unfiltering bug
+# shifts a stat. Index = byte % 4, so the oracle derives everything
+# from the hex dump.
+PNG_PALETTE = ((255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7))
+
+
+def encode_png_palette(raw: np.ndarray, width: int = PNG_W) -> bytes:
+    """Minimal REAL paletted PNG writer (color type 3): indices =
+    byte % 4 into PNG_PALETTE, filter type = row_index mod 5 over the
+    index bytes, zero-padded to a full raster like the grey writer."""
+    import struct
+    import zlib
+
+    n = len(raw)
+    h = max(1, -(-n // width))
+    img = np.zeros(h * width, dtype=np.uint8)
+    img[:n] = np.asarray(raw, dtype=np.uint8) % 4
+    rows = img.reshape(h, width).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(width, dtype=np.int64)
+    for r_i in range(h):
+        row = rows[r_i]
+        left = np.concatenate(([0], row[:-1]))
+        ul = np.concatenate(([0], prev[:-1]))
+        ft = r_i % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            filt = row - _paeth(left, prev, ul)
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 3, 0, 0, 0)
+    plte = bytes(c for rgb in PNG_PALETTE for c in rgb)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     """REAL decode of an 8-bit greyscale/RGB/paletted non-interlaced
     PNG — pure stdlib zlib, no codec libraries. Returns (pixels
@@ -915,6 +975,52 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def palette_png_assets_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paletted twin of png_assets_from_documents: each document's
+    utf-8 bytes become color-type-3 indices (byte % 4 into
+    PNG_PALETTE)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_png_palette(
+                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return docs.mapInPandas(synth, schema)
+
+
+def multimodal_png_palette_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded PALETTED PNGs — the color-type-3
+    end-to-end proof: the oracle derives every stat from the hex dump
+    through the byte%4 palette map, so a wrong PLTE lookup or a filter
+    slip over the index stream breaks the hash."""
+    return png_pixel_stats(
+        palette_png_assets_from_documents(spark, sf_dir)
+    ).orderBy("asset_id")
+
+
 # Byte-domain twin: the decoded raster is the utf-8 bytes zero-padded
 # to a 32-wide raster (empty text ⇒ one black row), so every stat is a
 # pure aggregate over the hex-dump codes plus the pad arithmetic —
@@ -954,6 +1060,52 @@ SELECT d.doc_id AS asset_id,
          / 1e6 AS mean_pixel,
        CAST(COALESCE(a.mx, 0) AS INTEGER) AS max_pixel,
        CAST(COALESCE(a.dark, 0) + (d.h * {PNG_W} - d.n) AS INTEGER) AS n_dark
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
+
+# Paletted byte-domain twin: index = code % 4 into PNG_PALETTE
+# ((255,0,0),(0,255,0),(0,0,255),(7,7,7)) — per index the channel SUM
+# is 255/255/255/21, the channel MAX 255/255/255/7, and the dark
+# (<32) channel count 2/2/2/3; zero-padding contributes index-0
+# pixels. Stats are pure CASE aggregates over the hex codes.
+MULTIMODAL_PNG_PALETTE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1 ELSE (n + {PNG_W} - 1) // {PNG_W} END AS h
+  FROM docs
+),
+codes AS (
+  SELECT doc_id,
+         (16 * (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1)) % 4
+           AS idx
+  FROM dims, UNNEST(range(n)) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN idx = 3 THEN 21 ELSE 255 END) AS BIGINT) AS s,
+         MAX(CASE WHEN idx = 3 THEN 7 ELSE 255 END) AS mx,
+         CAST(SUM(CASE WHEN idx = 3 THEN 3 ELSE 2 END) AS BIGINT) AS dark
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       {PNG_W} AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(d.h * {PNG_W} * 3 AS INTEGER) AS n_pixels,
+       FLOOR((CAST(COALESCE(a.s, 0) AS DOUBLE)
+              + 255.0 * (d.h * {PNG_W} - d.n))
+             / (d.h * {PNG_W} * 3) * 1e6 + 0.5) / 1e6 AS mean_pixel,
+       CAST(CASE WHEN d.h * {PNG_W} > d.n THEN 255
+                 ELSE COALESCE(a.mx, 7) END AS INTEGER) AS max_pixel,
+       CAST(COALESCE(a.dark, 0) + 2 * (d.h * {PNG_W} - d.n) AS INTEGER)
+         AS n_dark
 FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY asset_id
 """
@@ -1096,6 +1248,7 @@ QUERIES = {
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_wav_rms": multimodal_wav_rms,
     "multimodal_png_stats": multimodal_png_stats,
+    "multimodal_png_palette_stats": multimodal_png_palette_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
 }
 
@@ -1107,5 +1260,6 @@ ORACLES = {
     "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "multimodal_wav_rms": MULTIMODAL_WAV_SQL,
     "multimodal_png_stats": MULTIMODAL_PNG_SQL,
+    "multimodal_png_palette_stats": MULTIMODAL_PNG_PALETTE_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_SQL,
 }
