@@ -219,6 +219,102 @@ def quantile_portable_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (type-7, the numpy/R-default) quantiles from the
+    SAME distinct-value histogram as quantile_portable_value —
+    graduating percentile_cont the way that op graduated
+    percentile_disc. Rank h = (n-1)·p; the answer is
+    lo + g·(hi − lo) with lo/hi the values at floor(h)/floor(h)+1 and
+    g = h − floor(h). Every input to the interpolation is an exact
+    histogram selection and the formula is written token-identically
+    in the DuckDB oracle, so the one double expression evaluates
+    bit-equal cross-engine (never rely on an engine's own
+    quantile_cont: lo·(1−g)+hi·g vs lo+g·(hi−lo) differ in ulps)."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    sized = hist.select(
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+
+    def lo(frac):
+        k = F.floor((F.col("tot") - 1) * F.lit(frac))
+        return F.min(F.when(F.col("cum") >= k + 1, F.col("value")))
+
+    def hi(frac):
+        k = F.floor((F.col("tot") - 1) * F.lit(frac))
+        return F.min(F.when(F.col("cum") >= k + 2, F.col("value")))
+
+    FRACS = (0.5, 0.95, 0.99)
+    agg = sized.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_values"),
+        *[lo(f).alias(f"lo{i}") for i, f in enumerate(FRACS)],
+        *[hi(f).alias(f"hi{i}") for i, f in enumerate(FRACS)],
+    )
+
+    def interp(i, frac):
+        h = (F.col("n_values") - 1) * F.lit(frac)
+        g = h - F.floor(h)
+        lo_c, hi_c = F.col(f"lo{i}"), F.col(f"hi{i}")
+        return lo_c + g * (F.coalesce(hi_c, lo_c) - lo_c)
+
+    return agg.select(
+        "event_type",
+        "n_values",
+        interp(0, 0.5).alias("q50"),
+        interp(1, 0.95).alias("q95"),
+        interp(2, 0.99).alias("q99"),
+    ).orderBy("event_type")
+
+
+QUANTILE_CONT_PORTABLE_SQL = """
+WITH hist AS (
+  SELECT event_type, value, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+),
+sized AS (
+  SELECT event_type, value, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_values,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.5 AS DOUBLE)) + 1 THEN value END) AS lo0,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.5 AS DOUBLE)) + 2 THEN value END) AS hi0,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.95 AS DOUBLE)) + 1 THEN value END) AS lo1,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.95 AS DOUBLE)) + 2 THEN value END) AS hi1,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.99 AS DOUBLE)) + 1 THEN value END) AS lo2,
+         MIN(CASE WHEN cum >= floor((tot-1) * CAST(0.99 AS DOUBLE)) + 2 THEN value END) AS hi2
+  FROM sized
+  GROUP BY event_type
+)
+SELECT event_type, n_values,
+       lo0 + ((n_values-1) * CAST(0.5 AS DOUBLE)  - floor((n_values-1) * CAST(0.5 AS DOUBLE)))
+             * (COALESCE(hi0, lo0) - lo0) AS q50,
+       lo1 + ((n_values-1) * CAST(0.95 AS DOUBLE) - floor((n_values-1) * CAST(0.95 AS DOUBLE)))
+             * (COALESCE(hi1, lo1) - lo1) AS q95,
+       lo2 + ((n_values-1) * CAST(0.99 AS DOUBLE) - floor((n_values-1) * CAST(0.99 AS DOUBLE)))
+             * (COALESCE(hi2, lo2) - lo2) AS q99
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUANTILE_PORTABLE_SQL = """
 WITH hist AS (
   SELECT event_type, value, COUNT(*) AS c
@@ -573,6 +669,7 @@ QUERIES = {
     "quantile_summary": quantile_summary,
     "quantile_approx_value": quantile_approx_value,
     "quantile_portable_value": quantile_portable_value,
+    "quantile_cont_portable": quantile_cont_portable,
     "countmin_freq_estimate": countmin_freq_estimate,
     "bloom_membership_report": bloom_membership_report,
 }
@@ -583,6 +680,7 @@ ORACLES = {
     "freq_topk_users": FREQ_TOPK_SQL,
     "quantile_summary": QUANTILE_SQL,
     "quantile_portable_value": QUANTILE_PORTABLE_SQL,
+    "quantile_cont_portable": QUANTILE_CONT_PORTABLE_SQL,
     "countmin_freq_estimate": COUNTMIN_SQL,
     "bloom_membership_report": BLOOM_SQL,
 }

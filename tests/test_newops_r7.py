@@ -336,3 +336,37 @@ def test_decode_png_paletted_roundtrip_and_guards():
         decode_png(build(plte=pal[:9]))  # 3 colors, image uses index 3
     with pytest.raises(NotImplementedError, match="tRNS"):
         decode_png(build(extra=chunk(b"tRNS", b"\x80")))
+
+
+def test_quantile_cont_matches_numpy_linear(spark, sf_smoke):
+    """quantile_cont_portable implements type-7 interpolation; numpy's
+    default percentile is the independent reference (the DuckDB oracle
+    shares our formula, so it alone can't catch a shared bug)."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.sketches import (
+        quantile_cont_portable,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    got = {
+        r.event_type: (r.n_values, r.q50, r.q95, r.q99)
+        for r in quantile_cont_portable(spark, sf_smoke).collect()
+    }
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_type", "value")
+        .filter("value IS NOT NULL")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(by_type)
+    for et, vs in by_type.items():
+        arr = np.array(sorted(vs))
+        n, q50, q95, q99 = got[et]
+        assert n == len(vs)
+        for frac, q in ((0.5, q50), (0.95, q95), (0.99, q99)):
+            ref = float(np.percentile(arr, frac * 100))
+            assert abs(q - ref) < 1e-9, (et, frac, q, ref)
