@@ -488,6 +488,151 @@ GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
 # --------------------------------------------------------------------------
+# Community detection — deterministic synchronous label propagation
+# (LPA) over the undirected nation trade graph. Classic LPA is
+# nondeterministic (random tie-breaks, random visit order); this
+# variant is a pure function of the edge list: FIXED iteration count,
+# synchronous updates, each node adopts the label with the largest
+# exact-DECIMAL neighbor-weight total (ties -> smallest label),
+# isolated nodes keep their label. Determinism is what makes the
+# unrolled DuckDB CTE chain an EXACT oracle (the kmeans move).
+#
+# Scale: edge derivation is the one fact-table shuffle; each iteration
+# is a join + groupBy + argmax over the EDGE frame (m rows), the
+# Pregel-per-superstep cost, with per-iteration localCheckpoint
+# truncating the lineage like the other iterative loops here.
+LPA_ITERS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DECIMAL_T
+                )
+            ).alias("w")
+        )
+    )
+    und = (
+        raw.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .unionByName(
+            raw.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("v"))
+    labels = nodes.withColumn("label", F.col("v"))
+    for _ in range(LPA_ITERS):
+        scores = (
+            und.join(
+                labels.select(F.col("v").alias("b"), "label"), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        wr = Window.partitionBy("a").orderBy(
+            F.col("s").desc(), F.col("label").asc()
+        )
+        winners = (
+            scores.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("v"), F.col("label").alias("new"))
+        )
+        labels = (
+            labels.join(winners, "v", "left")
+            .select("v", F.coalesce("new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    wsz = Window.partitionBy("label")
+    return (
+        labels.join(nation, labels.v == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("label").cast("int").alias("community"),
+            F.count(F.lit(1)).over(wsz).cast("bigint").alias(
+                "community_size"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _lpa_sql() -> str:
+    """Unroll the fixed-iteration LPA as a DuckDB CTE chain."""
+    head = """
+WITH raw AS (
+    SELECT c_nationkey AS src, s_nationkey AS dst,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY src, dst
+),
+und AS (
+    SELECT a, b, SUM(w) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM raw
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM raw
+    ) WHERE a <> b GROUP BY a, b
+),
+nodes AS (SELECT n_nationkey AS v FROM nation),
+l0 AS (SELECT v, v AS label FROM nodes)"""
+    steps = []
+    for k in range(1, LPA_ITERS + 1):
+        prev = f"l{k - 1}"
+        steps.append(
+            f""",
+s{k} AS (
+    SELECT und.a AS v, l.label, SUM(und.w) AS s
+    FROM und JOIN {prev} l ON und.b = l.v
+    GROUP BY und.a, l.label
+),
+w{k} AS (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY s DESC, label) AS rn
+    FROM s{k}
+),
+l{k} AS (
+    SELECT p.v, COALESCE(w.label, p.label) AS label
+    FROM {prev} p
+    LEFT JOIN (SELECT v, label FROM w{k} WHERE rn = 1) w ON p.v = w.v
+)"""
+        )
+    tail = f"""
+SELECT n_name, CAST(label AS INTEGER) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{LPA_ITERS} JOIN nation ON v = n_nationkey
+ORDER BY n_name
+"""
+    return head + "".join(steps) + tail
+
+
+GRAPH_LPA_SQL = _lpa_sql()
+
+
+# --------------------------------------------------------------------------
 # BFS hop histogram — single-source shortest hop counts on the
 # undirected supplier co-occurrence graph, from the smallest supplier
 # key. The iterative-frontier pattern: each round joins the frontier to
@@ -573,6 +718,7 @@ QUERIES = {
     "graph_common_part_pairs": graph_common_part_pairs,
     "graph_triangle_count": graph_triangle_count,
     "graph_nation_trade_pagerank": graph_nation_trade_pagerank,
+    "graph_label_propagation": graph_label_propagation,
     "graph_bfs_hops": graph_bfs_hops,
 }
 
@@ -581,5 +727,6 @@ ORACLES = {
     "graph_common_part_pairs": GRAPH_COOC_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_nation_trade_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_label_propagation": GRAPH_LPA_SQL,
     "graph_bfs_hops": GRAPH_BFS_SQL,
 }

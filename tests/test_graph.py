@@ -122,3 +122,55 @@ def test_pagerank_driver_solve_equals_distributed_iteration(spark):
     solved = dict(graph._pagerank_solve_bounded(
         edge_rows, node_ids, graph._PR_ITERS, graph._PR_D))
     assert dist == solved  # exact float equality, not approx
+
+
+def test_label_propagation_separates_weakly_linked_cliques(spark, tmp_path):
+    """Hand-built graph: two 3-cliques with heavy internal edges and
+    one feather-weight bridge — LPA must give each clique one label and
+    not merge across the bridge; determinism: repeated runs identical."""
+    from orionld_to_hive_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    # synthesize a tiny warehouse: nations 0..5, customers/suppliers
+    # one per nation, orders/lineitems encoding the weighted edges
+    edges = [
+        (0, 1, 900.0), (1, 2, 900.0), (0, 2, 900.0),   # clique A
+        (3, 4, 900.0), (4, 5, 900.0), (3, 5, 900.0),   # clique B
+        (2, 3, 1.0),                                    # weak bridge
+    ]
+    nations = [(i, f"N{i}") for i in range(6)]
+    spark.createDataFrame(
+        nations, "n_nationkey LONG, n_name STRING"
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(i, i) for i in range(6)], "c_custkey LONG, c_nationkey LONG"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(i, i) for i in range(6)], "s_suppkey LONG, s_nationkey LONG"
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    orders, lis = [], []
+    for k, (a, b, w) in enumerate(edges):
+        orders.append((k, a))
+        lis.append((k, b, w, 0.0))
+    spark.createDataFrame(
+        orders, "o_orderkey LONG, o_custkey LONG"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lis,
+        "l_orderkey LONG, l_suppkey LONG, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.n_name: r.community
+        for r in graph_label_propagation(spark, str(tmp_path)).collect()
+    }
+    assert len({got["N0"], got["N1"], got["N2"]}) == 1  # clique A united
+    assert len({got["N3"], got["N4"], got["N5"]}) == 1  # clique B united
+    assert got["N0"] != got["N3"]  # bridge did not merge them
+    again = {
+        r.n_name: r.community
+        for r in graph_label_propagation(spark, str(tmp_path)).collect()
+    }
+    assert got == again  # deterministic
