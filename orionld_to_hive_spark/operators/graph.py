@@ -364,21 +364,21 @@ def _pagerank_solve_bounded(
     return sorted(ranks.items())
 
 
-def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w) weighted nation-trade edges — the CANONICAL
+    fact-scale edge derivation shared by pagerank and label
+    propagation (and mirrored by _NATION_EDGES_SQL in both oracles):
+    ONE fact scan; join strategy left to AQE (see module docstring —
+    orders/customer/supplier are sf-proportional, never
+    hint-broadcast); weights exact DECIMAL so every consumer's
+    downstream arithmetic starts from the same exact sums."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    # Edge derivation: ONE fact scan; join strategy left to AQE (see
-    # module docstring — orders/customer/supplier are sf-proportional,
-    # never hint-broadcast). Weights stay
-    # exact DECIMAL through the out-weight normalization so the double
-    # division is a single deterministic operation per edge.
-    raw = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -393,6 +393,22 @@ def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w")
         )
     )
+
+
+_NATION_EDGES_SQL = """raw AS (
+    SELECT c_nationkey AS src, s_nationkey AS dst,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS w
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY src, dst
+)"""
+
+
+def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = _nation_edges(spark, sf_dir)
     # ≤ |nations|² = 625 rows by construction — bounded-state collect
     # (k·d-class, like the k-means centroid loop); the fact-scale work
     # above stays distributed and runs as ONE job. Everything after —
@@ -435,15 +451,7 @@ def graph_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_sql() -> str:
     """Unroll the PageRank recurrence as a DuckDB CTE chain."""
     head = f"""
-WITH raw AS (
-    SELECT c_nationkey AS src, s_nationkey AS dst,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS w
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY src, dst
-),
+WITH {_NATION_EDGES_SQL},
 edges AS (
     SELECT src, dst,
            ROUND(CAST(w AS DOUBLE) /
@@ -505,32 +513,8 @@ LPA_ITERS = 4
 
 
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    raw = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    DECIMAL_T
-                )
-            ).alias("w")
-        )
-    )
+    raw = _nation_edges(spark, sf_dir)
     und = (
         raw.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
         .unionByName(
@@ -580,16 +564,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_sql() -> str:
     """Unroll the fixed-iteration LPA as a DuckDB CTE chain."""
-    head = """
-WITH raw AS (
-    SELECT c_nationkey AS src, s_nationkey AS dst,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS w
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY src, dst
-),
+    head = f"""
+WITH {_NATION_EDGES_SQL},
 und AS (
     SELECT a, b, SUM(w) AS w FROM (
         SELECT src AS a, dst AS b, w FROM raw

@@ -680,18 +680,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png_gray(raw: np.ndarray, width: int = PNG_W) -> bytes:
-    """Minimal REAL PNG writer: 8-bit greyscale, non-interlaced, one
-    zlib stream, filter type = row_index mod 5 (exercises every
-    filter). `raw` is a uint8 pixel vector; it is zero-padded to a
-    full `width`-wide raster (empty input becomes one black row)."""
+def _encode_png(
+    img: np.ndarray, width: int, color_type: int, extra_chunks=()
+) -> bytes:
+    """Shared PNG writer core: filter each scanline (filter type =
+    row_index mod 5, exercising every filter), deflate, frame the
+    chunks with CRCs. `img` is the flat byte plane (grey pixels or
+    palette indices, 1 byte/px); `extra_chunks` are (type, body)
+    pairs emitted between IHDR and IDAT (e.g. PLTE)."""
     import struct
     import zlib
 
-    n = len(raw)
-    h = max(1, -(-n // width))
-    img = np.zeros(h * width, dtype=np.uint8)
-    img[:n] = raw
+    h = len(img) // width
     rows = img.reshape(h, width).astype(np.int64)
     out = bytearray()
     prev = np.zeros(width, dtype=np.int64)
@@ -722,13 +722,31 @@ def encode_png_gray(raw: np.ndarray, width: int = PNG_W) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+    body = b"".join(chunk(t, d) for t, d in extra_chunks)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + body
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
+
+
+def _pad_raster(raw: np.ndarray, width: int) -> np.ndarray:
+    n = len(raw)
+    h = max(1, -(-n // width))
+    img = np.zeros(h * width, dtype=np.uint8)
+    img[:n] = raw
+    return img
+
+
+def encode_png_gray(raw: np.ndarray, width: int = PNG_W) -> bytes:
+    """Minimal REAL PNG writer: 8-bit greyscale, non-interlaced, one
+    zlib stream, filter type = row_index mod 5 (exercises every
+    filter). `raw` is a uint8 pixel vector; it is zero-padded to a
+    full `width`-wide raster (empty input becomes one black row)."""
+    return _encode_png(_pad_raster(raw, width), width, color_type=0)
 
 
 # 4-color palette for the paletted-PNG twin: three saturated channels
@@ -741,53 +759,13 @@ PNG_PALETTE = ((255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7))
 
 def encode_png_palette(raw: np.ndarray, width: int = PNG_W) -> bytes:
     """Minimal REAL paletted PNG writer (color type 3): indices =
-    byte % 4 into PNG_PALETTE, filter type = row_index mod 5 over the
-    index bytes, zero-padded to a full raster like the grey writer."""
-    import struct
-    import zlib
-
-    n = len(raw)
-    h = max(1, -(-n // width))
-    img = np.zeros(h * width, dtype=np.uint8)
-    img[:n] = np.asarray(raw, dtype=np.uint8) % 4
-    rows = img.reshape(h, width).astype(np.int64)
-    out = bytearray()
-    prev = np.zeros(width, dtype=np.int64)
-    for r_i in range(h):
-        row = rows[r_i]
-        left = np.concatenate(([0], row[:-1]))
-        ul = np.concatenate(([0], prev[:-1]))
-        ft = r_i % 5
-        if ft == 0:
-            filt = row
-        elif ft == 1:  # Sub
-            filt = row - left
-        elif ft == 2:  # Up
-            filt = row - prev
-        elif ft == 3:  # Average
-            filt = row - (left + prev) // 2
-        else:  # Paeth
-            filt = row - _paeth(left, prev, ul)
-        out.append(ft)
-        out.extend((filt % 256).astype(np.uint8).tobytes())
-        prev = row
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, h, 8, 3, 0, 0, 0)
+    byte % 4 into PNG_PALETTE, same shared filter/framing core as the
+    grey writer."""
+    idx = np.asarray(raw, dtype=np.uint8) % 4
     plte = bytes(c for rgb in PNG_PALETTE for c in rgb)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", plte)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
-        + chunk(b"IEND", b"")
+    return _encode_png(
+        _pad_raster(idx, width), width, color_type=3,
+        extra_chunks=((b"PLTE", plte),),
     )
 
 
@@ -839,8 +817,12 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         )
     if interlace != 0:
         raise NotImplementedError("Adam7 interlacing not supported")
-    if color == 3 and trns is not None:
-        raise NotImplementedError("paletted alpha (tRNS) not supported")
+    if trns is not None:
+        # valid for grey/RGB (transparent-color key) and paletted
+        # (per-index alpha) alike — stats that silently treat
+        # transparent pixels as opaque would be wrong, so fail loudly
+        # for every color type, as the docstring promises
+        raise NotImplementedError("transparency (tRNS) not supported")
     # paletted rows are 1 byte/pixel of palette INDICES; the filter
     # operates on those bytes, the palette lookup happens after
     bpp = 3 if color == 2 else 1

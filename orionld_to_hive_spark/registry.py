@@ -49,13 +49,15 @@ _MODULES = (
 # LSH/IVF sign-projection buckets, k-means, the two hash-threshold
 # sampling twins, decoded-WAV RMS, portable HLL) but were never
 # driver-graded against those oracles, plus p5_dropna (its newest green
-# row is r1 — the registry's stalest); (b) the eight r7-new operators
-# (CDC changelog apply + tombstone-aware SCD2, balanced-multiprobe ANN,
-# portable exact quantiles, PII redaction, real-PNG pixel stats,
-# literal TPC-H Q5/Q18); (c) backfill with the r2-era cohort — 33 of
-# the 35 oracle-backed queries whose newest green rows date to round 2,
-# the oldest block left (the last two alphabetically yield their slots
-# to the CDC pair and rotate with the r3 block next round).
+# row is r1 — the registry's stalest); (b) the eleven r7-new operators
+# (CDC changelog apply + tombstone-aware SCD2, LPA communities,
+# paletted-PNG stats, interpolated portable quantiles,
+# balanced-multiprobe ANN, portable exact quantiles, PII redaction,
+# real-PNG pixel stats, literal TPC-H Q5/Q18); (c) backfill with the
+# r2-era cohort — 30 of the 35 oracle-backed queries whose newest green
+# rows date to round 2, the oldest block left (the last five
+# alphabetically yield their slots to the r7 additions and rotate with
+# the r3 block next round).
 _PRIORITY = (
     # (a) oracle-graduated in r6, never driver-certified (7) + stalest (1)
     "ann_lsh_topk",
@@ -66,9 +68,12 @@ _PRIORITY = (
     "multimodal_wav_rms",
     "hll_portable_rollup",
     "p5_dropna",
-    # (b) new in r7 (8)
+    # (b) new in r7 (11)
     "cdc_apply_changelog",
     "cdc_scd2_history",
+    "graph_label_propagation",
+    "multimodal_png_palette_stats",
+    "quantile_cont_portable",
     "ann_lsh_multiprobe_topk",
     "quantile_portable_value",
     "pii_redaction_report",
@@ -109,11 +114,10 @@ _PRIORITY = (
     "text_corpus_stats",
     "text_lang_id",
     "text_normalize",
-    "text_quality_score",
-    "text_regex_pretokenize",
-    "text_token_stats",
-    # (tumbling_window_agg / vocab_coverage_report yield their r2-era
-    # slots to the two r7 CDC ops; they rotate with the r3 block next)
+    # (text_quality_score / text_regex_pretokenize / text_token_stats /
+    # tumbling_window_agg / vocab_coverage_report yield their r2-era
+    # slots to the five r7 additions above; they rotate with the r3
+    # block next round)
 )
 
 
