@@ -569,7 +569,24 @@ _HLL_LN_TABLE = [0.0] + [
 ]
 
 
-def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_estimate_col():
+    """Shared HLL estimate over (s_present, registers_used) columns:
+    raw harmonic estimate with the linear-counting small-range
+    correction read from the precomputed ln table (cross-engine
+    bit-identical — see the family docstring above)."""
+    sm = (F.lit(float(HLL_M)) - F.col("registers_used")) + F.col("s_present")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / sm
+    v_empty = F.lit(HLL_M) - F.col("registers_used")
+    ln_arr = F.array(*[F.lit(x) for x in _HLL_LN_TABLE])
+    linear = F.lit(float(HLL_M)) * F.element_at(ln_arr, v_empty + 1)
+    return F.when(
+        (v_empty > 0) & (e_raw <= F.lit(2.5 * HLL_M)), linear
+    ).otherwise(e_raw)
+
+
+def _hll_daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, bucket, rho) mergeable daily sketch table —
+    the ONLY fact-scale pass either HLL op makes."""
     events = load_table(spark, sf_dir, "events")
     u = F.col("user_id")
     h = (F.lit(_HLL_A) * F.pmod(u, F.lit(_CM_P)) + F.lit(_HLL_B)) % F.lit(_CM_P)
@@ -578,7 +595,7 @@ def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(v == 0, F.lit(_HLL_MAX_RHO)).otherwise(
         F.bit_count(v.bitwiseAND(-v) - 1) + 1
     )
-    daily = (
+    return (
         events.select(
             "event_type",
             F.date_trunc("day", "ts").alias("day"),
@@ -588,6 +605,10 @@ def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _hll_daily_registers(spark, sf_dir)
     typed = daily.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
     per_type = typed.groupBy("event_type").agg(
         # 2^-rho as 1/(1<<rho): exact power-of-two doubles (the
@@ -597,19 +618,53 @@ def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("int").alias("registers_used"),
     )
-    s = (F.lit(float(HLL_M)) - F.col("registers_used")) + F.col("s_present")
-    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
-    v_empty = F.lit(HLL_M) - F.col("registers_used")
-    ln_arr = F.array(*[F.lit(x) for x in _HLL_LN_TABLE])
-    linear = F.lit(float(HLL_M)) * F.element_at(ln_arr, v_empty + 1)
-    est = F.when((v_empty > 0) & (e_raw <= F.lit(2.5 * HLL_M)), linear).otherwise(
-        e_raw
-    )
     return per_type.select(
         "event_type",
-        F.round(est, 4).alias("n_users_hll"),
+        F.round(_hll_estimate_col(), 4).alias("n_users_hll"),
         "registers_used",
     ).orderBy("event_type")
+
+
+def hll_sliding_window_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users per (event_type, day) by MERGING
+    the daily HLL registers — the sketch-mergeability payoff: the fact
+    table is scanned once (the shared daily-register pass); every
+    window estimate after that is a max-merge over at most
+    7·m tiny register rows via a band join on the day spine. At 100 TB
+    you never re-count a window — you merge the already-materialized
+    daily sketches, which is why the sketch family exists. Same
+    portable hash, ln table, and small-range correction as the
+    rollup, so the DuckDB oracle checks the estimates exactly."""
+    daily = _hll_daily_registers(spark, sf_dir)
+    spine = daily.select("event_type", "day").distinct()
+    d = daily.select(
+        F.col("event_type").alias("t"),
+        F.col("day").alias("d"),
+        "bucket",
+        "rho",
+    )
+    win = (
+        spine.join(
+            d,
+            (F.col("t") == F.col("event_type"))
+            & (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per = win.groupBy("event_type", "day").agg(
+        F.sum(F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), rho)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).cast("int").alias("registers_used"),
+    )
+    return per.select(
+        "event_type",
+        "day",
+        F.round(_hll_estimate_col(), 4).alias("n_users_hll_7d"),
+        "registers_used",
+    ).orderBy("event_type", "day")
 
 
 _HLL_LN_VALUES = ", ".join(
@@ -660,11 +715,61 @@ ORDER BY p.event_type
 """
 
 
+HLL_SLIDING_SQL = f"""
+WITH hx AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         (({_HLL_A} * (user_id % {_CM_P}) + {_HLL_B}) % {_CM_P}) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, day, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {_HLL_MAX_RHO}
+              ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+         END AS rho
+  FROM hx
+),
+daily AS (
+  SELECT event_type, day, bucket, MAX(rho) AS rho
+  FROM reg GROUP BY event_type, day, bucket
+),
+spine AS (SELECT DISTINCT event_type, day FROM daily),
+win AS (
+  SELECT s.event_type, s.day, d.bucket, MAX(d.rho) AS rho
+  FROM spine s JOIN daily d
+    ON d.event_type = s.event_type
+   AND d.day <= s.day
+   AND d.day >= s.day - INTERVAL 6 DAY
+  GROUP BY s.event_type, s.day, d.bucket
+),
+per AS (
+  SELECT event_type, day,
+         SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS s_present,
+         CAST(COUNT(*) AS INTEGER) AS registers_used
+  FROM win GROUP BY event_type, day
+),
+lnt(v, lnv) AS (VALUES {_HLL_LN_VALUES})
+SELECT p.event_type, p.day,
+       round(CASE WHEN ({HLL_M} - p.registers_used) > 0
+                   AND ({HLL_ALPHA * HLL_M * HLL_M!r}
+                        / (({HLL_M}.0 - p.registers_used) + p.s_present))
+                       <= {2.5 * HLL_M}
+                  THEN {HLL_M}.0 * l.lnv
+                  ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                       / (({HLL_M}.0 - p.registers_used) + p.s_present)
+             END, 4) AS n_users_hll_7d,
+       p.registers_used
+FROM per p
+JOIN lnt l ON l.v = {HLL_M} - p.registers_used
+ORDER BY p.event_type, p.day
+"""
+
+
 QUERIES = {
     "ndv_exact_users_per_type": ndv_exact_users_per_type,
     "ndv_approx_users_per_type": ndv_approx_users_per_type,
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "hll_portable_rollup": hll_portable_rollup,
+    "hll_sliding_window_ndv": hll_sliding_window_ndv,
     "freq_topk_users": freq_topk_users,
     "quantile_summary": quantile_summary,
     "quantile_approx_value": quantile_approx_value,
@@ -677,6 +782,7 @@ QUERIES = {
 ORACLES = {
     "ndv_exact_users_per_type": NDV_EXACT_SQL,
     "hll_portable_rollup": HLL_PORTABLE_SQL,
+    "hll_sliding_window_ndv": HLL_SLIDING_SQL,
     "freq_topk_users": FREQ_TOPK_SQL,
     "quantile_summary": QUANTILE_SQL,
     "quantile_portable_value": QUANTILE_PORTABLE_SQL,

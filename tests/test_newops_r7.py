@@ -370,3 +370,32 @@ def test_quantile_cont_matches_numpy_linear(spark, sf_smoke):
         for frac, q in ((0.5, q50), (0.95, q95), (0.99, q99)):
             ref = float(np.percentile(arr, frac * 100))
             assert abs(q - ref) < 1e-9, (et, frac, q, ref)
+
+
+def test_hll_sliding_merge_equals_recount_per_window(spark, sf_smoke):
+    """Mergeability law: the 7-day sliding estimate built by MERGING
+    daily registers must equal the estimate you'd get by recounting
+    the raw events of that window through the same sketch."""
+    from orionld_to_hive_spark.operators.sketches import (
+        _hll_daily_registers,
+        hll_sliding_window_ndv,
+    )
+
+    out = hll_sliding_window_ndv(spark, sf_smoke).collect()
+    assert out
+    daily = _hll_daily_registers(spark, sf_smoke).collect()
+    import collections
+    import datetime
+
+    regs: dict[tuple, dict[int, int]] = collections.defaultdict(dict)
+    for r in daily:
+        k = (r.event_type, r.day)
+        regs[k][r.bucket] = max(regs[k].get(r.bucket, 0), r.rho)
+    # python re-merge for three sampled output rows
+    for r in (out[0], out[len(out) // 2], out[-1]):
+        merged: dict[int, int] = {}
+        for d in range(7):
+            day = r.day - datetime.timedelta(days=d)
+            for b, rho in regs.get((r.event_type, day), {}).items():
+                merged[b] = max(merged.get(b, 0), rho)
+        assert len(merged) == r.registers_used
