@@ -584,10 +584,10 @@ def _hll_estimate_col():
     ).otherwise(e_raw)
 
 
-def _hll_daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, day, bucket, rho) mergeable daily sketch table —
-    the ONLY fact-scale pass either HLL op makes."""
-    events = load_table(spark, sf_dir, "events")
+def _hll_registers_of(events: DataFrame) -> DataFrame:
+    """(event_type, day, bucket, rho) partial registers of ANY event
+    frame — max-mergeable across frames/batches (used by the batch
+    daily table AND streaming/hll.py's per-micro-batch partials)."""
     u = F.col("user_id")
     h = (F.lit(_HLL_A) * F.pmod(u, F.lit(_CM_P)) + F.lit(_HLL_B)) % F.lit(_CM_P)
     bucket = F.pmod(h, F.lit(HLL_M))
@@ -607,12 +607,18 @@ def _hll_daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _hll_daily_registers(spark, sf_dir)
+def _hll_daily_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily register table of the warehouse events — the ONLY
+    fact-scale pass any HLL op makes."""
+    return _hll_registers_of(load_table(spark, sf_dir, "events"))
+
+
+def _hll_rollup_from_daily(daily: DataFrame) -> DataFrame:
+    """Type-level NDV estimates from a (type, day, bucket, rho) daily
+    register frame — shared by the batch rollup and the streaming
+    store's read view."""
     typed = daily.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
     per_type = typed.groupBy("event_type").agg(
-        # 2^-rho as 1/(1<<rho): exact power-of-two doubles (the
-        # DataFrame-API shiftleft wants a literal shift, so SQL form)
         F.sum(F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), rho)")).alias(
             "s_present"
         ),
@@ -623,6 +629,10 @@ def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_hll_estimate_col(), 4).alias("n_users_hll"),
         "registers_used",
     ).orderBy("event_type")
+
+
+def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hll_rollup_from_daily(_hll_daily_registers(spark, sf_dir))
 
 
 def hll_sliding_window_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
