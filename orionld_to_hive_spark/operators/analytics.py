@@ -862,6 +862,82 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Growth accounting — the standard DAU decomposition: each active
+# (user, day) is NEW (first day ever), RETAINED (also active the
+# previous calendar day) or RESURRECTED (returning after a gap), and
+# a user CHURNS out of day d when d+1 is inactive. Pure integer
+# windows over the per-user activity sequence, so the oracle is exact
+# by construction. One shuffle on user_id for the lag/lead windows,
+# one small agg by day — the same scale shape as sessionization.
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    active = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = active.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    gap_prev = F.datediff("day", "prev_day")
+    gap_next = F.datediff("next_day", "day")
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(gap_prev == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(gap_prev > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.sum(
+                F.when(
+                    F.col("next_day").isNull() | (gap_next > 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned_after"),
+        )
+        .orderBy("day")
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+seq AS (
+  SELECT user_id, day,
+         lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM active
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN date_diff('day', prev_day, day) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN date_diff('day', prev_day, day) > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN next_day IS NULL
+                       OR date_diff('day', day, next_day) > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_after
+FROM seq
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "dwell_time_profile": dwell_time_profile,
@@ -869,6 +945,7 @@ QUERIES = {
     "zscore_outlier_events": zscore_outlier_events,
     "winsorize_report": winsorize_report,
     "funnel_conversion": funnel_conversion,
+    "growth_accounting": growth_accounting,
     "cohort_retention": cohort_retention,
     "regression_price_vs_qty": regression_price_vs_qty,
     "percentile_profile": percentile_profile,
@@ -885,6 +962,7 @@ ORACLES = {
     "zscore_outlier_events": ZSCORE_SQL,
     "winsorize_report": WINSORIZE_SQL,
     "funnel_conversion": FUNNEL_SQL,
+    "growth_accounting": GROWTH_ACCOUNTING_SQL,
     "cohort_retention": COHORT_SQL,
     "regression_price_vs_qty": REGRESSION_SQL,
     "percentile_profile": PERCENTILE_SQL,

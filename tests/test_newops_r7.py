@@ -399,3 +399,26 @@ def test_hll_sliding_merge_equals_recount_per_window(spark, sf_smoke):
             for b, rho in regs.get((r.event_type, day), {}).items():
                 merged[b] = max(merged.get(b, 0), rho)
         assert len(merged) == r.registers_used
+
+
+def test_growth_accounting_invariants(spark, sf_smoke):
+    """Conservation laws: active = new + retained + resurrected each
+    day; every activity RUN starts as new-or-resurrected and ends in
+    exactly one churn, so the lifetime totals match; total new equals
+    distinct users."""
+    from orionld_to_hive_spark.operators.analytics import growth_accounting
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    rows = growth_accounting(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    assert sum(r.n_new for r in rows) == (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_churned_after for r in rows) == sum(
+        r.n_new + r.n_resurrected for r in rows
+    )

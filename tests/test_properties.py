@@ -684,3 +684,59 @@ def test_delete_where_matches_python_filter(
     for d in {d for _, d, _, _ in data}:
         should_exist = any(dd == d and not v < thresh for _, dd, _, v in data)
         assert (Path(path) / f"day={d}").exists() == should_exist
+
+
+# ---------------------------------------------------------------------------
+# update_where (sources/merge.py) vs a Python map: arbitrary tables,
+# thresholds, and a SET that touches two columns — updated rows carry
+# the assigned expressions, non-matches (including NULL-predicate rows)
+# are byte-identical, and the rewrite count is the matching-partition
+# count.
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=2),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    thresh=st.integers(min_value=-50, max_value=50),
+)
+def test_update_where_matches_python_map(
+    spark, tmp_path_factory, rows, thresh
+):
+    from orionld_to_hive_spark.sources.merge import update_where
+    from orionld_to_hive_spark.sources.warehouse import write_partitioned
+
+    tmp = tmp_path_factory.mktemp("updprop")
+    path = str(tmp / "tbl")
+    schema = "id LONG, day STRING, version LONG, value DOUBLE"
+    data = [
+        (k, "abc"[p], 1, float(v) if v is not None else None)
+        for k, p, v in rows
+    ]
+    write_partitioned(
+        spark.createDataFrame(data, schema), path, partition_cols=("day",)
+    )
+    n = update_where(
+        spark,
+        path,
+        f"value >= {thresh}",
+        {"value": "value * 2 + 1", "version": "version + 1"},
+        ("day",),
+    )
+    hit = lambda v: v is not None and v >= thresh  # NULL: not matched
+    assert n == len({d for _, d, _, v in data if hit(v)})
+    want = sorted(
+        (k, d, 2 if hit(v) else 1, v * 2 + 1 if hit(v) else v)
+        for k, d, _, v in data
+    )
+    got = sorted(
+        (r.id, r.day, r.version, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == want
