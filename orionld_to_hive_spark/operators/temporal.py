@@ -51,14 +51,19 @@ def asof_join(
     key: str,
     ts: str,
     value_cols: tuple[str, ...],
+    how: str = "inner",
 ) -> DataFrame:
     """Generic as-of join: for each `left` row, latest `right` row with
     right.ts <= left.ts within `key`. Returns left columns + right's
-    `value_cols` renamed `asof_<col>` + `asof_ts`.
+    `value_cols` renamed `asof_<col>` + `asof_ts`. how="left" keeps
+    left rows with no preceding right row (NULL asof columns), the
+    pandas merge_asof default; "inner" drops them.
 
     UNION-tag plan: one shuffle on `key`, windowed forward-fill, no join.
     `right` must be unique per (key, ts) for a deterministic result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lcols = [c for c in left.columns]
     tagged_r = right.select(
         key,
@@ -90,8 +95,11 @@ def asof_join(
             for c in value_cols
         ],
     )
+    out = filled.filter(F.col("_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_f_ts").isNotNull())
     return (
-        filled.filter((F.col("_side") == 1) & F.col("_f_ts").isNotNull())
+        out
         .select(
             key,
             *[c for c in lcols if c != key],
@@ -141,6 +149,80 @@ SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
        (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_s
 FROM purchases p ASOF JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+ASOF_TOLERANCE_S = 3600  # attribute a purchase to a click <= 1h before
+
+
+def asof_tolerance_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof(tolerance=...) /
+    attribution-window semantics): each purchase takes the latest
+    preceding click only if it happened within ASOF_TOLERANCE_S;
+    staler clicks leave the purchase unattributed (NULL click fields,
+    attributed = false). Same single-shuffle union-tag core as
+    asof_join — the tolerance is one row-local predicate after the
+    forward fill, so the plan shape (and the 100 TB story) is
+    unchanged."""
+    events = _events(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        value_cols=("click_value",),
+        how="left",
+    )
+    gap = (
+        F.unix_micros("ts") - F.unix_micros("asof_ts")
+    ) / F.lit(1000000.0)
+    within = gap <= F.lit(float(ASOF_TOLERANCE_S))
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("asof_ts")).alias("click_ts"),
+        F.when(within, F.col("asof_click_value")).alias("click_value"),
+        F.when(within, gap).alias("gap_s"),
+        F.coalesce(within, F.lit(False)).alias("attributed"),
+    )
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.ts AS click_ts, c.click_value,
+         (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_s
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN gap_s <= {float(ASOF_TOLERANCE_S)} THEN click_ts END
+         AS click_ts,
+       CASE WHEN gap_s <= {float(ASOF_TOLERANCE_S)} THEN click_value END
+         AS click_value,
+       CASE WHEN gap_s <= {float(ASOF_TOLERANCE_S)} THEN gap_s END AS gap_s,
+       COALESCE(gap_s <= {float(ASOF_TOLERANCE_S)}, FALSE) AS attributed
+FROM j
 """
 
 
@@ -791,6 +873,7 @@ QUERIES = {
     "ewma_anomaly_events": ewma_anomaly_events,
     "ohlc_bars_hourly": ohlc_bars_hourly,
     "asof_click_before_purchase": asof_click_before_purchase,
+    "asof_tolerance_click_purchase": asof_tolerance_click_purchase,
     "gapfill_hourly_counts": gapfill_hourly_counts,
     "session_window_stats": session_window_stats,
     "range_join_daily_windows": range_join_daily_windows,
@@ -806,6 +889,7 @@ ORACLES = {
     "ewma_anomaly_events": EWMA_SQL,
     "ohlc_bars_hourly": OHLC_SQL,
     "asof_click_before_purchase": ASOF_SQL,
+    "asof_tolerance_click_purchase": ASOF_TOLERANCE_SQL,
     "gapfill_hourly_counts": GAPFILL_SQL,
     "session_window_stats": SESSION_WINDOW_SQL,
     "range_join_daily_windows": RANGE_JOIN_SQL,
