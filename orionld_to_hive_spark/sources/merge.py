@@ -98,10 +98,16 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
                         lock_fs.delete(aside, False)
                         broke = lock_fs.createNewFile(lock)
                     elif not lock_fs.rename(aside, lock):
-                        # someone re-locked during the vacancy; our
-                        # capture is redundant — drop it and fall
-                        # through to the ConcurrentMergeError below
-                        lock_fs.delete(aside, False)
+                        # Someone re-locked during the vacancy, so the
+                        # captured file is the still-active second
+                        # writer's lock. Deleting it would let that
+                        # writer finish its critical section unlocked,
+                        # concurrent with the third writer — so leave
+                        # the .broken-* aside on disk (inert: only the
+                        # exact _LOCK_NAME path gates writers) where
+                        # it is observable and sweepable, and fall
+                        # through to ConcurrentMergeError.
+                        pass
         if not broke:
             raise ConcurrentMergeError(
                 f"a writer is already active on {target_path} "
@@ -667,24 +673,40 @@ def purge_tombstones(
     up_to_version=None,
     version_col: str | None = None,
     break_stale_lock_s: float | None = None,
+    schema_evolved: bool = False,
+    purge_all: bool = False,
 ) -> int:
     """Remove persisted CDC tombstones (see `streaming/cdc.py`) from a
     table — the retention rewrite. ONLY safe for tombstones older than
     the transport's maximum delivery lag: purging a tombstone reopens
     the resurrection window for pre-delete upserts still in flight, so
-    callers should bound the purge with `up_to_version` (tombstones
-    with `version_col` <= it) rather than purging everything."""
+    the purge must be bounded with `up_to_version` (tombstones with
+    `version_col` <= it); an unbounded purge of everything requires the
+    explicit `purge_all=True` opt-out.
+
+    Tables evolved with `merge_upsert(schema_evolution=True)` MUST pass
+    `schema_evolved=True` — forwarded to `delete_where`, whose default
+    footer-sampling read could otherwise rewrite touched partitions
+    under a pre-evolution schema and permanently drop evolved columns.
+    """
     cond = F.col(delete_col).cast("boolean")
     if up_to_version is not None:
         if version_col is None:
             raise ValueError("up_to_version requires version_col")
         cond = cond & (F.col(version_col) <= F.lit(up_to_version))
+    elif not purge_all:
+        raise ValueError(
+            "unbounded purge reopens the tombstone resurrection window "
+            "for in-flight pre-delete upserts; pass up_to_version (with "
+            "version_col) or opt out explicitly with purge_all=True"
+        )
     return delete_where(
         spark,
         target_path,
         cond,
         partition_cols,
         break_stale_lock_s=break_stale_lock_s,
+        schema_evolved=schema_evolved,
     )
 
 

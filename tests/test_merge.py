@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+import pytest
+
 from orionld_to_hive_spark.sources.merge import merge_upsert
 from orionld_to_hive_spark.sources.warehouse import write_partitioned
 
@@ -599,6 +601,86 @@ def test_purge_tombstones_bounded_by_version(spark, tmp_path):
 
     with pytest.raises(ValueError, match="version_col"):
         purge_tombstones(spark, path, "deleted", ("day",), up_to_version=1)
+
+
+def test_purge_tombstones_unbounded_requires_explicit_opt_out(
+    spark, tmp_path
+):
+    from orionld_to_hive_spark.sources.merge import purge_tombstones
+    from orionld_to_hive_spark.streaming.cdc import StreamingCdcApplier
+
+    path = str(tmp_path / "tbl_purge_all")
+    applier = StreamingCdcApplier(
+        path, ("id",), "version", ("day",), "deleted"
+    )
+    applier.apply_batch(
+        spark.createDataFrame(
+            [(1, "a", 5, None, True), (2, "a", 1, 20.0, False)],
+            "id LONG, day STRING, version LONG, value DOUBLE, "
+            "deleted BOOLEAN",
+        ),
+        0,
+    )
+    with pytest.raises(ValueError, match="purge_all"):
+        purge_tombstones(spark, path, "deleted", ("day",))
+    assert purge_tombstones(
+        spark, path, "deleted", ("day",), purge_all=True
+    ) == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_purge_tombstones_on_schema_evolved_table_keeps_columns(
+    spark, tmp_path
+):
+    from orionld_to_hive_spark.sources.merge import (
+        merge_upsert,
+        purge_tombstones,
+        read_merged,
+    )
+    from orionld_to_hive_spark.streaming.cdc import StreamingCdcApplier
+
+    path = str(tmp_path / "tbl_purge_evolved")
+    applier = StreamingCdcApplier(
+        path, ("id",), "version", ("day",), "deleted"
+    )
+    applier.apply_batch(
+        spark.createDataFrame(
+            [
+                (1, "a", 5, None, True),    # old tombstone: purgeable
+                (2, "a", 1, 20.0, False),   # live, same partition
+                (3, "b", 1, 30.0, False),   # live, untouched partition
+            ],
+            "id LONG, day STRING, version LONG, value DOUBLE, "
+            "deleted BOOLEAN",
+        ),
+        0,
+    )
+    # evolve the tombstone partition: deleted is a plain data column in
+    # this merge (delete_col unset), tier is the add-column evolution
+    merge_upsert(
+        path,
+        spark.createDataFrame(
+            [(2, "a", 2, 21.0, False, "gold")],
+            "id LONG, day STRING, version LONG, value DOUBLE, "
+            "deleted BOOLEAN, tier STRING",
+        ),
+        ("id",),
+        "version",
+        ("day",),
+        schema_evolution=True,
+    )
+    # the retention rewrite touches day=a (evolved files live there);
+    # schema_evolved=True forwards to delete_where so the copy-on-write
+    # rewrite cannot sample a pre-evolution footer and drop `tier`
+    n = purge_tombstones(
+        spark, path, "deleted", ("day",), up_to_version=7,
+        version_col="version", schema_evolved=True,
+    )
+    assert n == 1
+    got = {
+        r.id: (r.value, r.tier) for r in read_merged(spark, path).collect()
+    }
+    assert got == {2: (21.0, "gold"), 3: (30.0, None)}
 
 
 def test_update_where_modifies_only_matches_in_touched_partitions(
