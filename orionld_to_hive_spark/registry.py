@@ -31,6 +31,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.windows",
     "orionld_to_hive_spark.operators.similarity",
     "orionld_to_hive_spark.operators.text",
+    "orionld_to_hive_spark.operators.bpe",
     "orionld_to_hive_spark.operators.multimodal",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
@@ -58,9 +59,9 @@ _MODULES = (
 # wasted on them.
 _PRIORITY = (
     # (a) new in r8 — uncommented as each lands this round
-    # "bpe_tokenize_report",
-    # "bpe_token_accounting",
-    # "multimodal_png_alpha_stats",
+    "bpe_tokenize_report",
+    "bpe_token_accounting",
+    "multimodal_png_alpha_stats",
     # (b) the five r2-era holdouts from the r7 rotation
     "text_quality_score",
     "text_regex_pretokenize",

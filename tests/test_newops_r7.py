@@ -334,8 +334,17 @@ def test_decode_png_paletted_roundtrip_and_guards():
 
     with pytest.raises(ValueError, match="palette index"):
         decode_png(build(plte=pal[:9]))  # 3 colors, image uses index 3
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(build(extra=chunk(b"tRNS", b"\x80")))
+    # r8: paletted tRNS now DECODES to RGBA — a short chunk (one entry)
+    # sets alpha for index 0 and defaults the rest to opaque, per spec
+    pxa, aw, ah = decode_png(build(extra=chunk(b"tRNS", b"\x80")))
+    assert (aw, ah) == (w, h) and pxa.size == w * h * 4
+    rgba = pxa.reshape(-1, 4)
+    assert np.array_equal(rgba[:, :3].reshape(-1), want)
+    alphas = {rows[y][x]: rgba[y * w + x][3]
+              for y in range(h) for x in range(w)}
+    assert alphas == {0: 0x80, 1: 255, 2: 255, 3: 255}
+    with pytest.raises(ValueError, match="tRNS longer"):
+        decode_png(build(extra=chunk(b"tRNS", b"\x10" * 5)))
 
 
 def test_quantile_cont_matches_numpy_linear(spark, sf_smoke):
