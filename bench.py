@@ -100,20 +100,23 @@ SF1_LADDER_QUERIES = (
     "dedup_minhash_lsh",
     "sessionize_events",
     "session_window_stats",
+    # r8 (VERDICT r7 item 3): the six queries that carried the coarser
+    # 3x-growth flag with no sf1.0 point now get the full 10x ladder +
+    # engine/fetch split, so their exponents are measured, not inferred
+    "trailing_hour_stats",
+    "quality_ensemble_report",
+    "doc_entropy_report",
+    "doc_repetition_report",
+    "span_dedup_report",
+    "ann_bruteforce_topk",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",
     "dwell_time_profile",
-    "trailing_hour_stats",
     "stats_moments",
-    "quality_ensemble_report",
     "having_large_orders",
-    "doc_entropy_report",
     "tpch_q21_waiting_suppliers",
-    "doc_repetition_report",
     "rollup_pricing",
-    "span_dedup_report",
-    "ann_bruteforce_topk",
 )
 
 # Headline set: the four reference-parity queries plus one representative

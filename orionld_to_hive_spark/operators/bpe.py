@@ -163,8 +163,15 @@ def _sql_segment(expr: str, merges=FROZEN_MERGES) -> str:
 def _doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One fact scan → per-(doc, source, word) pre-token counts
     (map-side combined; the shuffle key is (doc_id, word))."""
+    return _doc_word_counts_frame(_docs(spark, sf_dir))
+
+
+def _doc_word_counts_frame(docs: DataFrame) -> DataFrame:
+    """Frame-based core of `_doc_word_counts` — shared with the
+    streaming accounting (`streaming/tokens.py`), which applies it to
+    each micro-batch instead of the warehouse table."""
     return (
-        _docs(spark, sf_dir)
+        docs
         .select(
             "doc_id",
             "source",

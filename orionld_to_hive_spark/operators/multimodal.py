@@ -648,11 +648,15 @@ MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
 
 
 # --------------------------------------------------------------------------
-# Real-decode image path (r7): PNG is the one image format decodable
-# with nothing but stdlib zlib — inflate + per-scanline filter
-# reconstruction — so, like the WAV work in r6, the deterministic fake
-# is replaced by an honest codec for exactly the format the container
-# can support, and everything else stays explicitly NotImplementedError.
+# Real-decode image path (r7, completed r8): PNG is the one image
+# format decodable with nothing but stdlib zlib — inflate +
+# per-scanline filter reconstruction — so, like the WAV work in r6,
+# the deterministic fake is replaced by an honest codec for exactly
+# the format the container can support. As of r8 the decoder covers
+# the FULL baseline matrix (color types 0/2/3/4/6, 8/16-bit, Adam7,
+# both tRNS mechanisms); sub-byte bit depths (1/2/4) are the one
+# remaining explicit NotImplementedError, and JPEG stays out of reach
+# without codec libraries.
 #
 # encode_png_gray synthesizes a REAL spec-compliant PNG per document
 # (8-bit greyscale, non-interlaced, pixels = utf-8 bytes of the text
@@ -770,16 +774,18 @@ def encode_png_palette(raw: np.ndarray, width: int = PNG_W) -> bytes:
 
 
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """REAL decode of an 8-bit greyscale/RGB/paletted non-interlaced
-    PNG — pure stdlib zlib, no codec libraries. Returns (pixels
-    row-major as uint8 — RGB flattened, width, height). Walks chunks
+    """REAL decode of a baseline PNG — pure stdlib zlib, no codec
+    libraries. Returns (pixels row-major flattened, width, height).
+    Covers the full baseline matrix (r8): color types 0/2/3/4/6
+    (grey, RGB, paletted, grey+alpha, RGBA), 8- and 16-bit depths
+    (16-bit returns uint16 samples, 8-bit uint8), Adam7 interlacing
+    (seven independently-filtered sub-images scattered back on the
+    spec §8.2 grid), paletted tRNS per-index alpha (→ RGBA), and
+    grey/RGB tRNS transparent-color keys (→ GA/RGBA). Walks chunks
     with CRC verification, concatenates IDATs, inflates, reverses the
-    per-scanline filter (all five types), and for color type 3 maps
-    indices through the PLTE palette (r7); a paletted tRNS chunk maps
-    to per-index alpha and the return is flattened RGBA (r8).
-    Interlaced/16-bit PNGs and grey/RGB transparency KEYS raise
-    NotImplementedError honestly. Callers infer the channel count as
-    px.size // (width * height)."""
+    per-scanline filter (all five types, bpp-aware). The one honest
+    refusal left is sub-byte bit packing (depths 1/2/4). Callers infer
+    the channel count as px.size // (width * height)."""
     import struct
     import zlib
 
@@ -813,31 +819,102 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt_method, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3) or comp != 0 or filt_method != 0:
+    if color not in _PNG_CHANNELS or comp != 0 or filt_method != 0:
+        raise ValueError(f"invalid color/compression ({color}/{comp})")
+    if depth not in (8, 16) or (color == 3 and depth == 16):
+        # sub-byte bit packing (depths 1/2/4) is the one remaining
+        # honest refusal; 16-bit paletted is invalid per spec §11.2.2
         raise NotImplementedError(
-            f"only 8-bit greyscale/RGB/paletted supported (depth={depth}, "
-            f"color={color})"
+            f"depth {depth} not supported for color type {color}"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing not supported")
-    if trns is not None and color != 3:
-        # grey/RGB tRNS is a transparent-COLOR-KEY (16-bit sample
-        # comparisons), a different mechanism from the paletted
-        # per-index alpha implemented below — stats that silently
-        # treated key-transparent pixels as opaque would be wrong, so
-        # those color types still fail loudly (r8: paletted alpha is
-        # now real, the one refused feature a logo corpus actually
-        # hits — VERDICT r7 item 8)
-        raise NotImplementedError(
-            "transparency keys (tRNS) for grey/RGB not supported"
-        )
-    # paletted rows are 1 byte/pixel of palette INDICES; the filter
-    # operates on those bytes, the palette lookup happens after
-    bpp = 3 if color == 2 else 1
-    stride = width * bpp
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    channels = _PNG_CHANNELS[color]
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("inflated size does not match dimensions")
+
+    if interlace == 0:
+        expect = height * (width * bpp + 1) if width else 0
+        if len(raw) != expect:
+            raise ValueError("inflated size does not match dimensions")
+        px = _png_unfilter(raw, height, width * bpp, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((height, width * bpp), dtype=np.int64)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            sub = _png_unfilter(
+                raw[pos2 : pos2 + need], ph, pw * bpp, bpp
+            )
+            pos2 += need
+            cols = (x0 + np.arange(pw) * dx)[:, None] * bpp + np.arange(
+                bpp
+            )
+            px[y0::dy, cols.reshape(-1)] = sub.reshape(ph, pw * bpp)
+        if pos2 != len(raw):
+            raise ValueError("inflated size does not match Adam7 passes")
+
+    if depth == 16:
+        # big-endian sample pairs -> uint16 plane
+        b = px.reshape(-1).astype(np.uint16)
+        samples = (b[0::2] << 8) | b[1::2]
+        if trns is not None:  # grey/RGB transparent-color key, 16-bit
+            return (
+                _png_apply_trns_key(samples, channels, trns, 16),
+                width,
+                height,
+            )
+        return samples, width, height
+
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("paletted PNG missing/invalid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(-1)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        if trns is not None:
+            # per-index alpha (PNG spec §11.3.2): one byte per palette
+            # entry, entries past the chunk default to fully opaque
+            if len(trns) > len(pal):
+                raise ValueError("tRNS longer than palette")
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+            return rgba[idx.astype(np.intp)].reshape(-1), width, height
+        return pal[idx.astype(np.intp)].reshape(-1), width, height
+    out = px.reshape(-1).astype(np.uint8)
+    if trns is not None:  # grey/RGB transparent-color key, 8-bit
+        return _png_apply_trns_key(out, channels, trns, 8), width, height
+    return out, width, height
+
+
+# channels per color type: grey, RGB, palette indices, grey+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 8, 4),
+    (2, 0, 4, 4),
+    (0, 2, 2, 2),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Reverse the per-scanline filters over one (sub-)image: `raw` is
+    height scanlines of 1 filter byte + `stride` data bytes; `bpp` is
+    the byte distance to the left neighbor (channels × bytes/sample).
+    Returns (height, stride) int64 byte values."""
     px = np.zeros((height, stride), dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     for r_i in range(height):
@@ -871,24 +948,32 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError(f"bad filter type {ft}")
         px[r_i] = row
         prev = row
-    if color == 3:
-        if plte is None or len(plte) % 3 != 0 or not plte:
-            raise ValueError("paletted PNG missing/invalid PLTE chunk")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px.reshape(-1)
-        if idx.max(initial=0) >= len(pal):
-            raise ValueError("palette index out of range")
-        if trns is not None:
-            # per-index alpha (PNG spec §11.3.2): one byte per palette
-            # entry, entries past the chunk default to fully opaque
-            if len(trns) > len(pal):
-                raise ValueError("tRNS longer than palette")
-            alpha = np.full(len(pal), 255, dtype=np.uint8)
-            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
-            rgba = np.concatenate([pal, alpha[:, None]], axis=1)
-            return rgba[idx.astype(np.intp)].reshape(-1), width, height
-        return pal[idx.astype(np.intp)].reshape(-1), width, height
-    return px.reshape(-1).astype(np.uint8), width, height
+    return px
+
+
+def _png_apply_trns_key(
+    samples: np.ndarray, channels: int, trns: bytes, depth: int
+) -> np.ndarray:
+    """Grey/RGB transparent-color key (PNG spec §11.3.2): pixels whose
+    sample(s) equal the key become alpha 0, all others fully opaque;
+    output appends an alpha channel (grey→GA, RGB→RGBA), in the
+    sample dtype. Color types that already carry alpha (4/6) must not
+    have a tRNS chunk."""
+    if channels not in (1, 3):
+        raise ValueError("tRNS key invalid for alpha-bearing color type")
+    n_samples = channels  # key is one 2-byte field per channel
+    if len(trns) != 2 * n_samples:
+        raise ValueError("bad tRNS key length")
+    key16 = np.frombuffer(trns, dtype=">u2")
+    if depth == 8 and key16.max(initial=0) > 255:
+        raise ValueError("tRNS key exceeds 8-bit sample range")
+    key = key16.astype(samples.dtype)
+    pix = samples.reshape(-1, channels)
+    opaque = (1 << depth) - 1
+    alpha = np.where(
+        (pix == key[None, :]).all(axis=1), 0, opaque
+    ).astype(samples.dtype)
+    return np.concatenate([pix, alpha[:, None]], axis=1).reshape(-1)
 
 
 PNG_STATS_SCHEMA = T.StructType(

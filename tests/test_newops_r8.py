@@ -17,15 +17,17 @@ from orionld_to_hive_spark.operators.multimodal import (
 )
 
 
-def test_grey_trns_key_still_refused():
-    """Grey/RGB tRNS is a transparent-color KEY, not per-index alpha —
-    still an honest refusal (r7 contract, narrowed in r8 to the color
-    types where it actually remains unimplemented)."""
+def test_grey_trns_key_decodes_through_real_encoder():
+    """Late-r8 upgrade: grey tRNS keys now DECODE (GA output) — spliced
+    into a real encoder payload so the key path composes with the
+    cycling scanline filters, complementing the hand-built chunk
+    streams in test_png_baseline.py."""
     import struct
     import zlib
 
-    payload = bytearray(encode_png_gray(np.arange(64, dtype=np.uint8)))
-    # splice a grey tRNS chunk (2-byte sample) before IDAT
+    raw = np.arange(64, dtype=np.uint8)
+    payload = bytearray(encode_png_gray(raw))
+    # splice a grey tRNS chunk (2-byte sample, key=0x20) before IDAT
     body = b"\x00\x20"
     chunk = (
         struct.pack(">I", len(body))
@@ -35,8 +37,14 @@ def test_grey_trns_key_still_refused():
     )
     idat_at = bytes(payload).index(b"IDAT") - 4
     spliced = bytes(payload[:idat_at]) + chunk + bytes(payload[idat_at:])
-    with pytest.raises(NotImplementedError, match="grey/RGB"):
-        decode_png(spliced)
+    px, w, h = decode_png(spliced)
+    ga = px.reshape(-1, 2)
+    assert list(ga[:64, 0]) == list(raw)  # grey plane intact
+    assert all(
+        a == (0 if g == 0x20 else 255) for g, a in ga[:64]
+    )  # key pixel transparent, everything else opaque
+    # zero-padding (value 0) is opaque: 0 != key
+    assert all(a == 255 for _, a in ga[64:])
 
 
 def test_palette_alpha_roundtrip():

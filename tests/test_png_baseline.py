@@ -1,0 +1,179 @@
+"""Full-baseline PNG decode (r8): color types 4/6, 16-bit depth, Adam7
+interlacing, grey/RGB tRNS transparent-color keys — every case built
+as a hand-constructed chunk stream so the expectations are independent
+of the encoder under test. (The scanline-filter matrix itself is
+certified end-to-end by the oracle-checked PNG stats queries, which
+cycle all five filters.)"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from orionld_to_hive_spark.operators.multimodal import decode_png
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def build(w, h, depth, color, raw, interlace=0, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        SIG
+        + chunk(b"IHDR", ihdr)
+        + extra
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def scanlines(rows_of_bytes) -> bytes:
+    """Filter-0 scanlines from per-row byte lists."""
+    return b"".join(b"\x00" + bytes(r) for r in rows_of_bytes)
+
+
+def test_grey_trns_key_decodes_to_grey_alpha():
+    img = [[10, 32, 10], [32, 5, 32]]
+    payload = build(
+        3, 2, 8, 0, scanlines(img),
+        extra=chunk(b"tRNS", struct.pack(">H", 32)),
+    )
+    px, w, h = decode_png(payload)
+    assert (w, h) == (3, 2) and px.size == 3 * 2 * 2  # GA
+    ga = px.reshape(-1, 2)
+    assert list(ga[:, 0]) == [10, 32, 10, 32, 5, 32]
+    assert list(ga[:, 1]) == [255, 0, 255, 0, 255, 0]
+
+
+def test_rgb_trns_key_decodes_to_rgba():
+    red, blue = (255, 0, 0), (0, 0, 255)
+    img = [list(red + blue), list(blue + red)]
+    payload = build(
+        2, 2, 8, 2, scanlines(img),
+        extra=chunk(b"tRNS", struct.pack(">HHH", 255, 0, 0)),
+    )
+    px, w, h = decode_png(payload)
+    rgba = px.reshape(-1, 4)
+    assert [tuple(p) for p in rgba] == [
+        (255, 0, 0, 0), (0, 0, 255, 255), (0, 0, 255, 255), (255, 0, 0, 0),
+    ]
+
+
+def test_grey16_decodes_to_uint16_with_up_filter():
+    r0 = (0x0102, 0xFFEE)
+    r1 = (0x0000, 0x1234)
+    b0 = struct.pack(">HH", *r0)
+    # row 1 carried as Up-filtered bytes: raw - prev (bytewise mod 256)
+    b1raw = struct.pack(">HH", *r1)
+    b1 = bytes((a - b) % 256 for a, b in zip(b1raw, b0))
+    payload = build(2, 2, 16, 0, b"\x00" + b0 + b"\x02" + b1)
+    px, w, h = decode_png(payload)
+    assert px.dtype == np.uint16
+    assert list(px) == [0x0102, 0xFFEE, 0x0000, 0x1234]
+
+
+def test_grey_alpha_and_rgba_with_sub_filter():
+    # color 4 (grey+alpha), bpp=2: Sub filter must step 2 bytes
+    raw_row = [100, 200, 110, 190]  # two (g, a) pixels
+    filt = raw_row[:2] + [
+        (raw_row[2] - raw_row[0]) % 256, (raw_row[3] - raw_row[1]) % 256,
+    ]
+    px, w, h = decode_png(build(2, 1, 8, 4, b"\x01" + bytes(filt)))
+    assert list(px) == raw_row
+
+    # color 6 (RGBA), bpp=4
+    p0, p1 = [1, 2, 3, 4], [10, 20, 30, 40]
+    filt6 = p0 + [(b - a) % 256 for a, b in zip(p0, p1)]
+    px6, _, _ = decode_png(build(2, 1, 8, 6, b"\x01" + bytes(filt6)))
+    assert list(px6) == p0 + p1
+
+
+# the spec §8.2 grid, restated here independently of the decoder
+PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 8, 4), (2, 0, 4, 4),
+    (0, 2, 2, 2), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def adam7_raw(full: np.ndarray) -> bytes:
+    """Serialize a (h, w) single-channel 8-bit raster into Adam7 pass
+    scanlines (all filter 0) straight from the spec grid."""
+    h, w = full.shape
+    out = bytearray()
+    for x0, y0, dx, dy in PASSES:
+        sub = full[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + bytes(int(v) for v in row)
+    return bytes(out)
+
+
+def test_adam7_grey_reassembles_full_raster():
+    # distinct value per cell so any mis-scattered pixel is caught
+    full = (np.arange(64, dtype=np.uint16) % 251).astype(np.uint8).reshape(8, 8)
+    px, w, h = decode_png(build(8, 8, 8, 0, adam7_raw(full), interlace=1))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(px.reshape(8, 8), full)
+
+
+def test_adam7_partial_passes_non_multiple_size():
+    # 5x3: several passes are empty or partial — the consume/scatter
+    # arithmetic must line up exactly
+    full = (np.arange(15, dtype=np.uint8) * 7 % 256).reshape(3, 5)
+    px, w, h = decode_png(build(5, 3, 8, 0, adam7_raw(full), interlace=1))
+    assert (w, h) == (5, 3)
+    assert np.array_equal(px.reshape(3, 5), full)
+
+
+def test_adam7_16bit_combined():
+    full = (np.arange(15, dtype=np.uint16) * 1000 + 7).reshape(3, 5)
+    h, w = full.shape
+    out = bytearray()
+    for x0, y0, dx, dy in PASSES:
+        sub = full[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + b"".join(
+                struct.pack(">H", int(v)) for v in row
+            )
+    px, gw, gh = decode_png(build(5, 3, 16, 0, bytes(out), interlace=1))
+    assert px.dtype == np.uint16
+    assert np.array_equal(px.reshape(3, 5), full)
+
+
+def test_remaining_refusals_and_guards():
+    img = scanlines([[1, 2], [3, 4]])
+    with pytest.raises(NotImplementedError, match="depth 4"):
+        decode_png(build(2, 2, 4, 0, img))
+    # tRNS on an alpha-bearing color type is spec-invalid
+    ga = build(
+        2, 1, 8, 4, b"\x00" + bytes([9, 9, 8, 8]),
+        extra=chunk(b"tRNS", struct.pack(">H", 9)),
+    )
+    with pytest.raises(ValueError, match="alpha-bearing"):
+        decode_png(ga)
+    # malformed key length
+    with pytest.raises(ValueError, match="key length"):
+        decode_png(build(
+            2, 1, 8, 0, b"\x00" + bytes([9, 9]),
+            extra=chunk(b"tRNS", b"\x01"),
+        ))
+    # 8-bit image with a key outside the 8-bit sample range
+    with pytest.raises(ValueError, match="8-bit sample range"):
+        decode_png(build(
+            2, 1, 8, 0, b"\x00" + bytes([9, 9]),
+            extra=chunk(b"tRNS", struct.pack(">H", 300)),
+        ))
