@@ -153,10 +153,14 @@ def _segment(word, merges=FROZEN_MERGES):
 
 
 def _sql_segment(expr: str, merges=FROZEN_MERGES) -> str:
-    """DuckDB twin of `_segment` — the same replace chain, nested."""
+    """DuckDB twin of `_segment` — the same replace chain, nested.
+    Operands are escaped for SQL string literals: the pre-tokenizer
+    emits punctuation runs, so a retrained table can legitimately
+    contain quote characters (r8 review)."""
     s = f"' ' || array_to_string(str_split({expr}, ''), '  ') || ' '"
     for a, b in merges:
-        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        s = f"replace({s}, ' {qa}  {qb} ', ' {qa}{qb} ')"
     return s
 
 

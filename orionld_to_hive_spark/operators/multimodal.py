@@ -829,12 +829,14 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         )
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
+    if width == 0 or height == 0:
+        raise ValueError("zero PNG dimensions")  # spec requires nonzero
     channels = _PNG_CHANNELS[color]
     bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
 
     if interlace == 0:
-        expect = height * (width * bpp + 1) if width else 0
+        expect = height * (width * bpp + 1)
         if len(raw) != expect:
             raise ValueError("inflated size does not match dimensions")
         px = _png_unfilter(raw, height, width * bpp, bpp)
@@ -896,16 +898,30 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
 # channels per color type: grey, RGB, palette indices, grey+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+# r8 review fix: passes 3 and 5 were transposed ((0,4,8,4)/(0,2,2,2)),
+# which double-covered 3 of every 64 pixels and mis-consumed real
+# libpng-grid streams; the partition property below pins the spec grid.
 _ADAM7_PASSES = (
     (0, 0, 8, 8),
     (4, 0, 8, 8),
-    (0, 4, 8, 4),
+    (0, 4, 4, 8),
     (2, 0, 4, 4),
-    (0, 2, 2, 2),
+    (0, 2, 2, 4),
     (1, 0, 2, 2),
     (0, 1, 1, 2),
 )
+
+# load-time pin (same discipline as the LSH/BPE asserts): the seven
+# passes must partition the 8×8 tile — every pixel covered EXACTLY once
+_seen = set()
+for _x0, _y0, _dx, _dy in _ADAM7_PASSES:
+    for _y in range(_y0, 8, _dy):
+        for _x in range(_x0, 8, _dx):
+            assert (_x, _y) not in _seen, f"Adam7 double-cover at {(_x, _y)}"
+            _seen.add((_x, _y))
+assert len(_seen) == 64, "Adam7 grid does not cover the tile"
+del _seen, _x0, _y0, _dx, _dy, _x, _y
 
 
 def _png_unfilter(

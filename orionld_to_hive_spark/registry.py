@@ -68,13 +68,11 @@ _PRIORITY = (
     "text_token_stats",
     "tumbling_window_agg",
     "vocab_coverage_report",
-    # (c) the r3 block, alphabetical — first 42 of 49; the last seven
-    # (top_order_per_customer, tpch_q12_priority_split,
-    # train_val_split_report, udf_sql_surface,
+    # (c) the r3 block — 42 of 49, alphabetical; the remaining seven
+    # (train_val_split_report, udf_sql_surface,
     # union_distinct_engaged_users, unpivot_measure_totals,
-    # weighted_sample_docs, winsorize_report, zscore_outlier_events —
-    # whichever fall past the prefix) rotate with the r4 block next
-    # round
+    # weighted_sample_docs, winsorize_report, zscore_outlier_events)
+    # rotate with the r4 block next round
     "acctbal_vs_global_avg",
     "budget_select_report",
     "cohort_retention",
@@ -115,8 +113,8 @@ _PRIORITY = (
     "skew_diagnostics_report",
     "skew_join_order_revenue",
     "stats_moments",
-    "tpch_q12_priority_split",
     "top_order_per_customer",
+    "tpch_q12_priority_split",
 )
 
 

@@ -128,6 +128,18 @@ class StreamingAsofEnricher:
         the batch's keys first (left-semi), so the window shuffles only
         the touched keys' history."""
         spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        rpath = jvm.org.apache.hadoop.fs.Path(f"{self.base}/right")
+        if not rpath.getFileSystem(jsc).exists(rpath):
+            # the right table defines the asof value-column TYPES, so
+            # an empty stand-in can't be synthesized — fail with the
+            # contract instead of a cryptic path-missing AnalysisException
+            raise RuntimeError(
+                f"no right state under {self.base}/right yet — bootstrap "
+                "the right side (write_right_batch / start_right) before "
+                "starting the left enrichment stream"
+            )
         batch_df = batch_df.persist()
         try:
             right = self.right_state(spark).join(

@@ -99,10 +99,19 @@ def test_grey_alpha_and_rgba_with_sub_filter():
     assert list(px6) == p0 + p1
 
 
-# the spec §8.2 grid, restated here independently of the decoder
-PASSES = (
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 8, 4), (2, 0, 4, 4),
-    (0, 2, 2, 2), (1, 0, 2, 2), (0, 1, 1, 2),
+# The spec §8.2 grid in the canonical libpng form — derived here from
+# the interlacing pattern TABLE (row/col start/inc vectors), NOT from
+# the decoder's (x0, y0, dx, dy) tuples, so a transposed pass in the
+# decoder cannot be masked by a self-consistent roundtrip (the r8
+# review found exactly that: the first grid had passes 3 and 5 wrong
+# and these tests reproduced the bug instead of catching it).
+_ROW_START = (0, 0, 4, 0, 2, 0, 1)
+_COL_START = (0, 4, 0, 2, 0, 1, 0)
+_ROW_INC = (8, 8, 8, 4, 4, 2, 2)
+_COL_INC = (8, 8, 4, 4, 2, 2, 1)
+PASSES = tuple(
+    (_COL_START[i], _ROW_START[i], _COL_INC[i], _ROW_INC[i])
+    for i in range(7)
 )
 
 
