@@ -96,3 +96,20 @@ def test_tokenize_report_occurrences_cover_corpus(spark):
         .collect()[0][0]
     )
     assert total_occ == total_tokens
+
+
+def test_accounting_plan_gate(spark):
+    """Scale-credibility pins for the r8 flagship: the merge chain is
+    pure JVM (no Python eval node anywhere in the plan), and both
+    passes prune the documents scan — the vocabulary branch reads the
+    text column ALONE; no branch reads lang/n_chars."""
+    import re
+
+    df = bpe_token_accounting(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both absent
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 2  # exactly the two documented passes
+    assert any(s == "text:string" for s in schemas)  # vocab branch
+    for s in schemas:
+        assert "lang" not in s and "n_chars" not in s
