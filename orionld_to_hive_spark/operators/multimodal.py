@@ -3,9 +3,10 @@
 Beyond-reference capability: treat image/audio/video payloads as opaque
 `binary` columns with typed metadata, processed by Arrow-batched Pandas
 UDFs over `mapInPandas`. PCM RIFF/WAVE audio DECODES FOR REAL (stdlib
-RIFF parse, see decode_wav + multimodal_wav_rms), and so does 8-bit
-non-interlaced PNG (stdlib zlib inflate + full scanline-filter
-reconstruction, see decode_png + multimodal_png_stats); other
+RIFF parse, see decode_wav + multimodal_wav_rms), and so does the
+COMPLETE baseline PNG matrix (stdlib zlib inflate + full
+scanline-filter reconstruction, all color types, depths 1-16, Adam7 —
+see decode_png + the multimodal_png_* queries); other
 image/video formats need codec libraries the container doesn't ship,
 so those decode steps use clearly-marked deterministic fakes — while
 everything Spark-side is real and tested: schema, binary encoding,
@@ -20,6 +21,7 @@ makes the metadata op oracle-checkable in DuckDB.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -124,8 +126,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_asset(payload: bytes) -> object:
-    """Decode a media payload. PCM RIFF/WAVE (decode_wav) and 8-bit
-    non-interlaced PNG (decode_png — stdlib zlib) decode for real.
+    """Decode a media payload. PCM RIFF/WAVE (decode_wav) and baseline
+    PNG (decode_png — stdlib zlib, returns PngImage) decode for real.
     Other image/video formats require codec libraries (PIL, pyav...)
     the container does not ship, so those remain explicitly
     unimplemented rather than faked."""
@@ -648,15 +650,14 @@ MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
 
 
 # --------------------------------------------------------------------------
-# Real-decode image path (r7, completed r8): PNG is the one image
+# Real-decode image path (r7, completed r8/r9): PNG is the one image
 # format decodable with nothing but stdlib zlib — inflate +
 # per-scanline filter reconstruction — so, like the WAV work in r6,
 # the deterministic fake is replaced by an honest codec for exactly
-# the format the container can support. As of r8 the decoder covers
-# the FULL baseline matrix (color types 0/2/3/4/6, 8/16-bit, Adam7,
-# both tRNS mechanisms); sub-byte bit depths (1/2/4) are the one
-# remaining explicit NotImplementedError, and JPEG stays out of reach
-# without codec libraries.
+# the format the container can support. As of r9 the decoder covers
+# the COMPLETE baseline matrix (color types 0/2/3/4/6, every spec
+# §11.2.2 depth including sub-byte 1/2/4, Adam7, both tRNS
+# mechanisms); only JPEG stays out of reach without codec libraries.
 #
 # encode_png_gray synthesizes a REAL spec-compliant PNG per document
 # (8-bit greyscale, non-interlaced, pixels = utf-8 bytes of the text
@@ -685,13 +686,22 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def _encode_png(
-    img: np.ndarray, width: int, color_type: int, extra_chunks=()
+    img: np.ndarray,
+    width: int,
+    color_type: int,
+    extra_chunks=(),
+    ihdr_width: int | None = None,
+    depth: int = 8,
 ) -> bytes:
     """Shared PNG writer core: filter each scanline (filter type =
     row_index mod 5, exercising every filter), deflate, frame the
-    chunks with CRCs. `img` is the flat byte plane (grey pixels or
-    palette indices, 1 byte/px); `extra_chunks` are (type, body)
-    pairs emitted between IHDR and IDAT (e.g. PLTE)."""
+    chunks with CRCs. `img` is the flat byte plane — grey pixels or
+    palette indices at 1 byte/px, or (sub-byte, r9) the PACKED
+    scanline bytes, in which case `width` is the byte stride and
+    `ihdr_width`/`depth` carry the pixel width and bit depth (filters
+    legitimately run over packed bytes with bpp=1, spec §9);
+    `extra_chunks` are (type, body) pairs emitted between IHDR and
+    IDAT (e.g. PLTE)."""
     import struct
     import zlib
 
@@ -726,7 +736,9 @@ def _encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", ihdr_width or width, h, depth, color_type, 0, 0, 0
+    )
     body = b"".join(chunk(t, d) for t, d in extra_chunks)
     return (
         _PNG_SIG
@@ -773,19 +785,64 @@ def encode_png_palette(raw: np.ndarray, width: int = PNG_W) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
+# 16-grey ramp palette for the 4-bit family: entry i = (17i, 17i, 17i),
+# so every stat is pure arithmetic over the index (channel sum 51·i,
+# channel max 17·i, dark channels 3 if i < 2 else 0) and the oracle
+# needs no 16-branch CASE. 17·15 = 255 — the ramp spans the full range.
+PNG_PALETTE16 = tuple((17 * i, 17 * i, 17 * i) for i in range(16))
+
+
+def encode_png_palette4(raw: np.ndarray, width: int = PNG_W) -> bytes:
+    """REAL 4-bit paletted PNG writer (r9 — the sub-byte family):
+    indices = byte % 16 into PNG_PALETTE16, two indices packed per
+    scanline byte MSB-first (spec §7.2), filters cycling over the
+    PACKED bytes (spec §9 — bpp=1 for sub-byte). `width` must be even
+    so rows pack without pad bits."""
+    assert width % 2 == 0, "4-bit writer requires an even pixel width"
+    idx = _pad_raster(np.asarray(raw, dtype=np.uint8) % 16, width)
+    pairs = idx.reshape(-1, 2)
+    packed = (pairs[:, 0] << 4) | pairs[:, 1]
+    plte = bytes(c for rgb in PNG_PALETTE16 for c in rgb)
+    return _encode_png(
+        packed, width // 2, color_type=3,
+        extra_chunks=((b"PLTE", plte),),
+        ihdr_width=width, depth=4,
+    )
+
+
+class PngImage(NamedTuple):
+    """Explicit decode contract (r8 review: the bare (px, w, h) tuple
+    forced callers to infer channel count and sample width from
+    px.size and dtype). `samples` is the flat row-major
+    channel-interleaved plane; `channels` counts OUTPUT channels
+    (after palette / tRNS expansion); `depth` is the OUTPUT sample
+    bit width — 16 for uint16 planes, 8 for uint8 planes, and the
+    source depth (1/2/4) for sub-byte greyscale, whose raw sample
+    values are NOT rescaled to 255."""
+
+    samples: np.ndarray
+    width: int
+    height: int
+    channels: int
+    depth: int
+
+
+def decode_png(payload: bytes) -> PngImage:
     """REAL decode of a baseline PNG — pure stdlib zlib, no codec
-    libraries. Returns (pixels row-major flattened, width, height).
-    Covers the full baseline matrix (r8): color types 0/2/3/4/6
-    (grey, RGB, paletted, grey+alpha, RGBA), 8- and 16-bit depths
-    (16-bit returns uint16 samples, 8-bit uint8), Adam7 interlacing
-    (seven independently-filtered sub-images scattered back on the
-    spec §8.2 grid), paletted tRNS per-index alpha (→ RGBA), and
-    grey/RGB tRNS transparent-color keys (→ GA/RGBA). Walks chunks
-    with CRC verification, concatenates IDATs, inflates, reverses the
-    per-scanline filter (all five types, bpp-aware). The one honest
-    refusal left is sub-byte bit packing (depths 1/2/4). Callers infer
-    the channel count as px.size // (width * height)."""
+    libraries. Returns a PngImage (samples, width, height, channels,
+    depth). Covers the COMPLETE baseline matrix (r8, sub-byte depths
+    r9): color types 0/2/3/4/6 (grey, RGB, paletted, grey+alpha,
+    RGBA); depths 1/2/4 (bit-unpacked MSB-first per spec §7.2, valid
+    for grey and paletted only), 8, and 16 (uint16 samples); Adam7
+    interlacing (seven independently-filtered sub-images scattered
+    back on the spec §8.2 grid, sub-byte passes bit-unpacked per
+    pass since each pass row packs its own bytes); paletted tRNS
+    per-index alpha (→ RGBA); and grey/RGB tRNS transparent-color
+    keys (→ GA/RGBA, key compared in the source depth's range).
+    Walks chunks with CRC verification, concatenates IDATs, inflates,
+    reverses the per-scanline filter (all five types, bpp-aware —
+    sub-byte rows filter with bpp=1 on the PACKED bytes, per spec
+    §9)."""
     import struct
     import zlib
 
@@ -821,19 +878,67 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     width, height, depth, color, comp, filt_method, interlace = ihdr
     if color not in _PNG_CHANNELS or comp != 0 or filt_method != 0:
         raise ValueError(f"invalid color/compression ({color}/{comp})")
-    if depth not in (8, 16) or (color == 3 and depth == 16):
-        # sub-byte bit packing (depths 1/2/4) is the one remaining
-        # honest refusal; 16-bit paletted is invalid per spec §11.2.2
-        raise NotImplementedError(
-            f"depth {depth} not supported for color type {color}"
+    if depth not in _PNG_DEPTHS[color]:
+        # the allowed (color, depth) matrix of spec §11.2.2 — with
+        # sub-byte depths landed (r9) every valid combination decodes,
+        # so an out-of-matrix depth is a malformed file, not a refusal
+        raise ValueError(
+            f"depth {depth} invalid for color type {color}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
     if width == 0 or height == 0:
         raise ValueError("zero PNG dimensions")  # spec requires nonzero
     channels = _PNG_CHANNELS[color]
-    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
+
+    if depth < 8:
+        # sub-byte bit packing (spec §7.2): samples pack MSB-first into
+        # scanline bytes, rows pad to a byte boundary, and filters run
+        # over the PACKED bytes with bpp=1 (§9) — so unfilter first,
+        # unpack bits second. Only grey (color 0) and paletted (3)
+        # reach here, both single-channel in the coded domain.
+        if interlace == 0:
+            stride = (width * depth + 7) // 8
+            if len(raw) != height * (stride + 1):
+                raise ValueError("inflated size does not match dimensions")
+            sam = _png_unpack_bits(
+                _png_unfilter(raw, height, stride, 1), width, depth
+            )
+        else:  # Adam7 — each pass packs its own rows independently
+            sam = np.zeros((height, width), dtype=np.int64)
+            pos2 = 0
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                need = ph * (stride + 1)
+                sam[y0::dy, x0::dx] = _png_unpack_bits(
+                    _png_unfilter(raw[pos2 : pos2 + need], ph, stride, 1),
+                    pw,
+                    depth,
+                )
+                pos2 += need
+            if pos2 != len(raw):
+                raise ValueError(
+                    "inflated size does not match Adam7 passes"
+                )
+        flat = sam.reshape(-1)
+        if color == 3:
+            return _png_apply_palette(
+                flat, plte, trns, width, height
+            )
+        out = flat.astype(np.uint8)  # raw sample values, NOT rescaled
+        if trns is not None:  # grey transparent-color key, sub-byte
+            return PngImage(
+                _png_apply_trns_key(out, 1, trns, depth),
+                width, height, 2, depth,
+            )
+        return PngImage(out, width, height, 1, depth)
+
+    bpp = channels * (depth // 8)
 
     if interlace == 0:
         expect = height * (width * bpp + 1)
@@ -865,38 +970,74 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         b = px.reshape(-1).astype(np.uint16)
         samples = (b[0::2] << 8) | b[1::2]
         if trns is not None:  # grey/RGB transparent-color key, 16-bit
-            return (
+            return PngImage(
                 _png_apply_trns_key(samples, channels, trns, 16),
-                width,
-                height,
+                width, height, channels + 1, 16,
             )
-        return samples, width, height
+        return PngImage(samples, width, height, channels, 16)
 
     if color == 3:
-        if plte is None or len(plte) % 3 != 0 or not plte:
-            raise ValueError("paletted PNG missing/invalid PLTE chunk")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px.reshape(-1)
-        if idx.max(initial=0) >= len(pal):
-            raise ValueError("palette index out of range")
-        if trns is not None:
-            # per-index alpha (PNG spec §11.3.2): one byte per palette
-            # entry, entries past the chunk default to fully opaque
-            if len(trns) > len(pal):
-                raise ValueError("tRNS longer than palette")
-            alpha = np.full(len(pal), 255, dtype=np.uint8)
-            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
-            rgba = np.concatenate([pal, alpha[:, None]], axis=1)
-            return rgba[idx.astype(np.intp)].reshape(-1), width, height
-        return pal[idx.astype(np.intp)].reshape(-1), width, height
+        return _png_apply_palette(
+            px.reshape(-1), plte, trns, width, height
+        )
     out = px.reshape(-1).astype(np.uint8)
     if trns is not None:  # grey/RGB transparent-color key, 8-bit
-        return _png_apply_trns_key(out, channels, trns, 8), width, height
-    return out, width, height
+        return PngImage(
+            _png_apply_trns_key(out, channels, trns, 8),
+            width, height, channels + 1, 8,
+        )
+    return PngImage(out, width, height, channels, 8)
+
+
+def _png_apply_palette(
+    idx: np.ndarray, plte, trns, width: int, height: int
+) -> PngImage:
+    """Expand palette indices to RGB (or RGBA with a tRNS per-index
+    alpha chunk, PNG spec §11.3.2: one byte per entry, entries past
+    the chunk default to fully opaque). Output is always 8-bit."""
+    if plte is None or len(plte) % 3 != 0 or not plte:
+        raise ValueError("paletted PNG missing/invalid PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    if trns is not None:
+        if len(trns) > len(pal):
+            raise ValueError("tRNS longer than palette")
+        alpha = np.full(len(pal), 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+        return PngImage(
+            rgba[idx.astype(np.intp)].reshape(-1), width, height, 4, 8
+        )
+    return PngImage(
+        pal[idx.astype(np.intp)].reshape(-1), width, height, 3, 8
+    )
 
 
 # channels per color type: grey, RGB, palette indices, grey+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# allowed bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_unpack_bits(
+    rows: np.ndarray, width: int, depth: int
+) -> np.ndarray:
+    """Unpack sub-byte samples from unfiltered scanline bytes: `rows`
+    is (h, stride) byte values; samples pack MSB-first, `depth` bits
+    each, rows padded to a byte boundary (pad bits discarded by the
+    `width * depth` slice). Returns (h, width) int64 sample values."""
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+    bits = bits[:, : width * depth].reshape(rows.shape[0], width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return bits @ weights
 
 # Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
 # r8 review fix: passes 3 and 5 were transposed ((0,4,8,4)/(0,2,2,2)),
@@ -981,8 +1122,8 @@ def _png_apply_trns_key(
     if len(trns) != 2 * n_samples:
         raise ValueError("bad tRNS key length")
     key16 = np.frombuffer(trns, dtype=">u2")
-    if depth == 8 and key16.max(initial=0) > 255:
-        raise ValueError("tRNS key exceeds 8-bit sample range")
+    if depth < 16 and key16.max(initial=0) > (1 << depth) - 1:
+        raise ValueError(f"tRNS key exceeds {depth}-bit sample range")
     key = key16.astype(samples.dtype)
     pix = samples.reshape(-1, channels)
     opaque = (1 << depth) - 1
@@ -1054,7 +1195,8 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
                 "n_dark": np.zeros(n, dtype="int32"),
             }
             for j, payload in enumerate(pdf["payload"]):
-                px, w, h = decode_png(bytes(payload))
+                img = decode_png(bytes(payload))
+                px, w, h = img.samples, img.width, img.height
                 total = int(px.sum(dtype=np.int64))
                 out["width"][j] = w
                 out["height"][j] = h
@@ -1119,6 +1261,47 @@ def multimodal_png_palette_stats(
     return png_pixel_stats(
         palette_png_assets_from_documents(spark, sf_dir)
     ).orderBy("asset_id")
+
+
+def multimodal_png_palette4_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded 4-BIT paletted PNGs (r9 — the
+    sub-byte end-to-end proof): each document byte becomes one 4-bit
+    index (byte % 16) into the 16-grey ramp PNG_PALETTE16, two indices
+    packed per scanline byte, filters cycling over the packed bytes.
+    The oracle derives every stat arithmetically from the hex codes
+    (channel sum 51·idx, max 17·idx, dark = idx < 2), so a bit-unpack
+    slip — wrong nibble order, pad bits leaking into samples, a filter
+    applied after unpacking instead of before — breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_png_palette4(
+                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return png_pixel_stats(docs.mapInPandas(synth, schema)).orderBy(
+        "asset_id"
+    )
 
 
 # Byte-domain twin: the decoded raster is the utf-8 bytes zero-padded
@@ -1211,6 +1394,53 @@ ORDER BY asset_id
 """
 
 
+# 4-bit paletted byte-domain twin: idx = code % 16 into the 16-grey
+# ramp (entry i = (17i, 17i, 17i)) — per pixel the channel SUM is
+# 51·idx, the channel MAX 17·idx, and the dark (<32) channel count is
+# 3 when idx < 2 (grey 0 or 17) else 0; zero-padding contributes
+# index-0 (black) pixels. Pure arithmetic over the hex codes — no
+# palette CASE needed, which is exactly why the ramp palette was
+# chosen.
+MULTIMODAL_PNG_PALETTE4_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1 ELSE (n + {PNG_W} - 1) // {PNG_W} END AS h
+  FROM docs
+),
+codes AS (
+  SELECT doc_id,
+         (16 * (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1)) % 16
+           AS idx
+  FROM dims, UNNEST(range(n)) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(51 * idx) AS BIGINT) AS s,
+         MAX(17 * idx) AS mx,
+         CAST(SUM(CASE WHEN idx < 2 THEN 3 ELSE 0 END) AS BIGINT) AS dark
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       {PNG_W} AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(d.h * {PNG_W} * 3 AS INTEGER) AS n_pixels,
+       FLOOR(CAST(COALESCE(a.s, 0) AS DOUBLE)
+             / (d.h * {PNG_W} * 3) * 1e6 + 0.5) / 1e6 AS mean_pixel,
+       CAST(COALESCE(a.mx, 0) AS INTEGER) AS max_pixel,
+       CAST(COALESCE(a.dark, 0) + 3 * (d.h * {PNG_W} - d.n) AS INTEGER)
+         AS n_dark
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
+
+
 # Per-index alpha for the tRNS family: index 0 opaque, 1 and 2 partial
 # (128 and 64 — both chosen so 255·a is divisible by 255 and the
 # premultiplied channel value is integer-exact), 3 fully transparent.
@@ -1286,9 +1516,10 @@ def multimodal_png_alpha_stats(
                 payload = encode_png_palette_alpha(
                     np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
                 )
-                px, w, h = decode_png(payload)
-                assert px.size == w * h * 4  # RGBA came back
-                rgba = px.reshape(-1, 4).astype(np.int64)
+                img = decode_png(payload)
+                assert img.channels == 4  # RGBA came back
+                w, h = img.width, img.height
+                rgba = img.samples.reshape(-1, 4).astype(np.int64)
                 a = rgba[:, 3]
                 premult = (rgba[:, :3] * a[:, None] // 255).sum()
                 out["width"][j] = w
@@ -1498,6 +1729,7 @@ QUERIES = {
     "multimodal_wav_rms": multimodal_wav_rms,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_png_palette_stats": multimodal_png_palette_stats,
+    "multimodal_png_palette4_stats": multimodal_png_palette4_stats,
     "multimodal_png_alpha_stats": multimodal_png_alpha_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
 }
@@ -1511,6 +1743,7 @@ ORACLES = {
     "multimodal_wav_rms": MULTIMODAL_WAV_SQL,
     "multimodal_png_stats": MULTIMODAL_PNG_SQL,
     "multimodal_png_palette_stats": MULTIMODAL_PNG_PALETTE_SQL,
+    "multimodal_png_palette4_stats": MULTIMODAL_PNG_PALETTE4_SQL,
     "multimodal_png_alpha_stats": MULTIMODAL_PNG_ALPHA_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_SQL,
 }

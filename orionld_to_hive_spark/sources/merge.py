@@ -105,9 +105,24 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
                         # concurrent with the third writer — so leave
                         # the .broken-* aside on disk (inert: only the
                         # exact _LOCK_NAME path gates writers) where
-                        # it is observable and sweepable, and fall
-                        # through to ConcurrentMergeError.
-                        pass
+                        # it is observable and sweepable (the next
+                        # successful writer's _release_lock sweeps it),
+                        # and fall through to ConcurrentMergeError.
+                        # Residual mtime-race caveat (r8 review): the
+                        # captured writer and the re-locker may still
+                        # run concurrently — warn loudly so the overlap
+                        # is diagnosable rather than silent.
+                        import warnings as _warnings
+
+                        _warnings.warn(
+                            f"stale-lock break on {target_path} captured"
+                            " a freshly recreated lock and could not"
+                            " hand it back: the displaced writer and"
+                            " the current lock holder may be running"
+                            f" concurrently (aside kept at {aside})",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
         if not broke:
             raise ConcurrentMergeError(
                 f"a writer is already active on {target_path} "
@@ -122,7 +137,12 @@ def _release_lock(lock_fs, lock, owned_mtime) -> None:
     """Delete the lock ONLY if it is still the one we created (mtime
     witness): if our lock was broken as stale and another writer now
     holds a fresh one, deleting blindly would evict THAT writer and
-    cascade a third into its critical section."""
+    cascade a third into its critical section. Also sweeps any
+    `.broken-*` asides left by failed stale-break hand-backs (r8
+    review): by release time their captured writers have either
+    finished or will fail their own mtime-witnessed release anyway, so
+    the asides are pure litter — and deleting them never gates anyone,
+    since only the exact lock path does."""
     try:
         if (
             lock_fs.exists(lock)
@@ -130,6 +150,9 @@ def _release_lock(lock_fs, lock, owned_mtime) -> None:
             == owned_mtime
         ):
             lock_fs.delete(lock, False)
+        aside_glob = lock.suffix(".broken-*")
+        for st in lock_fs.globStatus(aside_glob) or []:
+            lock_fs.delete(st.getPath(), False)
     except Exception:
         pass  # release is best-effort; a leftover lock is reclaimable
 

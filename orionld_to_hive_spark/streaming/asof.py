@@ -55,6 +55,13 @@ from pyspark.sql.window import Window
 from orionld_to_hive_spark.operators.temporal import asof_join
 
 
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    p = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ).exists(p)
+
+
 class StreamingAsofEnricher:
     """Layout under `base`:
 
@@ -69,9 +76,20 @@ class StreamingAsofEnricher:
         ts: str,
         value_cols: tuple[str, ...],
         how: str = "inner",
+        assert_unique_right: bool = False,
     ):
+        """`assert_unique_right=True` makes `write_right_batch` reject
+        a micro-batch carrying duplicate (key, ts) rows instead of
+        letting `right_state` resolve them (r8 review): batch_id breaks
+        ties ACROSS batches (latest-batch-wins, redelivery semantics),
+        but WITHIN one batch there is no arrival order to prefer, so
+        the resolver falls back to max(value_cols) — deterministic but
+        arbitrary. Feeds whose within-batch duplicates are meaningful
+        (e.g. a CDC source emitting two corrections in one batch)
+        should either pre-resolve them or opt into the assert."""
         if how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        self.assert_unique_right = assert_unique_right
         self.base = base.rstrip("/")
         self.key, self.ts, self.value_cols, self.how = (
             key,
@@ -83,10 +101,27 @@ class StreamingAsofEnricher:
     # -- right-side state maintenance -------------------------------------
     def write_right_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook for the right stream. Idempotent per
-        batch_id (overwrite of the batch's own subdirectory)."""
-        batch_df.select(
-            self.key, self.ts, *self.value_cols
-        ).write.mode("overwrite").parquet(
+        batch_id (overwrite of the batch's own subdirectory). With
+        `assert_unique_right`, duplicate (key, ts) rows within the
+        batch raise before anything is written (see __init__)."""
+        rows = batch_df.select(self.key, self.ts, *self.value_cols)
+        if self.assert_unique_right:
+            dup = (
+                rows.groupBy(self.key, self.ts)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"right batch {batch_id} has duplicate "
+                    f"({self.key}, {self.ts}) rows, e.g. "
+                    f"({dup[0][0]!r}, {dup[0][1]!r}) — within-batch "
+                    "duplicates have no arrival order to break ties "
+                    "with; pre-resolve them or drop assert_unique_right"
+                )
+        rows.write.mode("overwrite").parquet(
             f"{self.base}/right/batch_id={batch_id}"
         )
 
@@ -106,9 +141,13 @@ class StreamingAsofEnricher:
     def right_state(self, spark: SparkSession) -> DataFrame:
         """Current right state: latest-batch-wins per (key, ts) so a
         redelivered or corrected row supersedes its old version and the
-        as-of window sees a unique right row per (key, ts). The window
-        runs over the state table's own key — at 100 TB this read folds
-        into compaction so steady-state probes skip it."""
+        as-of window sees a unique right row per (key, ts). Duplicates
+        WITHIN one batch_id have no arrival order, so the ordering
+        falls back to max(value_cols) — deterministic but arbitrary;
+        feeds where that matters should construct the enricher with
+        `assert_unique_right=True` (r8 review). The window runs over
+        the state table's own key — at 100 TB this read folds into
+        compaction so steady-state probes skip it."""
         df = spark.read.parquet(f"{self.base}/right")
         w = Window.partitionBy(self.key, self.ts).orderBy(
             F.col("batch_id").desc(),
@@ -128,10 +167,7 @@ class StreamingAsofEnricher:
         the batch's keys first (left-semi), so the window shuffles only
         the touched keys' history."""
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc.hadoopConfiguration()
-        rpath = jvm.org.apache.hadoop.fs.Path(f"{self.base}/right")
-        if not rpath.getFileSystem(jsc).exists(rpath):
+        if not _hadoop_exists(spark, f"{self.base}/right"):
             # the right table defines the asof value-column TYPES, so
             # an empty stand-in can't be synthesized — fail with the
             # contract instead of a cryptic path-missing AnalysisException
@@ -176,5 +212,14 @@ class StreamingAsofEnricher:
     def enriched(self, spark: SparkSession) -> DataFrame:
         """Accumulated enrichment (batch_id discovered as a partition
         column and dropped — replays overwrite in place, so rows are
-        never duplicated across directories)."""
+        never duplicated across directories). Raises with the
+        bootstrap step if no left batch has been enriched yet (r8
+        review: an explicit contract error, not a path-missing
+        AnalysisException)."""
+        if not _hadoop_exists(spark, f"{self.base}/enriched"):
+            raise RuntimeError(
+                f"no enriched output under {self.base}/enriched yet — "
+                "run the left enrichment stream (start_left / "
+                "enrich_batch) before reading the accumulated view"
+            )
         return spark.read.parquet(f"{self.base}/enriched").drop("batch_id")

@@ -80,7 +80,18 @@ class StreamingTokenAccounting:
 
     def accounting(self, spark: SparkSession) -> DataFrame:
         """Current totals, schema-identical to the batch
-        `bpe_token_accounting` (ratios derived from summed integers)."""
+        `bpe_token_accounting` (ratios derived from summed integers).
+        Raises with the bootstrap step if no batch has been written
+        yet (r8 review: an explicit contract error, not a path-missing
+        AnalysisException)."""
+        from orionld_to_hive_spark.streaming.asof import _hadoop_exists
+
+        if not _hadoop_exists(spark, f"{self.base}/partials"):
+            raise RuntimeError(
+                f"no partials under {self.base}/partials yet — run the "
+                "accounting stream (start / write_batch) before reading "
+                "the totals view"
+            )
         p = spark.read.parquet(f"{self.base}/partials")
         return (
             p.groupBy("source")

@@ -146,3 +146,45 @@ def test_right_redelivery_latest_batch_wins(spark, tmp_path):
     enr.enrich_batch(left, batch_id=0)
     out = enr.enriched(spark).collect()
     assert len(out) == 1 and out[0].asof_click_value == 99.0
+
+
+def test_assert_unique_right_rejects_within_batch_duplicates(
+    spark, tmp_path
+):
+    """r9 (r8 ADVICE): within one batch there is no arrival order, so
+    duplicate (key, ts) right rows resolve to max(value_cols) by
+    default — feeds where that matters opt into a loud refusal."""
+    dup = spark.createDataFrame(
+        [("u1", 5, 10.0), ("u1", 5, 3.0), ("u2", 1, 7.0)],
+        ["user_id", "ts", "click_value"],
+    )
+    strict = StreamingAsofEnricher(
+        str(tmp_path / "strict"), key="user_id", ts="ts",
+        value_cols=("click_value",), assert_unique_right=True,
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        strict.write_right_batch(dup, batch_id=0)
+    # nothing was written — the guard fires before the sink
+    import os
+
+    assert not os.path.exists(str(tmp_path / "strict/right"))
+    # default (documented) behavior: deterministic max-value winner
+    lax = StreamingAsofEnricher(
+        str(tmp_path / "lax"), key="user_id", ts="ts",
+        value_cols=("click_value",),
+    )
+    lax.write_right_batch(dup, batch_id=0)
+    state = {
+        (r.user_id, r.ts): r.click_value
+        for r in lax.right_state(spark).collect()
+    }
+    assert state == {("u1", 5): 10.0, ("u2", 1): 7.0}
+
+
+def test_enriched_before_any_batch_names_bootstrap_step(spark, tmp_path):
+    enr = StreamingAsofEnricher(
+        str(tmp_path / "empty"), key="user_id", ts="ts",
+        value_cols=("click_value",),
+    )
+    with pytest.raises(RuntimeError, match="start_left"):
+        enr.enriched(spark)

@@ -52,7 +52,7 @@ def test_png_roundtrip_exercises_all_five_filters():
     rng = np.random.RandomState(7)
     for n in (0, 1, 5, 31, 32, 33, 64, 200, 1000):
         raw = rng.randint(0, 256, size=n).astype(np.uint8)
-        px, w, h = decode_png(encode_png_gray(raw))
+        px, w, h, *_ = decode_png(encode_png_gray(raw))
         exp_h = max(1, -(-n // 32))
         assert (w, h) == (32, exp_h)
         exp = np.zeros(exp_h * 32, dtype=np.uint8)
@@ -323,7 +323,7 @@ def test_decode_png_paletted_roundtrip_and_guards():
             + chunk(b"IEND", b"")
         )
 
-    px, gw, gh = decode_png(build())
+    px, gw, gh, *_ = decode_png(build())
     assert (gw, gh) == (w, h)
     want = np.array(
         [pal[3 * rows[y][x] + c] for y in range(h) for x in range(w)
@@ -336,7 +336,7 @@ def test_decode_png_paletted_roundtrip_and_guards():
         decode_png(build(plte=pal[:9]))  # 3 colors, image uses index 3
     # r8: paletted tRNS now DECODES to RGBA — a short chunk (one entry)
     # sets alpha for index 0 and defaults the rest to opaque, per spec
-    pxa, aw, ah = decode_png(build(extra=chunk(b"tRNS", b"\x80")))
+    pxa, aw, ah, *_ = decode_png(build(extra=chunk(b"tRNS", b"\x80")))
     assert (aw, ah) == (w, h) and pxa.size == w * h * 4
     rgba = pxa.reshape(-1, 4)
     assert np.array_equal(rgba[:, :3].reshape(-1), want)

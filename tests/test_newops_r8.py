@@ -37,7 +37,7 @@ def test_grey_trns_key_decodes_through_real_encoder():
     )
     idat_at = bytes(payload).index(b"IDAT") - 4
     spliced = bytes(payload[:idat_at]) + chunk + bytes(payload[idat_at:])
-    px, w, h = decode_png(spliced)
+    px, w, h, *_ = decode_png(spliced)
     ga = px.reshape(-1, 2)
     assert list(ga[:64, 0]) == list(raw)  # grey plane intact
     assert all(
@@ -51,7 +51,7 @@ def test_palette_alpha_roundtrip():
     """encode_png_palette_alpha → decode_png returns RGBA with the
     PNG_TRNS alpha riding each index; padding is opaque index 0."""
     raw = np.array([0, 1, 2, 3, 7], dtype=np.uint8)  # 7 % 4 = 3
-    px, w, h = decode_png(encode_png_palette_alpha(raw, width=4))
+    px, w, h, *_ = decode_png(encode_png_palette_alpha(raw, width=4))
     assert (w, h) == (4, 2) and px.size == 4 * 2 * 4
     rgba = px.reshape(-1, 4)
     # first five pixels follow byte % 4; the three pad pixels are idx 0

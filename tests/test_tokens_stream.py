@@ -51,3 +51,20 @@ def test_replayed_batch_does_not_double_count(spark, sf_smoke, tmp_path):
     before = _rows(acct.accounting(spark))
     acct.write_batch(chunk, batch_id=0)  # checkpoint replay
     assert _rows(acct.accounting(spark)) == before
+
+
+def test_accounting_before_any_batch_names_bootstrap_step(
+    spark, tmp_path
+):
+    """r9 (r8 ADVICE): reading the totals view before any batch must
+    raise the bootstrap contract, not a path-missing
+    AnalysisException."""
+    import pytest
+
+    from orionld_to_hive_spark.streaming.tokens import (
+        StreamingTokenAccounting,
+    )
+
+    acc = StreamingTokenAccounting(str(tmp_path / "none"))
+    with pytest.raises(RuntimeError, match="write_batch"):
+        acc.accounting(spark)
