@@ -59,6 +59,7 @@ _MODULES = (
 _PRIORITY = (
     # (a) new in r9 — added as each lands this round
     "multimodal_png_palette4_stats",
+    "ann_multiprobe_r2_topk",
     # (b) the seven-query r3 tail from the r8 rotation
     "train_val_split_report",
     "udf_sql_surface",

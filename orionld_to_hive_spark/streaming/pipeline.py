@@ -1,0 +1,136 @@
+"""Composed streaming curation pipeline (r9, VERDICT r8 item 6): the
+streaming layer has had every stage for rounds — ingest, quality gate
+(batch-twin predicate), dedup, token accounting — but nothing ran them
+as ONE live flow the way `operators/pipeline.py::curate_documents`
+composes the batch side. This module is that composition:
+
+  document stream
+    → quality gate            (same predicate as the batch pipeline —
+                               row-local, so micro-batching is exact)
+    → exact dedup             (content hash vs accumulated state:
+                               within-batch min-doc_id winner, across
+                               batches first-arrival wins; a
+                               redelivered or re-crawled text never
+                               survives twice)
+    → survivors sink          (idempotent batch_id directories)
+    → token accounting        (per-source mixture partials over the
+                               SURVIVING rows only — the number a
+                               training-data budget actually wants)
+
+Exactness contract (pinned by tests/test_streaming_pipeline.py): for a
+doc_id-ordered split of any corpus, the accumulated survivors and the
+accounting table are ROW-IDENTICAL to the batch twin (gate → hash →
+min-doc_id-per-hash) over the whole corpus — the gate is row-local,
+and ordered arrival makes first-arrival ≡ global min doc_id. For
+arbitrary arrival order the survivor CHOICE among identical texts may
+differ (first arrival wins), but every choice carries the same text,
+so token accounting is order-insensitive whenever duplicates stay
+within a source — the planted-duplicate live-stream test asserts
+exactly that.
+
+Replay contract: a re-run of batch N reads only hashes with
+batch_id < N, so checkpoint replays (and explicit re-runs) rewrite the
+batch's own directories instead of double-admitting or double-counting
+(the streaming/ann.py idempotence move, applied at every stage).
+
+Scale stance: per batch the only non-local work is one left-anti join
+of the batch's hashes against the accumulated hash table — an
+equi-join on the hash key, prunable by hash-prefix partitioning at
+100 TB; gate and tokenization are map-side. State is one 64-hex row
+per admitted document (the content-addressed dedup ledger), far
+smaller than the corpus, and compactable with sources/compaction.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.operators.pipeline import _quality_gate
+from orionld_to_hive_spark.streaming.asof import _hadoop_exists
+from orionld_to_hive_spark.streaming.tokens import StreamingTokenAccounting
+
+
+class StreamingCurationPipeline:
+    """Layout under `base`:
+
+    base/survivors/batch_id=N/       — curated rows admitted by batch N
+    base/hashes/batch_id=N/          — text hashes admitted by batch N
+    base/tokens/partials/batch_id=N/ — per-source token partials
+    """
+
+    def __init__(self, base: str):
+        self.base = base.rstrip("/")
+        self._acct = StreamingTokenAccounting(f"{self.base}/tokens")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gated = _quality_gate(
+            batch_df.select("doc_id", "source", "text")
+        ).withColumn(
+            "text_hash", F.sha2(F.col("text").cast("binary"), 256)
+        )
+        # within-batch winner: min doc_id per content hash (the batch
+        # pipeline's convention); dropDuplicates collapses exact
+        # redeliveries of the winning row itself
+        first = gated.groupBy("text_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        batch_first = gated.join(
+            first, ["text_hash", "doc_id"]
+        ).dropDuplicates(["text_hash"])
+        # cross-batch state: only hashes admitted by EARLIER batches
+        # block this one — a replay of batch N must not see its own
+        # previous write (idempotence)
+        if _hadoop_exists(spark, f"{self.base}/hashes"):
+            seen = (
+                spark.read.parquet(f"{self.base}/hashes")
+                .filter(F.col("batch_id") < batch_id)
+                .select("text_hash")
+            )
+            fresh = batch_first.join(seen, "text_hash", "left_anti")
+        else:
+            fresh = batch_first
+        fresh = fresh.persist()  # three consumers below
+        try:
+            fresh.select("doc_id", "source", "text").write.mode(
+                "overwrite"
+            ).parquet(f"{self.base}/survivors/batch_id={batch_id}")
+            fresh.select("text_hash").write.mode("overwrite").parquet(
+                f"{self.base}/hashes/batch_id={batch_id}"
+            )
+            self._acct.write_batch(
+                fresh.select("doc_id", "source", "text"), batch_id
+            )
+        finally:
+            fresh.unpersist()
+
+    def start(
+        self, stream_df: DataFrame, checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        writer = (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """Accumulated curated corpus (batch_id dropped — replays
+        overwrite in place)."""
+        if not _hadoop_exists(spark, f"{self.base}/survivors"):
+            raise RuntimeError(
+                f"no survivors under {self.base}/survivors yet — run "
+                "the pipeline (start / process_batch) first"
+            )
+        return spark.read.parquet(f"{self.base}/survivors").drop(
+            "batch_id"
+        )
+
+    def accounting(self, spark: SparkSession) -> DataFrame:
+        """Per-source token accounting over the CURATED corpus, schema-
+        identical to the batch `bpe_token_accounting`."""
+        return self._acct.accounting(spark)

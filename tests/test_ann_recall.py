@@ -1,0 +1,82 @@
+"""ANN recall operating points (r9, VERDICT r8 item 3): the measured
+recall@5-vs-fan-out table for the multiprobe family against the exact
+brute-force reference. Radius 2 must reach recall ≥ 0.6 at a bounded
+candidate budget (~22/64 of the corpus in expectation), the operating
+point the radius-1 query (0.28) could not offer."""
+
+from __future__ import annotations
+
+from orionld_to_hive_spark.operators.similarity import (
+    LSH_BITS,
+    N_QUERIES,
+    _emb,
+    _mp_masks_r1,
+    _mp_masks_r2,
+    _multiprobe_topk,
+    ann_bruteforce_topk,
+    ann_multiprobe_r2_topk,
+)
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_recall_table_radius2_reaches_operating_point(spark, sf_smoke):
+    bf = _topk_sets(ann_bruteforce_topk(spark, sf_smoke))
+    n_corpus = _emb(spark, sf_smoke).count()
+
+    table = {}
+    for label, masks in (
+        ("r1", _mp_masks_r1()),
+        ("r2", _mp_masks_r2()),
+    ):
+        got = _topk_sets(_multiprobe_topk(spark, sf_smoke, masks))
+        hits = sum(
+            len(got.get(q, set()) & bf[q]) for q in bf
+        )
+        recall = hits / sum(len(v) for v in bf.values())
+        # expected candidate budget: probes/2^bits of the corpus
+        budget = (1 + len(masks)) / (1 << LSH_BITS)
+        table[label] = (recall, budget)
+
+    r1_recall, r1_budget = table["r1"]
+    r2_recall, r2_budget = table["r2"]
+    # the measured before/after the verdict asked for
+    assert r2_recall > r1_recall
+    assert r2_recall >= 0.6, table
+    # bounded fan-out: radius 2 probes 22 of 64 codes (~34% of the
+    # corpus in expectation) — far from a brute-force scan
+    assert r2_budget <= 0.35 and r1_budget <= 0.12, table
+
+
+def test_r2_masks_are_distinct_and_complete(spark):
+    masks = _mp_masks_r2()
+    assert len(set(masks)) == len(masks) == LSH_BITS * (LSH_BITS + 1) // 2
+    assert all(bin(m).count("1") in (1, 2) for m in masks)
+
+
+def test_r2_superset_of_r1_results(spark, sf_smoke):
+    """Every radius-1 candidate is also a radius-2 candidate, so the
+    r2 top-5 can only improve: per query, the r2 neighbor set's worst
+    kept cosine is ≥ the r1 set's (verified via the actual queries)."""
+    from orionld_to_hive_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    r1 = {
+        (r.query_id, r.rank): r.cos
+        for r in ann_lsh_multiprobe_topk(spark, sf_smoke).collect()
+    }
+    r2 = {
+        (r.query_id, r.rank): r.cos
+        for r in ann_multiprobe_r2_topk(spark, sf_smoke).collect()
+    }
+    for q in range(N_QUERIES):
+        for rank in range(1, 6):
+            if (q, rank) in r1:
+                assert (q, rank) in r2
+                assert r2[(q, rank)] >= r1[(q, rank)], (q, rank)
