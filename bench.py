@@ -109,10 +109,15 @@ SF1_LADDER_QUERIES = (
     "doc_repetition_report",
     "span_dedup_report",
     "ann_bruteforce_topk",
+    # r9 (VERDICT r8 item 7): the newest headliners ≥0.4 s at sf0.1
+    # with no sf1.0 row yet — measured exponents for every headline
+    "bpe_token_accounting",
+    "quality_classifier_score",
+    "doc_chunks",
+    "dwell_time_profile",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",
-    "dwell_time_profile",
     "stats_moments",
     "having_large_orders",
     "tpch_q21_waiting_suppliers",
@@ -178,6 +183,9 @@ HEADLINE = (
     # round-8: real BPE tokenizer apply (merge table compiled into the
     # plan as a replace chain over the distinct-word frame)
     "bpe_token_accounting",
+    # round-9: the production ANN path (balanced LSH + radius-2
+    # multiprobe + exact re-rank; brute force above is the baseline)
+    "ann_multiprobe_r2_topk",
 )
 
 
