@@ -791,8 +791,147 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring dedup at OVERLAPPING window granularity (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better" —
+# the ExactSubstr stage; reference has no dedup at all, BASELINE.json's
+# north star requires it). `span_dedup_rewrite` (text.py) tiles each
+# document into NON-overlapping 8-token blocks, so a duplicated passage
+# that straddles a tile boundary (the common case for boilerplate
+# injected mid-sentence) is invisible to it. This operator slides the
+# window: EVERY token position starts an 8-gram, the globally first
+# occurrence of each gram (min (doc_id, pos)) survives, and every later
+# occurrence marks its whole token window [pos, pos+8) for removal;
+# a document is reassembled from its unmarked tokens. Semantics note:
+# marked windows may overlap the surviving copy's own tokens when a
+# phrase repeats with overlap inside one document — removal is
+# position-based, deterministic, and identical in the oracle.
+#
+# Scale shape (why no window function): the keep-first decision is a
+# map-side-combinable `min(struct(doc_id, pos))` groupBy on the gram
+# DIGEST (md5 — at 100 TB you shuffle 32-byte digests, not 8-word
+# strings), filtered to grams with >1 occurrence, then one equi-join
+# back to the gram stream. A row_number() window over gram would sort
+# every hot gram's occurrences in one task — boilerplate grams with
+# millions of copies are exactly the skew case; the aggregate form
+# combines map-side and leaves the join to AQE's skew handling. All
+# frames are linear in corpus token count; nothing is broadcast or
+# collected.
+EXACT_SUBSTR_K = 8
+
+
+def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.operators.text import _word_grams
+
+    toks = F.split(F.col("text"), " ")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(_word_grams(F.col("toks"), EXACT_SUBSTR_K, hashed=True))
+        .alias("pos", "gh"),
+    )
+    firsts = (
+        grams.groupBy("gh")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("gh", "first")
+    )
+    dup = (
+        grams.join(firsts, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (EXACT_SUBSTR_K - 1))
+        ).alias("idx"),
+    ).distinct()
+    tokens = docs.select(
+        "doc_id", F.posexplode("toks").alias("idx", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, CAST(i+1 AS INTEGER),
+                                        CAST(i+{EXACT_SUBSTR_K} AS INTEGER)),
+                             ' ')) AS gh
+  FROM d, unnest(range(0, greatest(len(toks) - {EXACT_SUBSTR_K - 1}, 0)))
+       AS t(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INTEGER) AS idx
+  FROM dup, unnest(range(0, {EXACT_SUBSTR_K})) AS u(j)
+),
+tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS idx, toks[CAST(i+1 AS INTEGER)] AS tok
+  FROM d, unnest(range(0, len(toks))) AS t2(i)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS body
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.body, '') AS cleaned_text
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "exact_substr_rewrite": exact_substr_rewrite,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -805,6 +944,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "exact_substr_rewrite": EXACT_SUBSTR_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
