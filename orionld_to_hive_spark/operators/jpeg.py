@@ -1,0 +1,595 @@
+"""Baseline JPEG decode (ISO/IEC 10918-1 sequential DCT, Huffman) —
+pure numpy, no codec libraries.
+
+Closes the multimodal matrix's last declared refusal: r8 shipped the
+complete baseline PNG decoder; JPEG was documented as out of reach
+"without codec libs", but baseline JPEG needs none — marker parsing,
+canonical Huffman decode, dequantization, an exact 8×8 float IDCT,
+pixel-replication chroma upsampling and the JFIF YCbCr→RGB transform
+are all spec arithmetic. Supported: SOF0 baseline, 8-bit precision,
+grey (1 component) and YCbCr (3 components), arbitrary h/v sampling
+factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 …), interleaved and
+single-component scans, 8- and 16-bit DQT, multiple tables per DQT/DHT
+segment, restart intervals (DRI/RSTn), byte stuffing. Honest refusals:
+progressive (SOF2) and any non-baseline SOF, arithmetic coding, 4+
+component (CMYK) images.
+
+The registry query rides the same byte-domain-oracle trick as the PNG
+family (multimodal.py): the flat-block grey encoder below quantizes DC
+with step 8, and a flat 8×8 block's only DCT coefficient is
+F(0,0) = 8·(s−128), so round(8·(s−128)/8)·8 dequantizes and
+inverse-transforms back to EXACTLY s for every byte value — the lossy
+codec is lossless by construction on this subset, and DuckDB can
+predict every decoded pixel from the document's hex dump. The
+decoder stays fully general (it never knows blocks are flat); its
+general paths — AC coefficients, subsampling, color transform,
+restarts, 16-bit DQT — are pinned by hand-built streams in
+tests/test_jpeg_baseline.py.
+
+Scale shape: decode is Arrow-batched mapInPandas, partition-local,
+zero shuffle before the final per-asset stats (one row per asset, no
+pixel data leaves the executor). Per-asset Python cost is linear in
+payload bytes; at 100 TB the decode parallelizes per file split like
+every other mapInPandas stage.
+
+Reference: the reference engine (dannydenovi/OrionLD-to-Hive) has no
+multimodal surface at all (hive.py:1-138 is tabular); this is
+north-star capability per SURVEY.md §6/BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from orionld_to_hive_spark.operators.multimodal import (
+    PNG_DARK,
+    PNG_STATS_SCHEMA,
+    _pad_raster,
+)
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+# Zig-zag index: ZIGZAG[k] = raster position (row*8+col) of the k-th
+# coefficient in transmission order (spec Figure 5).
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal DCT-II basis: M[u, x] = c(u)/2 · cos((2x+1)uπ/16); the
+# inverse transform of coefficient matrix F is Mᵀ·F·M (spec A.3.3).
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class JpegImage(NamedTuple):
+    samples: np.ndarray  # uint8, shape (height*width*channels,) interleaved
+    width: int
+    height: int
+    channels: int  # 1 = grey, 3 = RGB
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    de-stuffing; raises _MarkerHit (without consuming) at any real
+    marker so the scan loop can handle RSTn / end-of-scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._bits = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise _MarkerHit(nxt)
+                self.pos += 2
+            else:
+                self.pos += 1
+            self._bits = b
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._bits >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self._nbits = 0
+
+    def consume_rst(self) -> int:
+        """After align(): consume an RSTn marker, return n."""
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected RST marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn, got FF{m:02X}")
+        self.pos += 2
+        return m - 0xD0
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: BITS[i] codes of length i+1, values
+    assigned in order (spec C.2). Keyed by (length, code) — the decoder
+    extends one bit at a time, so lookup is O(code length)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (spec F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> JpegImage:
+    """Decode a baseline sequential-DCT Huffman JPEG. See module
+    docstring for the supported matrix and the refusal list."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}  # id -> 64 entries, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (height, width, comps) comps: [(cid, h, v, tq)]
+    restart_interval = 0
+    scan_out: dict[int, np.ndarray] = {}  # cid -> full-res-at-sampling plane
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: no payload
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        end = pos + seglen
+        if marker == 0xDB:  # DQT — one or more tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                else:
+                    qt[tq] = (
+                        np.frombuffer(body[i : i + 128], dtype=">u2")
+                        .astype(np.int32)
+                    )
+                    i += 128
+        elif marker == 0xC4:  # DHT — one or more tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit precision (baseline is 8)"
+                )
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (grey and YCbCr only)"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"non-baseline JPEG ({kind}); only SOF0 is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            pos = _decode_scan(
+                payload, end, body, frame, qt, huff,
+                restart_interval, scan_out,
+            )
+            continue
+        # APPn / COM / anything else: skip
+        pos = end
+
+    if frame is None:
+        raise ValueError("no frame in JPEG stream")
+    return _assemble(frame, scan_out)
+
+
+def _decode_scan(payload, data_start, body, frame, qt, huff,
+                 restart_interval, scan_out) -> int:
+    """Decode one scan's entropy data; returns stream position of the
+    next marker. Fills scan_out[cid] with the component's plane at its
+    own sampling resolution."""
+    height, width, comps = frame
+    ns = body[0]
+    scan_comps = []
+    for s in range(ns):
+        cs, tda = body[1 + 2 * s], body[2 + 2 * s]
+        comp = next(c for c in comps if c[0] == cs)
+        scan_comps.append((comp, tda >> 4, tda & 0xF))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    if ns == 1:
+        # non-interleaved: MCU is a single 8×8 block of that component
+        (cid, ch, cv, tq), td, ta = scan_comps[0]
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        bx, by = -(-cw // 8), -(-chh // 8)
+        mcus_x, mcus_y = bx, by
+        layout = [((cid, tq, td, ta), 1, 1, bx * 8, by * 8)]
+    else:
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        layout = [
+            ((cid, tq, td, ta), ch, cv, mcus_x * ch * 8, mcus_y * cv * 8)
+            for (cid, ch, cv, tq), td, ta in scan_comps
+        ]
+
+    planes = {
+        key[0]: np.zeros((ph, pw), dtype=np.float64)
+        for key, ch, cv, pw, ph in layout
+    }
+    r = _BitReader(payload, data_start)
+    pred = {key[0]: 0 for key, *_ in layout}
+    n_mcus = mcus_x * mcus_y
+    rst_n = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align()
+            got = r.consume_rst()
+            if got != rst_n & 7:
+                raise ValueError("RST marker out of sequence")
+            rst_n += 1
+            for k in pred:
+                pred[k] = 0
+        my, mx = divmod(m, mcus_x)
+        for (cid, tq, td, ta), ch, cv, pw, ph in layout:
+            q = qt[tq]
+            for byi in range(cv):
+                for bxi in range(ch):
+                    block = _decode_block(
+                        r, huff[(0, td)], huff[(1, ta)], q, pred, cid
+                    )
+                    y0 = (my * cv + byi) * 8
+                    x0 = (mx * ch + bxi) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    for cid, plane in planes.items():
+        scan_out[cid] = plane
+    # skip to the next marker (past any padding bits / final RST)
+    p = r.pos
+    last = len(payload) - 1
+    while p < last and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    while p < last and 0xD0 <= payload[p + 1] <= 0xD7:
+        p += 2
+        while p < last and not (
+            payload[p] == 0xFF and payload[p + 1] != 0x00
+        ):
+            p += 1
+    return p
+
+
+def _decode_block(r, dc_table, ac_table, q, pred, cid) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.float64)
+    t = _huff_decode(r, dc_table)
+    diff = _extend(r.read_bits(t), t)
+    pred[cid] += diff
+    coef[0] = pred[cid] * int(q[0])
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, ac_table)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        coef[k] = _extend(r.read_bits(s), s) * int(q[k])
+        k += 1
+    block = np.zeros((8, 8), dtype=np.float64)
+    block.flat[ZIGZAG] = coef
+    return _IDCT_M.T @ block @ _IDCT_M
+
+
+def _assemble(frame, scan_out) -> JpegImage:
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        plane = scan_out[cid]
+        # pixel-replication upsample to full resolution, then crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
+        return JpegImage(px.astype(np.uint8).ravel(), width, height, 1)
+    y = out_planes[0] + 128.0
+    cb = out_planes[1]  # already centered: level shift cancels the -128
+    cr = out_planes[2]
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return JpegImage(px.ravel(), width, height, 3)
+
+
+# --------------------------------------------------------------------------
+# Flat-block grey encoder — the byte-domain-oracle generator. Each
+# input byte becomes one flat 8×8 block; DC quant step 8 makes the
+# roundtrip exact (module docstring). Compact custom Huffman tables:
+# DC categories 0-9 as the ten 4-bit codes 0000-1001 (all-ones code
+# unused, per spec convention), AC table is the single 1-bit EOB.
+JPEG_BLOCKS_W = 4  # blocks per row → 32 px wide, matching PNG_W
+
+_ENC_DC_BITS = [0, 0, 0, 10] + [0] * 12
+_ENC_DC_VALS = list(range(10))
+_ENC_AC_BITS = [1] + [0] * 15
+_ENC_AC_VALS = [0x00]
+_ENC_QT = bytes([8] * 64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad 1s
+        return bytes(self.out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray_flat(
+    raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W
+) -> bytes:
+    """REAL baseline JPEG writer restricted to flat blocks: byte i of
+    `raw` becomes the flat 8×8 block at raster position i (zero-padded
+    to full rows; empty input becomes one black row of blocks). Output
+    decodes to exactly the input bytes under any conforming baseline
+    decoder."""
+    raster = _pad_raster(np.asarray(raw, dtype=np.uint8), width_blocks)
+    n_rows = len(raster) // width_blocks
+    w_px, h_px = width_blocks * 8, n_rows * 8
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + _ENC_QT)
+    head += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h_px, w_px, 1) + bytes([1, 0x11, 0]),
+    )
+    head += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    pred = 0
+    for b in raster.tolist():
+        s = b - 128
+        diff = s - pred
+        pred = s
+        cat = abs(diff).bit_length()
+        bw.write(cat, 4)  # DC category code (canonical 4-bit)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bw.write(0, 1)  # EOB
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+# --------------------------------------------------------------------------
+# Registry query: synth flat-block JPEGs from document text, decode
+# with the GENERAL decoder, aggregate per-asset pixel stats. Exact
+# integer sums in float64 → the hex-dump oracle matches bit-for-bit,
+# but only if every stage (huffman, dequant, IDCT, level shift,
+# raster placement) is right.
+_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_jpeg_gray_flat(
+                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return docs.mapInPandas(synth, _ASSET_SCHEMA)
+
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            out = {
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "width": np.zeros(n, dtype="int32"),
+                "height": np.zeros(n, dtype="int32"),
+                "n_pixels": np.zeros(n, dtype="int32"),
+                "mean_pixel": np.zeros(n),
+                "max_pixel": np.zeros(n, dtype="int32"),
+                "n_dark": np.zeros(n, dtype="int32"),
+            }
+            for j, payload in enumerate(pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
+                px = img.samples
+                out["width"][j] = img.width
+                out["height"][j] = img.height
+                out["n_pixels"][j] = px.size
+                out["mean_pixel"][j] = (
+                    np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
+                    / 1e6
+                )
+                out["max_pixel"][j] = int(px.max())
+                out["n_dark"][j] = int((px < PNG_DARK).sum())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_pixel_stats(jpeg_assets_from_documents(spark, sf_dir)).orderBy(
+        "asset_id"
+    )
+
+
+# Byte-domain oracle: byte b → 64 pixels of exactly b; rows of
+# JPEG_BLOCKS_W blocks, zero-padded. nb = block rows; width 32,
+# height 8·nb, 256·nb pixels; mean = 64·Σb/(256·nb) = Σb/(4·nb).
+MULTIMODAL_JPEG_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1
+              ELSE (n + {JPEG_BLOCKS_W} - 1) // {JPEG_BLOCKS_W} END AS nb
+  FROM docs
+),
+codes AS (
+  SELECT doc_id,
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
+  FROM dims, UNNEST(range(n)) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(code) AS BIGINT) AS s,
+         MAX(code) AS mx,
+         CAST(SUM(CASE WHEN code < {PNG_DARK} THEN 1 ELSE 0 END) AS BIGINT)
+           AS dark
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       {JPEG_BLOCKS_W * 8} AS width,
+       CAST(d.nb * 8 AS INTEGER) AS height,
+       CAST(d.nb * {JPEG_BLOCKS_W} * 64 AS INTEGER) AS n_pixels,
+       FLOOR(CAST(COALESCE(a.s, 0) AS DOUBLE)
+             / (d.nb * {JPEG_BLOCKS_W}) * 1e6 + 0.5) / 1e6 AS mean_pixel,
+       CAST(COALESCE(a.mx, 0) AS INTEGER) AS max_pixel,
+       CAST(64 * (COALESCE(a.dark, 0) + (d.nb * {JPEG_BLOCKS_W} - d.n))
+            AS INTEGER) AS n_dark
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
+
+
+QUERIES = {
+    "multimodal_jpeg_stats": multimodal_jpeg_stats,
+}
+
+ORACLES = {
+    "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
+}

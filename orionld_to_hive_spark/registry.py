@@ -33,6 +33,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.text",
     "orionld_to_hive_spark.operators.bpe",
     "orionld_to_hive_spark.operators.multimodal",
+    "orionld_to_hive_spark.operators.jpeg",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -60,6 +61,8 @@ _PRIORITY = (
     # (a) new in r9 — added as each lands this round
     "multimodal_png_palette4_stats",
     "ann_multiprobe_r2_topk",
+    "exact_substr_rewrite",
+    "multimodal_jpeg_stats",
     # (b) the seven-query r3 tail from the r8 rotation
     "train_val_split_report",
     "udf_sql_surface",
