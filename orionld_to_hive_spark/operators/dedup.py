@@ -820,33 +820,24 @@ ORDER BY query_id, rank
 EXACT_SUBSTR_K = 8
 
 
-def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _substr_grams(docs: DataFrame) -> DataFrame:
+    """Every overlapping EXACT_SUBSTR_K-gram occurrence as
+    (doc_id, pos, gh). `docs` must carry a `toks` array column."""
     from orionld_to_hive_spark.operators.text import _word_grams
 
-    toks = F.split(F.col("text"), " ")
-    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    grams = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(_word_grams(F.col("toks"), EXACT_SUBSTR_K, hashed=True))
         .alias("pos", "gh"),
     )
-    firsts = (
-        grams.groupBy("gh")
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("gh", "first")
-    )
-    dup = (
-        grams.join(firsts, "gh")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
-        .select("doc_id", "pos")
-    )
+
+
+def _substr_cut(docs: DataFrame, dup: DataFrame) -> DataFrame:
+    """Shared cut/reassemble stage: given docs (doc_id, toks) and the
+    duplicated occurrences (doc_id, pos), drop every token index
+    covered by any duplicated window and rebuild each document.
+    Consumed by the batch operator below and the streaming twin
+    (streaming/substr.py)."""
     covered = dup.select(
         "doc_id",
         F.explode(
@@ -882,6 +873,30 @@ def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    grams = _substr_grams(docs)
+    firsts = (
+        grams.groupBy("gh")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("gh", "first")
+    )
+    dup = (
+        grams.join(firsts, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _substr_cut(docs, dup)
 
 
 EXACT_SUBSTR_SQL = f"""
