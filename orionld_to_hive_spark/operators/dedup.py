@@ -875,9 +875,10 @@ def _substr_cut(docs: DataFrame, dup: DataFrame) -> DataFrame:
     )
 
 
-def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
-    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+def _substr_dups(docs: DataFrame) -> DataFrame:
+    """The duplicated (non-first) gram occurrences (doc_id, pos) of a
+    corpus frame — the shared detection stage of the rewrite and the
+    span report."""
     grams = _substr_grams(docs)
     firsts = (
         grams.groupBy("gh")
@@ -888,7 +889,7 @@ def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 1)
         .select("gh", "first")
     )
-    dup = (
+    return (
         grams.join(firsts, "gh")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
@@ -896,7 +897,116 @@ def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    return _substr_cut(docs, dup)
+
+
+def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    return _substr_cut(docs, _substr_dups(docs))
+
+
+# The REPORT half: per-document profile of the MAXIMAL duplicated
+# spans (overlapping/adjacent duplicated windows merged via
+# gaps-and-islands over covered token indices — the classic
+# `idx − row_number()` constant-per-run trick, one window pass over
+# the covered set, which is bounded by the duplicated fraction of the
+# corpus, not its size). A doc's covered_frac is the Lee et al.
+# "fraction of tokens in a duplicated ≥K-token substring" statistic —
+# the number a curation pipeline thresholds on before paying for the
+# rewrite.
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    covered = (
+        _substr_dups(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (EXACT_SUBSTR_K - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    spans = (
+        covered.withColumn("grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("span_len"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("covered_tokens"),
+        F.max("span_len").cast("bigint").alias("max_span"),
+    )
+    base = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.coalesce("max_span", F.lit(0)).cast("bigint").alias("max_span"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("covered_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTR_SPANS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, CAST(i+1 AS INTEGER),
+                                        CAST(i+{EXACT_SUBSTR_K} AS INTEGER)),
+                             ' ')) AS gh
+  FROM d, unnest(range(0, greatest(len(toks) - {EXACT_SUBSTR_K - 1}, 0)))
+       AS t(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INTEGER) AS idx
+  FROM dup, unnest(range(0, {EXACT_SUBSTR_K})) AS u(j)
+),
+spans AS (
+  SELECT doc_id, grp, COUNT(*) AS span_len FROM (
+    SELECT doc_id, idx,
+           idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+    FROM cov
+  ) GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS max_span
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       COALESCE(p.max_span, 0) AS max_span,
+       round(CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+             / len(d.toks), 6) AS covered_frac
+FROM d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 EXACT_SUBSTR_SQL = f"""
@@ -947,6 +1057,7 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "exact_substr_rewrite": exact_substr_rewrite,
+    "exact_substr_spans": exact_substr_spans,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -960,6 +1071,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "exact_substr_rewrite": EXACT_SUBSTR_SQL,
+    "exact_substr_spans": EXACT_SUBSTR_SPANS_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

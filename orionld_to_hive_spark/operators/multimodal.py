@@ -126,17 +126,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_asset(payload: bytes) -> object:
-    """Decode a media payload. PCM RIFF/WAVE (decode_wav) and baseline
-    PNG (decode_png — stdlib zlib, returns PngImage) decode for real.
-    Other image/video formats require codec libraries (PIL, pyav...)
-    the container does not ship, so those remain explicitly
+    """Decode a media payload. PCM RIFF/WAVE (decode_wav), baseline
+    PNG (decode_png — stdlib zlib, returns PngImage), and baseline
+    JPEG (operators/jpeg.py::decode_jpeg — pure numpy, returns
+    JpegImage) decode for real. Video formats require codec libraries
+    (pyav...) the container does not ship, so those remain explicitly
     unimplemented rather than faked."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from orionld_to_hive_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed image/video decode requires codec libraries not present "
+        "compressed video decode requires codec libraries not present "
         "in this environment; extract_features uses a deterministic fake "
         "instead"
     )

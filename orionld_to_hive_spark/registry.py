@@ -62,6 +62,7 @@ _PRIORITY = (
     "multimodal_png_palette4_stats",
     "ann_multiprobe_r2_topk",
     "exact_substr_rewrite",
+    "exact_substr_spans",
     "multimodal_jpeg_stats",
     # (b) the seven-query r3 tail from the r8 rotation
     "train_val_split_report",

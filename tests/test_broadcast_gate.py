@@ -68,6 +68,9 @@ ALLOWED = {
     # n-gram set is a fixed corpus, not sf-proportional
     ("text.py", "totals"), ("text.py", "total_df"),
     ("text.py", "vocab"), ("text.py", "eval_g"),
+    # streaming/contamination.py: the same fixed eval-benchmark gram
+    # set as text.py's eval_g — bounded by the eval suite, not sf
+    ("contamination.py", "eval_g"),
     ("text.py", "n_docs"), ("text.py", "n_uni"), ("text.py", "n_bi"),
     ("text.py", "avg_dl"),
     # tpch.py / tpch2.py: nation/region dims and their ≤25-row

@@ -208,6 +208,18 @@ def test_roundtrip_every_byte_value():
         assert (blk == i).all()
 
 
+def test_decode_asset_routes_jpeg():
+    """The mime-agnostic dispatcher (multimodal.decode_asset) now
+    routes SOI-signature payloads to the real JPEG decoder."""
+    from orionld_to_hive_spark.operators.multimodal import decode_asset
+
+    raw = np.array([10, 200], dtype=np.uint8)
+    img = decode_asset(encode_jpeg_gray_flat(raw))
+    assert img.channels == 1 and img.width == 32
+    grid = img.samples.reshape(img.height, img.width)
+    assert (grid[:8, :8] == 10).all() and (grid[:8, 8:16] == 200).all()
+
+
 def test_refusals_are_loud():
     sof2 = (
         b"\xff\xd8"

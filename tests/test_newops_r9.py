@@ -8,7 +8,10 @@ keep-first tie order.
 
 from __future__ import annotations
 
-from orionld_to_hive_spark.operators.dedup import exact_substr_rewrite
+from orionld_to_hive_spark.operators.dedup import (
+    exact_substr_rewrite,
+    exact_substr_spans,
+)
 from orionld_to_hive_spark.operators.text import span_dedup_rewrite
 
 PHRASE = "p0 p1 p2 p3 p4 p5 p6 p7"  # exactly EXACT_SUBSTR_K tokens
@@ -76,6 +79,35 @@ def test_within_doc_overlap_keeps_only_uncovered_prefix(spark, tmp_path):
     assert out[6]["n_tokens"] == 10
     assert out[6]["n_removed"] == 9
     assert out[6]["cleaned_text"] == "a"
+
+
+def test_spans_merge_overlapping_windows(spark, tmp_path):
+    # Doc 11 repeats a 9-token passage from doc 10: its two duplicated
+    # 8-gram occurrences (pos 1 and 2) overlap and must merge into ONE
+    # maximal span of 9 covered tokens — plus an isolated 8-token span
+    # later in the doc, so n_spans distinguishes merge from concat.
+    nine = f"{PHRASE} p8"
+    rows = [
+        (10, f"{nine} filler0 filler1 q0 q1 q2 q3 q4 q5 q6 q7"),
+        (11, f"z {nine} mid0 mid1 mid2 q0 q1 q2 q3 q4 q5 q6 q7"),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r for r in exact_substr_spans(spark, str(d)).collect()
+    }
+    assert out[10]["n_spans"] == 0 and out[10]["covered_frac"] == 0.0
+    assert out[11]["n_spans"] == 2
+    assert out[11]["max_span"] == 9  # merged, not two 8s
+    assert out[11]["covered_tokens"] == 17
+    # the report agrees with what the rewrite would cut
+    rw = {
+        r["doc_id"]: r["n_removed"]
+        for r in exact_substr_rewrite(spark, str(d)).collect()
+    }
+    assert rw[11] == 17 and rw[10] == 0
 
 
 def test_exact_substr_plan_gate(spark, sf_smoke):
