@@ -95,38 +95,78 @@ class _MarkerHit(Exception):
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    de-stuffing; raises _MarkerHit (without consuming) at any real
-    marker so the scan loop can handle RSTn / end-of-scan."""
+    de-stuffing. Keeps a multi-byte accumulator so peek/skip (the LUT
+    Huffman fast path) and read_bits are O(1) per call instead of
+    per-bit. At a real marker the accumulator is padded with virtual
+    1-bits (spec F.1.2.3: trailing padding is 1s; canonical tables
+    reserve the all-ones code, so padding can never decode as a
+    symbol) — the marker byte itself is never consumed."""
+
+    __slots__ = ("data", "pos", "_acc", "_nbits", "_virtual")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self._bits = 0
+        self._acc = 0
         self._nbits = 0
+        self._virtual = 0  # pad bits appended past the entropy data
 
-    def read_bit(self) -> int:
-        if self._nbits == 0:
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1]
-                if nxt != 0x00:
-                    raise _MarkerHit(nxt)
-                self.pos += 2
+    def _ensure(self, n: int) -> None:
+        while self._nbits < n:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                if b == 0xFF:
+                    nxt = (
+                        self.data[self.pos + 1]
+                        if self.pos + 1 < len(self.data)
+                        else 0xD9
+                    )
+                    if nxt == 0x00:
+                        self.pos += 2
+                    else:
+                        # marker: virtual padding, don't consume
+                        self._acc = (self._acc << 8) | 0xFF
+                        self._nbits += 8
+                        self._virtual += 8
+                        continue
+                else:
+                    self.pos += 1
+                self._acc = (self._acc << 8) | b
+                self._nbits += 8
             else:
-                self.pos += 1
-            self._bits = b
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._bits >> self._nbits) & 1
+                self._acc = (self._acc << 8) | 0xFF
+                self._nbits += 8
+                self._virtual += 8
+
+    def peek(self, n: int) -> int:
+        self._ensure(n)
+        return (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
         return v
 
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
     def align(self) -> None:
+        # virtual bits still sitting in the buffer were only PEEKED
+        # (legal near a marker); consumed virtual bits mean the decode
+        # overran the scan data
+        if self._nbits < self._virtual:
+            raise ValueError("entropy decode ran past the scan data")
+        self._acc = 0
         self._nbits = 0
+        self._virtual = 0
 
     def consume_rst(self) -> int:
         """After align(): consume an RSTn marker, return n."""
@@ -139,27 +179,44 @@ class _BitReader:
         return m - 0xD0
 
 
-def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman table: BITS[i] codes of length i+1, values
-    assigned in order (spec C.2). Keyed by (length, code) — the decoder
-    extends one bit at a time, so lookup is O(code length)."""
-    table: dict[tuple[int, int], int] = {}
+_LUT_BITS = 8
+
+
+def _build_huff(
+    bits: list[int], vals: list[int]
+) -> tuple[list, dict[tuple[int, int], int]]:
+    """Canonical JPEG Huffman table (spec C.2): BITS[i] codes of
+    length i+1, values assigned in order. Returns (lut, slow): `lut`
+    maps every 8-bit window whose prefix is a code of ≤ 8 bits to
+    (value, code_length) — one list index per symbol on the fast path;
+    `slow` keys (length, code) for the rare > 8-bit codes."""
+    slow: dict[tuple[int, int], int] = {}
+    lut: list = [None] * (1 << _LUT_BITS)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            slow[(length, code)] = vals[k]
+            if length <= _LUT_BITS:
+                base = code << (_LUT_BITS - length)
+                for w in range(base, base + (1 << (_LUT_BITS - length))):
+                    lut[w] = (vals[k], length)
             k += 1
             code += 1
         code <<= 1
-    return table
+    return lut, slow
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
+def _huff_decode(r: _BitReader, table) -> int:
+    lut, slow = table
+    hit = lut[r.peek(_LUT_BITS)]
+    if hit is not None:
+        r.skip(hit[1])
+        return hit[0]
+    code = r.read_bits(_LUT_BITS)
+    for length in range(_LUT_BITS + 1, 17):
         code = (code << 1) | r.read_bit()
-        v = table.get((length, code))
+        v = slow.get((length, code))
         if v is not None:
             return v
     raise ValueError("invalid Huffman code in entropy stream")
@@ -293,14 +350,19 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
             for (cid, ch, cv, tq), td, ta in scan_comps
         ]
 
-    planes = {
-        key[0]: np.zeros((ph, pw), dtype=np.float64)
-        for key, ch, cv, pw, ph in layout
-    }
+    n_mcus = mcus_x * mcus_y
+    n_blocks = n_mcus * sum(ch * cv for _, ch, cv, _, _ in layout)
+    # coefficients in TRANSMISSION (zigzag) order, dequantized at
+    # write time; the IDCT runs ONCE, batched over every block of the
+    # scan — per-block numpy work (alloc + two 8×8 matmuls) dominates
+    # a python-loop decoder, batching it is a measured ~2× on the
+    # registry corpus
+    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+    places: list[tuple[int, int, int]] = []  # (cid, y0, x0) per block
     r = _BitReader(payload, data_start)
     pred = {key[0]: 0 for key, *_ in layout}
-    n_mcus = mcus_x * mcus_y
     rst_n = 0
+    bi = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             r.align()
@@ -315,12 +377,23 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
             q = qt[tq]
             for byi in range(cv):
                 for bxi in range(ch):
-                    block = _decode_block(
-                        r, huff[(0, td)], huff[(1, ta)], q, pred, cid
+                    _decode_block(
+                        r, huff[(0, td)], huff[(1, ta)], q, pred, cid,
+                        coefs[bi],
                     )
-                    y0 = (my * cv + byi) * 8
-                    x0 = (mx * ch + bxi) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                    places.append(
+                        (cid, (my * cv + byi) * 8, (mx * ch + bxi) * 8)
+                    )
+                    bi += 1
+    blocks = np.zeros((n_blocks, 64), dtype=np.float64)
+    blocks[:, ZIGZAG] = coefs
+    spatial = _IDCT_M.T @ blocks.reshape(n_blocks, 8, 8) @ _IDCT_M
+    planes = {
+        key[0]: np.zeros((ph, pw), dtype=np.float64)
+        for key, ch, cv, pw, ph in layout
+    }
+    for b, (cid, y0, x0) in enumerate(places):
+        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
     for cid, plane in planes.items():
         scan_out[cid] = plane
     # skip to the next marker (past any padding bits / final RST)
@@ -337,8 +410,9 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
     return p
 
 
-def _decode_block(r, dc_table, ac_table, q, pred, cid) -> np.ndarray:
-    coef = np.zeros(64, dtype=np.float64)
+def _decode_block(r, dc_table, ac_table, q, pred, cid, coef) -> None:
+    """Entropy-decode one block into `coef` (a view of the scan's
+    coefficient matrix, transmission order, dequantized)."""
     t = _huff_decode(r, dc_table)
     diff = _extend(r.read_bits(t), t)
     pred[cid] += diff
@@ -355,9 +429,6 @@ def _decode_block(r, dc_table, ac_table, q, pred, cid) -> np.ndarray:
         k += rr
         coef[k] = _extend(r.read_bits(s), s) * int(q[k])
         k += 1
-    block = np.zeros((8, 8), dtype=np.float64)
-    block.flat[ZIGZAG] = coef
-    return _IDCT_M.T @ block @ _IDCT_M
 
 
 def _assemble(frame, scan_out) -> JpegImage:
@@ -469,6 +540,63 @@ def encode_jpeg_gray_flat(
     return bytes(head) + bw.flush() + b"\xff\xd9"
 
 
+# Color twin of the flat-block encoder: 4:4:4 YCbCr, byte i → luma
+# block of value i, chroma planes held at the CONSTANTS Cb=+20,
+# Cr=−10 (centered domain). The decoded RGB is then a closed form of
+# each byte — R = max(0, b−14), G = b, B = min(255, b+35) — because
+# 1.402·(−10) = −14.02 rounds to −14 for every integer b, the G
+# residue +0.25864 rounds away, and 1.772·20 = +35.44 rounds to +35
+# before the 255 clip. The DuckDB oracle applies exactly that CASE
+# arithmetic to the hex dump, so the 3-component interleaved scan and
+# the JFIF color transform are oracle-pinned end to end, not just
+# unit-pinned.
+JPEG_CB = 20
+JPEG_CR = -10
+
+
+def encode_jpeg_color_flat(
+    raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W
+) -> bytes:
+    """REAL baseline 4:4:4 color JPEG writer restricted to flat
+    blocks: byte i of `raw` becomes luma block i; both chroma planes
+    are flat (JPEG_CB, JPEG_CR). Zero-padded like the grey twin."""
+    raster = _pad_raster(np.asarray(raw, dtype=np.uint8), width_blocks)
+    n_rows = len(raster) // width_blocks
+    w_px, h_px = width_blocks * 8, n_rows * 8
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + _ENC_QT)
+    head += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h_px, w_px, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    head += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    head += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+
+    def _dc(diff: int) -> None:
+        cat = abs(diff).bit_length()
+        bw.write(cat, 4)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bw.write(0, 1)  # EOB
+
+    pred_y, pred_cb, pred_cr = 0, 0, 0
+    for b in raster.tolist():
+        s = b - 128
+        _dc(s - pred_y)
+        pred_y = s
+        _dc(JPEG_CB - pred_cb)
+        pred_cb = JPEG_CB
+        _dc(JPEG_CR - pred_cr)
+        pred_cr = JPEG_CR
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
 # --------------------------------------------------------------------------
 # Registry query: synth flat-block JPEGs from document text, decode
 # with the GENERAL decoder, aggregate per-asset pixel stats. Exact
@@ -542,6 +670,42 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_color_assets_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_jpeg_color_flat(
+                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return docs.mapInPandas(synth, _ASSET_SCHEMA)
+
+
+def multimodal_jpeg_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded 4:4:4 COLOR JPEGs: the
+    3-component interleaved scan and the JFIF YCbCr→RGB transform are
+    on the oracle path — a wrong upsample, predictor interleave, or
+    transform constant shifts a stat."""
+    return jpeg_pixel_stats(
+        jpeg_color_assets_from_documents(spark, sf_dir)
+    ).orderBy("asset_id")
+
+
 # Byte-domain oracle: byte b → 64 pixels of exactly b; rows of
 # JPEG_BLOCKS_W blocks, zero-padded. nb = block rows; width 32,
 # height 8·nb, 256·nb pixels; mean = 64·Σb/(256·nb) = Σb/(4·nb).
@@ -586,10 +750,63 @@ ORDER BY asset_id
 """
 
 
+# Color byte-domain oracle: byte b → 64 RGB pixels with the closed
+# form above. Per byte the channel-sample SUM is
+# max(b−14,0) + b + min(b+35,255); the MAX rides the B channel
+# (min(b+35,255), and 35 for zero padding); the dark (<32) count per
+# byte is (b<46) + (b<32) — B is never dark (≥35).
+MULTIMODAL_JPEG_COLOR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1
+              ELSE (n + {JPEG_BLOCKS_W} - 1) // {JPEG_BLOCKS_W} END AS nb
+  FROM docs
+),
+codes AS (
+  SELECT doc_id,
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
+  FROM dims, UNNEST(range(n)) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(GREATEST(code - 14, 0) + code
+                  + LEAST(code + 35, 255)) AS BIGINT) AS s,
+         MAX(LEAST(code + 35, 255)) AS mx,
+         CAST(SUM(CASE WHEN code < 46 THEN 1 ELSE 0 END
+                  + CASE WHEN code < 32 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dark
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       {JPEG_BLOCKS_W * 8} AS width,
+       CAST(d.nb * 8 AS INTEGER) AS height,
+       CAST(d.nb * {JPEG_BLOCKS_W} * 64 * 3 AS INTEGER) AS n_pixels,
+       FLOOR((CAST(COALESCE(a.s, 0) AS DOUBLE)
+              + 35.0 * (d.nb * {JPEG_BLOCKS_W} - d.n))
+             / (d.nb * {JPEG_BLOCKS_W} * 3) * 1e6 + 0.5) / 1e6 AS mean_pixel,
+       CAST(CASE WHEN d.nb * {JPEG_BLOCKS_W} > d.n
+                 THEN GREATEST(COALESCE(a.mx, 0), 35)
+                 ELSE a.mx END AS INTEGER) AS max_pixel,
+       CAST(64 * (COALESCE(a.dark, 0)
+                  + 2 * (d.nb * {JPEG_BLOCKS_W} - d.n)) AS INTEGER) AS n_dark
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
+    "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
 }
 
 ORACLES = {
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
+    "multimodal_jpeg_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
 }

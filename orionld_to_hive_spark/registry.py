@@ -64,6 +64,7 @@ _PRIORITY = (
     "exact_substr_rewrite",
     "exact_substr_spans",
     "multimodal_jpeg_stats",
+    "multimodal_jpeg_color_stats",
     # (b) the seven-query r3 tail from the r8 rotation
     "train_val_split_report",
     "udf_sql_surface",

@@ -208,6 +208,22 @@ def test_roundtrip_every_byte_value():
         assert (blk == i).all()
 
 
+def test_color_flat_closed_form_all_bytes():
+    """The 4:4:4 color twin's decoded RGB is the documented closed
+    form of each byte — R = max(0, b−14), G = b, B = min(255, b+35) —
+    for every byte value, including the clip regions at both ends."""
+    from orionld_to_hive_spark.operators.jpeg import encode_jpeg_color_flat
+
+    raw = np.arange(256, dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_color_flat(raw))
+    assert img.channels == 3
+    rgb = img.samples.reshape(img.height, img.width, 3)
+    for i in range(256):
+        blk = rgb[(i // 4) * 8 : (i // 4) * 8 + 8,
+                  (i % 4) * 8 : (i % 4) * 8 + 8]
+        assert (blk == (max(0, i - 14), i, min(255, i + 35))).all(), i
+
+
 def test_decode_asset_routes_jpeg():
     """The mime-agnostic dispatcher (multimodal.decode_asset) now
     routes SOI-signature payloads to the real JPEG decoder."""
