@@ -115,6 +115,9 @@ SF1_LADDER_QUERIES = (
     "quality_classifier_score",
     "doc_chunks",
     "dwell_time_profile",
+    # r9: overlapping exact-substring dedup (the heaviest headline —
+    # every overlapping 8-gram shuffles twice by design)
+    "exact_substr_rewrite",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",
@@ -186,6 +189,10 @@ HEADLINE = (
     # round-9: the production ANN path (balanced LSH + radius-2
     # multiprobe + exact re-rank; brute force above is the baseline)
     "ann_multiprobe_r2_topk",
+    # round-9: overlapping exact-substring dedup (ExactSubstr) — a new
+    # family next to the near-dup representatives above: every
+    # overlapping 8-gram is detected and cut, not just tiled blocks
+    "exact_substr_rewrite",
 )
 
 
