@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.operators.pipeline import _quality_gate
 from orionld_to_hive_spark.streaming.asof import _hadoop_exists
+from orionld_to_hive_spark.streaming.substr import StreamingExactSubstr
 from orionld_to_hive_spark.streaming.tokens import StreamingTokenAccounting
 
 
@@ -57,11 +58,27 @@ class StreamingCurationPipeline:
     base/survivors/batch_id=N/       — curated rows admitted by batch N
     base/hashes/batch_id=N/          — text hashes admitted by batch N
     base/tokens/partials/batch_id=N/ — per-source token partials
-    """
+    base/substr/...                  — gram-minima store + rewritten
+                                       rows (substr_dedup=True only)
 
-    def __init__(self, base: str):
+    With `substr_dedup=True` the flow gains the ExactSubstr stage
+    between exact dedup and accounting — the full Lee et al. 2022
+    curation shape, live: admitted rows are rewritten against the
+    accumulated gram store (streaming/substr.py), and the token
+    accounting counts the CLEANED texts, i.e. the tokens a training
+    run would actually see. The ordered-split equality contract then
+    extends end to end: survivors, rewritten texts, and accounting are
+    all row-identical to the batch composition (gate → min-doc_id
+    exact dedup → exact-substring rewrite → accounting)."""
+
+    def __init__(self, base: str, substr_dedup: bool = False):
         self.base = base.rstrip("/")
         self._acct = StreamingTokenAccounting(f"{self.base}/tokens")
+        self._substr = (
+            StreamingExactSubstr(f"{self.base}/substr")
+            if substr_dedup
+            else None
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -99,9 +116,24 @@ class StreamingCurationPipeline:
             fresh.select("text_hash").write.mode("overwrite").parquet(
                 f"{self.base}/hashes/batch_id={batch_id}"
             )
-            self._acct.write_batch(
-                fresh.select("doc_id", "source", "text"), batch_id
-            )
+            acct_rows = fresh.select("doc_id", "source", "text")
+            if self._substr is not None:
+                self._substr.process_batch(
+                    fresh.select("doc_id", "text"), batch_id
+                )
+                # account the CLEANED texts (already materialized by
+                # the substr stage's idempotent batch write)
+                acct_rows = (
+                    spark.read.parquet(
+                        f"{self.base}/substr/out/batch_id={batch_id}"
+                    )
+                    .select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    )
+                    .join(fresh.select("doc_id", "source"), "doc_id")
+                    .select("doc_id", "source", "text")
+                )
+            self._acct.write_batch(acct_rows, batch_id)
         finally:
             fresh.unpersist()
 
@@ -134,3 +166,19 @@ class StreamingCurationPipeline:
         """Per-source token accounting over the CURATED corpus, schema-
         identical to the batch `bpe_token_accounting`."""
         return self._acct.accounting(spark)
+
+    def curated(self, spark: SparkSession) -> DataFrame:
+        """The corpus a training run would read: survivors, with
+        substring-cleaned texts when the ExactSubstr stage is on."""
+        surv = self.survivors(spark)
+        if self._substr is None:
+            return surv.select(
+                "doc_id", "source", "text",
+                F.lit(0).cast("bigint").alias("n_removed"),
+            )
+        rw = self._substr.rewritten(spark).select(
+            "doc_id", F.col("cleaned_text").alias("text"), "n_removed"
+        )
+        return surv.select("doc_id", "source").join(rw, "doc_id").select(
+            "doc_id", "source", "text", "n_removed"
+        )

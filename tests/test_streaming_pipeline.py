@@ -126,3 +126,82 @@ def test_survivors_before_any_batch_names_bootstrap_step(
     pipe = StreamingCurationPipeline(str(tmp_path / "none"))
     with pytest.raises(RuntimeError, match="process_batch"):
         pipe.survivors(spark)
+
+
+def test_full_pipeline_with_substr_stage_equals_batch(
+    spark, sf_smoke, tmp_path
+):
+    """substr_dedup=True: the live flow is the FULL Lee et al. shape —
+    gate → exact dedup → exact-substring rewrite → accounting — and
+    for ordered splits every surface (curated rows, accounting) is
+    row-identical to the batch composition. A cross-batch duplicated
+    PASSAGE (different texts, shared 8-token run, so exact dedup keeps
+    both) must be cut from the later arrival, and the accounting must
+    count the cleaned tokens, not the raw ones."""
+    from pyspark.sql import functions as FN
+
+    from orionld_to_hive_spark.operators.dedup import (
+        _substr_cut,
+        _substr_dups,
+    )
+
+    # all-alphabetic tokens so the quality gate's alpha-ratio check
+    # admits both planted docs
+    phrase = "sa sb sc sd se sf sg sh"
+    filler1 = " ".join(f"w{chr(ord('a') + i)}" for i in range(26))
+    filler2 = " ".join(f"k{chr(ord('a') + i)}" for i in range(26))
+    planted = spark.createDataFrame(
+        [
+            (200001, "web", f"{filler1} {phrase} tailx"),
+            (400001, "web", f"heady {phrase} {filler2} endz"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    inp = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "source", "text")
+        .unionAll(planted)
+        .cache()
+    )
+    pipe = StreamingCurationPipeline(
+        str(tmp_path / "cur"), substr_dedup=True
+    )
+    bounds = [0, 120, 300000, 10**9]
+    for i in range(3):
+        pipe.process_batch(
+            inp.filter(
+                (FN.col("doc_id") >= bounds[i])
+                & (FN.col("doc_id") < bounds[i + 1])
+            ),
+            batch_id=i,
+        )
+
+    # batch twin: survivors → substring rewrite over the whole corpus
+    surv = _batch_twin_survivors(inp)
+    toks = FN.split(FN.col("text"), " ")
+    docs = surv.select("doc_id", toks.alias("toks"))
+    cleaned = _substr_cut(docs, _substr_dups(docs)).select(
+        "doc_id",
+        FN.col("cleaned_text").alias("text"),
+        "n_removed",
+    )
+    twin = (
+        surv.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .select("doc_id", "source", "text", "n_removed")
+    )
+    assert _rows(pipe.curated(spark)) == _rows(twin)
+    assert _rows(pipe.accounting(spark)) == _rows(
+        _accounting_of(twin.select("doc_id", "source", "text"))
+    )
+    # the planted later arrival lost its shared passage
+    got = {
+        r["doc_id"]: r
+        for r in pipe.curated(spark)
+        .filter(FN.col("doc_id").isin(200001, 400001))
+        .collect()
+    }
+    assert got[200001]["n_removed"] == 0
+    assert got[400001]["n_removed"] == 8
+    assert phrase not in got[400001]["text"]
+    inp.unpersist()
