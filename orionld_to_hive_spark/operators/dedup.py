@@ -843,11 +843,11 @@ def _substr_cut(docs: DataFrame, dup: DataFrame) -> DataFrame:
     reassembly; untouched documents (the vast majority of a healthy
     corpus) pass through as array_join(toks) — an exact identity for
     split-on-space tokens, including empty tokens from repeated
-    spaces. `dup` feeds three consumers, so it is cached; it is small
-    (one row per duplicated occurrence), the corpus-scale frames are
-    never cached. Measured 3.0 → 1.0 s at sf0.1 over the tiled
-    rewrite's shape."""
-    dup = dup.cache()
+    spaces. `dup` feeds two consumers here (touched + covered) —
+    CALLERS own its persistence (the batch operator caches it for the
+    query's lifetime; the streaming twin persists per batch and
+    unpersists after its writes, so a long-running stream never
+    accumulates dead cached frames)."""
     touched = dup.select("doc_id").distinct()
     covered = dup.select(
         "doc_id",
@@ -920,7 +920,9 @@ def _substr_dups(docs: DataFrame) -> DataFrame:
 def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    return _substr_cut(docs, _substr_dups(docs))
+    # cache the small duplicated-occurrence frame for the cut stage's
+    # two consumers (one gram-pipeline evaluation instead of two)
+    return _substr_cut(docs, _substr_dups(docs).cache())
 
 
 # The REPORT half: per-document profile of the MAXIMAL duplicated

@@ -88,11 +88,6 @@ class JpegImage(NamedTuple):
     channels: int  # 1 = grey, 3 = RGB
 
 
-class _MarkerHit(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
-
-
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
     de-stuffing. Keeps a multi-byte accumulator so peek/skip (the LUT
@@ -244,6 +239,10 @@ def decode_jpeg(payload: bytes) -> JpegImage:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # spec B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them before reading the marker code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -294,6 +293,18 @@ def decode_jpeg(payload: bytes) -> JpegImage:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, ch, cv, _tq in comps:
+                if ch == 0 or cv == 0 or hmax % ch or vmax % cv:
+                    # spec-legal but pathological (e.g. 3:2 ratios);
+                    # pixel-replication upsampling needs an integer
+                    # ratio — refuse loudly rather than mis-size planes
+                    raise NotImplementedError(
+                        f"non-integer chroma upsampling ratio "
+                        f"(component {cid}: {ch}x{cv} vs max "
+                        f"{hmax}x{vmax})"
+                    )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -612,13 +623,16 @@ _ASSET_SCHEMA = T.StructType(
 )
 
 
-def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # decode is CPU-bound Python: spread the docs across the session's
-    # cores before mapInPandas — the local corpus arrives as one
-    # parquet split, which would otherwise pin the whole decode stage
-    # to a single worker (measured 22 s → 1.6 s at sf0.1); on a real
-    # cluster the input already has file-split parallelism and the
-    # round-robin exchange is noise next to the decode
+def _assets_from_documents(
+    spark: SparkSession, sf_dir: str, encoder
+) -> DataFrame:
+    """Documents → flat-block JPEG assets through `encoder`. Decode is
+    CPU-bound Python: spread the docs across the session's cores
+    before mapInPandas — the local corpus arrives as one parquet
+    split, which would otherwise pin the whole codec stage to a single
+    worker (measured 22 s → 2.8 s at sf0.1); on a real cluster the
+    input already has file-split parallelism and the round-robin
+    exchange is noise next to the codec work."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -628,7 +642,7 @@ def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                encode_jpeg_gray_flat(
+                encoder(
                     np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
                 )
                 for t in pdf["text"]
@@ -642,6 +656,10 @@ def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(synth, _ASSET_SCHEMA)
+
+
+def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assets_from_documents(spark, sf_dir, encode_jpeg_gray_flat)
 
 
 def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
@@ -683,29 +701,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jpeg_color_assets_from_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = [
-                encode_jpeg_color_flat(
-                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                )
-                for t in pdf["text"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "mime": "image/jpeg",
-                }
-            )
-
-    return docs.mapInPandas(synth, _ASSET_SCHEMA)
+    return _assets_from_documents(spark, sf_dir, encode_jpeg_color_flat)
 
 
 def multimodal_jpeg_color_stats(

@@ -133,16 +133,27 @@ def _acquire_lock(spark, target_path: str, break_stale_lock_s: float | None):
     return lock_fs, lock, owned_mtime
 
 
+# Only sweep .broken-* asides older than this: a FRESH aside may be a
+# captured active lock whose breaker is mid-hand-back (rename(lock,
+# aside) happened, rename(aside, lock) imminent) — sweeping it would
+# fail the hand-back and leave two writers concurrent (r9 review). A
+# hand-back completes within one _acquire_lock call; an hour-old aside
+# is definitively litter.
+_ASIDE_SWEEP_MIN_AGE_S = 3600.0
+
+
 def _release_lock(lock_fs, lock, owned_mtime) -> None:
     """Delete the lock ONLY if it is still the one we created (mtime
     witness): if our lock was broken as stale and another writer now
     holds a fresh one, deleting blindly would evict THAT writer and
-    cascade a third into its critical section. Also sweeps any
+    cascade a third into its critical section. Also sweeps OLD
     `.broken-*` asides left by failed stale-break hand-backs (r8
-    review): by release time their captured writers have either
-    finished or will fail their own mtime-witnessed release anyway, so
-    the asides are pure litter — and deleting them never gates anyone,
-    since only the exact lock path does."""
+    review) — but only past _ASIDE_SWEEP_MIN_AGE_S, because a fresh
+    aside may be a captured lock whose breaker is about to hand it
+    back (r9 review); deleting an old aside never gates anyone, since
+    only the exact lock path does."""
+    import time as _time
+
     try:
         if (
             lock_fs.exists(lock)
@@ -151,8 +162,11 @@ def _release_lock(lock_fs, lock, owned_mtime) -> None:
         ):
             lock_fs.delete(lock, False)
         aside_glob = lock.suffix(".broken-*")
+        now_ms = _time.time() * 1000.0
         for st in lock_fs.globStatus(aside_glob) or []:
-            lock_fs.delete(st.getPath(), False)
+            age_s = (now_ms - st.getModificationTime()) / 1000.0
+            if age_s > _ASIDE_SWEEP_MIN_AGE_S:
+                lock_fs.delete(st.getPath(), False)
     except Exception:
         pass  # release is best-effort; a leftover lock is reclaimable
 

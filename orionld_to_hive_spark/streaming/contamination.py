@@ -51,21 +51,19 @@ class StreamingContaminationScreen:
         hits view's interpretation — per-batch hit pairs reference
         gram hashes, so grams dropped from the eval set simply stop
         matching at read time."""
-        grams = eval_docs.select(
-            "doc_id", _shingles().alias("grams")
-        ).select("doc_id", F.explode("grams").alias("g")).distinct()
-        grams = grams.persist()
-        try:
-            grams.write.mode("overwrite").parquet(
-                f"{self.base}/eval_grams"
-            )
-            grams.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_grams")
-            ).write.mode("overwrite").parquet(
-                f"{self.base}/eval_totals"
-            )
-        finally:
-            grams.unpersist()
+        grams = (
+            eval_docs.select("doc_id", _shingles().alias("grams"))
+            .select("doc_id", F.explode("grams").alias("g"))
+            .distinct()
+        )
+        grams.write.mode("overwrite").parquet(f"{self.base}/eval_grams")
+        # denominators from the DOC frame, not the exploded grams — an
+        # eval doc too short to shingle still owns an n_grams=0 row,
+        # exactly like the batch twin's size(array_distinct(grams))
+        eval_docs.select(
+            "doc_id",
+            F.size(F.array_distinct(_shingles())).alias("n_grams"),
+        ).write.mode("overwrite").parquet(f"{self.base}/eval_totals")
 
     # -- per-batch screening ------------------------------------------
     def screen_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -117,10 +115,18 @@ class StreamingContaminationScreen:
             )
         totals = spark.read.parquet(f"{self.base}/eval_totals")
         if _hadoop_exists(spark, f"{self.base}/hits"):
+            # re-anchor accumulated hit pairs on the CURRENT eval gram
+            # state: after an eval-set re-bootstrap, pairs whose gram
+            # was dropped must stop matching (the documented update
+            # contract) instead of inflating n_hit with stale grams
+            current = spark.read.parquet(
+                f"{self.base}/eval_grams"
+            ).select("doc_id", "g")
             hits = (
                 spark.read.parquet(f"{self.base}/hits")
                 .select("doc_id", "g")
                 .distinct()  # set union across batches — idempotent
+                .join(current, ["doc_id", "g"], "left_semi")
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_hit"))
             )

@@ -67,15 +67,18 @@ class StreamingExactSubstr:
             F.min(F.struct("doc_id", "pos")).alias("bmin")
         )
         if _hadoop_exists(spark, f"{self.base}/grams"):
+            # prune the store to this batch's gram keys BEFORE the
+            # min-merge aggregate — the semi-join keeps the per-batch
+            # cost keyed on the BATCH's grams; aggregating the whole
+            # store first would shuffle corpus-scale state every batch
             smin = (
                 spark.read.parquet(f"{self.base}/grams")
                 .filter(F.col("batch_id") < batch_id)
+                .join(bmin.select("gh"), "gh", "left_semi")
                 .groupBy("gh")
                 .agg(F.min(F.struct("doc_id", "pos")).alias("smin"))
             )
-            # prune the store to this batch's gram keys (inner join
-            # from the small side), then take the overall minimum;
-            # F.least skips nulls from the left join
+            # overall minimum; F.least skips nulls from the left join
             mins = bmin.join(smin, "gh", "left").select(
                 "gh", F.least("smin", "bmin").alias("omin")
             )
@@ -88,17 +91,21 @@ class StreamingExactSubstr:
                 | (F.col("pos") != F.col("omin.pos"))
             )
             .select("doc_id", "pos")
+            .persist()  # two consumers in the cut stage; released below
         )
-        _substr_cut(docs, dup).write.mode("overwrite").parquet(
-            f"{self.base}/out/batch_id={batch_id}"
-        )
-        bmin.select(
-            "gh",
-            F.col("bmin.doc_id").alias("doc_id"),
-            F.col("bmin.pos").alias("pos"),
-        ).write.mode("overwrite").parquet(
-            f"{self.base}/grams/batch_id={batch_id}"
-        )
+        try:
+            _substr_cut(docs, dup).write.mode("overwrite").parquet(
+                f"{self.base}/out/batch_id={batch_id}"
+            )
+            bmin.select(
+                "gh",
+                F.col("bmin.doc_id").alias("doc_id"),
+                F.col("bmin.pos").alias("pos"),
+            ).write.mode("overwrite").parquet(
+                f"{self.base}/grams/batch_id={batch_id}"
+            )
+        finally:
+            dup.unpersist()
 
     def start(
         self, stream_df: DataFrame, checkpoint_dir: str,

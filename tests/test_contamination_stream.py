@@ -85,3 +85,60 @@ def test_report_before_any_batch_is_all_zero_and_guards(
     rep = scr.report(spark)
     assert rep.count() == eval_docs.count()
     assert rep.filter(F.col("n_hit") != 0).count() == 0
+
+
+def test_short_eval_doc_keeps_zero_gram_row(spark, tmp_path):
+    """r9 review: an eval doc too short to shingle must still own an
+    n_grams=0 row (the batch twin's size(array_distinct) semantics),
+    not silently vanish from the report."""
+    eval_docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot"),
+            (2, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    scr = StreamingContaminationScreen(str(tmp_path / "scr"))
+    scr.bootstrap_eval(eval_docs)
+    scr.screen_batch(
+        spark.createDataFrame(
+            [(10, "alpha bravo charlie delta echo leak")],
+            ["doc_id", "text"],
+        ),
+        batch_id=0,
+    )
+    rep = {r["doc_id"]: r for r in scr.report(spark).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[2]["n_grams"] == 0 and rep[2]["n_hit"] == 0
+    assert rep[2]["contamination_rate"] is None  # 0/0, like the twin
+    assert rep[1]["n_hit"] >= 1
+
+
+def test_rebootstrap_drops_stale_hits(spark, tmp_path):
+    """r9 review: after an eval-set re-bootstrap, accumulated hit
+    pairs whose grams left the eval set must stop matching — the
+    documented update contract — instead of inflating n_hit (or
+    pushing the rate past 1.0 when the new text is shorter)."""
+    scr = StreamingContaminationScreen(str(tmp_path / "scr"))
+    scr.bootstrap_eval(
+        spark.createDataFrame(
+            [(1, "one two three four five six")], ["doc_id", "text"]
+        )
+    )
+    scr.screen_batch(
+        spark.createDataFrame(
+            [(10, "one two three four five six")], ["doc_id", "text"]
+        ),
+        batch_id=0,
+    )
+    assert scr.report(spark).collect()[0]["n_hit"] == 2
+    # re-bootstrap doc 1 with entirely different text, none in corpus
+    scr.bootstrap_eval(
+        spark.createDataFrame(
+            [(1, "seven eight nine ten eleven twelve")],
+            ["doc_id", "text"],
+        )
+    )
+    row = scr.report(spark).collect()[0]
+    assert row["n_hit"] == 0
+    assert row["contamination_rate"] == 0.0

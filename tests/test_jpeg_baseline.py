@@ -236,6 +236,38 @@ def test_decode_asset_routes_jpeg():
     assert (grid[:8, :8] == 10).all() and (grid[:8, 8:16] == 200).all()
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code. Splice fill bytes before several markers of a valid
+    stream and decode — same pixels."""
+    bits = _Bits()
+    _dc(bits, 8)
+    bits.put(0, 1)
+    plain = _grey_header(8, 8) + bits.bytes() + b"\xff\xd9"
+    # inject a fill byte before every marker (0xFF followed by a
+    # non-zero, non-stuffing code) of the HEADER portion
+    padded = plain.replace(b"\xff\xdb", b"\xff\xff\xdb").replace(
+        b"\xff\xc0", b"\xff\xff\xff\xc0"
+    ).replace(b"\xff\xd9", b"\xff\xff\xd9")
+    img = decode_jpeg(padded)
+    assert (img.samples == 129).all()
+
+
+def test_non_divisible_sampling_refuses_loudly():
+    """h=3 luma with h=2 chroma is spec-legal but needs non-integer
+    upsampling — refuse at SOF parse, never mis-size planes."""
+    sof = (
+        b"\xff\xd8"
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x31, 0, 2, 0x21, 0, 3, 0x11, 0]),
+        )
+    )
+    with pytest.raises(NotImplementedError, match="upsampling ratio"):
+        decode_jpeg(sof)
+
+
 def test_refusals_are_loud():
     sof2 = (
         b"\xff\xd8"
