@@ -45,6 +45,7 @@ from typing import Iterator, NamedTuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from orionld_to_hive_spark.operators.multimodal import (
@@ -662,6 +663,41 @@ def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assets_from_documents(spark, sf_dir, encode_jpeg_gray_flat)
 
 
+def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
+    """Header-only metadata pass: walk markers to SOF0 and return
+    (width, height, n_components) WITHOUT touching entropy data — the
+    cheap first phase of selective decode (at 100 TB you read a few
+    hundred header bytes per asset to decide which assets are worth
+    the full decode). Same refusal surface as decode_jpeg for
+    non-baseline frames."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no frame seen
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if marker == 0xC0:
+            h, w = struct.unpack_from(">HH", payload, pos + 3)
+            return w, h, payload[pos + 7]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"non-baseline JPEG ({kind}); only SOF0 is supported"
+            )
+        pos += seglen
+    raise ValueError("no frame in JPEG stream")
+
+
 def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -760,6 +796,50 @@ ORDER BY asset_id
 """
 
 
+# Selective decode: header-only dims pass → filter → full decode of
+# the SURVIVORS only. The pattern real multimodal pipelines run at
+# 100 TB: the metadata pass reads a few hundred bytes per asset and
+# the expensive pixel decode is paid only for assets the predicate
+# keeps. Here: assets at least JPEG_SELECT_MIN_ROWS block rows tall
+# (height ≥ 16 px ⇔ source document > JPEG_BLOCKS_W bytes).
+JPEG_SELECT_MIN_ROWS = 2
+
+
+def multimodal_jpeg_selective_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assets = jpeg_assets_from_documents(spark, sf_dir)
+
+    def dims(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            heights = [
+                parse_jpeg_dims(bytes(p))[1] for p in pdf["payload"]
+            ]
+            out = pdf[["asset_id", "payload", "mime"]].copy()
+            out["height"] = pd.Series(heights, dtype="int32").values
+            yield out
+
+    dims_schema = T.StructType(
+        list(_ASSET_SCHEMA.fields)
+        + [T.StructField("height", T.IntegerType(), True)]
+    )
+    survivors = (
+        assets.mapInPandas(dims, dims_schema)
+        .filter(F.col("height") >= 8 * JPEG_SELECT_MIN_ROWS)
+        .select("asset_id", "payload", "mime")
+    )
+    return jpeg_pixel_stats(survivors).orderBy("asset_id")
+
+
+# oracle: the grey stats restricted to nb ≥ JPEG_SELECT_MIN_ROWS —
+# the dims predicate in byte-domain form
+MULTIMODAL_JPEG_SELECTIVE_SQL = MULTIMODAL_JPEG_SQL.replace(
+    "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id",
+    "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id\n"
+    f"WHERE d.nb >= {JPEG_SELECT_MIN_ROWS}",
+)
+
+
 # Color byte-domain oracle: byte b → 64 RGB pixels with the closed
 # form above. Per byte the channel-sample SUM is
 # max(b−14,0) + b + min(b+35,255); the MAX rides the B channel
@@ -814,9 +894,11 @@ ORDER BY asset_id
 QUERIES = {
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
+    "multimodal_jpeg_selective_stats": multimodal_jpeg_selective_stats,
 }
 
 ORACLES = {
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
+    "multimodal_jpeg_selective_stats": MULTIMODAL_JPEG_SELECTIVE_SQL,
 }

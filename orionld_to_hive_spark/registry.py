@@ -65,6 +65,7 @@ _PRIORITY = (
     "exact_substr_spans",
     "multimodal_jpeg_stats",
     "multimodal_jpeg_color_stats",
+    "multimodal_jpeg_selective_stats",
     # (b) the seven-query r3 tail from the r8 rotation
     "train_val_split_report",
     "udf_sql_surface",

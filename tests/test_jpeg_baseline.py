@@ -268,6 +268,42 @@ def test_non_divisible_sampling_refuses_loudly():
         decode_jpeg(sof)
 
 
+def test_dims_pass_never_touches_entropy_data():
+    """parse_jpeg_dims must work on a payload TRUNCATED at SOS — the
+    whole point of the metadata pass is deciding whether to decode
+    without reading entropy data."""
+    from orionld_to_hive_spark.operators.jpeg import parse_jpeg_dims
+
+    full = encode_jpeg_gray_flat(np.arange(9, dtype=np.uint8))
+    truncated = full[: full.index(b"\xff\xda")]
+    assert parse_jpeg_dims(truncated) == (32, 24, 1)
+    assert parse_jpeg_dims(full) == (32, 24, 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        parse_jpeg_dims(
+            b"\xff\xd8"
+            + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        )
+
+
+def test_selective_stats_equal_full_stats_filtered(spark, sf_smoke):
+    """Selective decode ≡ full decode restricted to the dims
+    predicate — and the predicate actually drops rows on this
+    corpus... if it doesn't (all docs are tall), the test still pins
+    frame equality."""
+    from orionld_to_hive_spark.operators.jpeg import (
+        JPEG_SELECT_MIN_ROWS,
+        multimodal_jpeg_selective_stats,
+        multimodal_jpeg_stats,
+    )
+
+    full = multimodal_jpeg_stats(spark, sf_smoke)
+    sel = multimodal_jpeg_selective_stats(spark, sf_smoke)
+    want = full.filter(full.height >= 8 * JPEG_SELECT_MIN_ROWS)
+    assert sorted(map(tuple, sel.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_refusals_are_loud():
     sof2 = (
         b"\xff\xd8"
