@@ -57,6 +57,11 @@ _MODULES = (
 # five rows-only-by-design queries (p6_sample_seeded etc.) are
 # excluded — each has an exact driver-certified sibling, so prefix
 # slots are wasted on them.
+# Final r9 prefix math: (a)=7 r9-new + (b)=7 r3 tail + the first 36 of
+# the 42-query r4 block = 50; the alphabetical r4 tail of 6
+# (tpch_q15_top_supplier, tpch_q19_disjunctive, udaf_median_value,
+# unigram_logprob_score, value_histogram, word_freq_explode — slots
+# 51-56) rotates with the r6 block in r10.
 _PRIORITY = (
     # (a) new in r9 — added as each lands this round
     "multimodal_png_palette4_stats",
