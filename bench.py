@@ -40,6 +40,11 @@ from orionld_to_hive_spark.session import get_spark
 
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
+# BENCH_HIGH_REPS=0 disables the per-query HIGH_REPS overrides below —
+# for verify smokes that only check the JSON contract, where paying 30
+# reps on the parity quartet buys nothing. Publication runs leave it on.
+HIGH_REPS_ENABLED = os.environ.get("BENCH_HIGH_REPS", "1") != "0"
+
 # Per-query rep OVERRIDES at the headline scale (max of this and REPS).
 # The reference methodology runs 30 reps (hive.py:105-138); running the
 # whole headline set at 30 would cost ~25 min, so the budget goes where
@@ -264,7 +269,11 @@ def run_scale(
     detail: dict[str, dict] = {}
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        n = max(HIGH_REPS.get(name, 0), reps) if high_reps else reps
+        n = (
+            max(HIGH_REPS.get(name, 0), reps)
+            if high_reps and HIGH_REPS_ENABLED
+            else reps
+        )
         stats = time_query(queries[name], spark, sf_dir, reps=n)
         stats["reps"] = n
         if engine_split:

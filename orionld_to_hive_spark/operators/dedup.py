@@ -848,13 +848,26 @@ def _substr_cut(docs: DataFrame, dup: DataFrame) -> DataFrame:
     query's lifetime; the streaming twin persists per batch and
     unpersists after its writes, so a long-running stream never
     accumulates dead cached frames)."""
-    touched = dup.select("doc_id").distinct()
-    covered = dup.select(
+    return _substr_cut_covered(docs, _covered_idx(dup))
+
+
+def _covered_idx(dup: DataFrame) -> DataFrame:
+    """Expand duplicated window starts (doc_id, pos) to the distinct
+    covered token indices (doc_id, idx)."""
+    return dup.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + (EXACT_SUBSTR_K - 1))
         ).alias("idx"),
     ).distinct()
+
+
+def _substr_cut_covered(docs: DataFrame, covered: DataFrame) -> DataFrame:
+    """Cut/reassemble against an explicit covered-index frame
+    (doc_id, idx) — the shared tail of `_substr_cut` and the
+    min-span-thresholded rewrite, which filters the covered set to
+    long spans before cutting."""
+    touched = covered.select("doc_id").distinct()
     tdocs = docs.join(touched, "doc_id", "left_semi")
     tokens = tdocs.select(
         "doc_id", F.posexplode("toks").alias("idx", "tok")
@@ -923,6 +936,54 @@ def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the small duplicated-occurrence frame for the cut stage's
     # two consumers (one gram-pipeline evaluation instead of two)
     return _substr_cut(docs, _substr_dups(docs).cache())
+
+
+# Lee et al.'s production setting removes only duplicated spans of at
+# least ~50 tokens — cutting EVERY duplicated K-gram window (the
+# operator above, the oracle-pinned default) excises common idioms on
+# real corpora. The thresholded variant keeps the same detection
+# stage, merges covered indices into maximal spans (gaps-and-islands,
+# same derivation as `exact_substr_spans`), drops spans shorter than
+# `min_span_len`, and cuts only what remains. The span window sorts
+# per (doc_id) over the COVERED set only — bounded by the duplicated
+# fraction of the corpus, not its size.
+EXACT_SUBSTR_MIN_SPAN = 16
+
+
+def exact_substr_rewrite_minspan(
+    spark: SparkSession,
+    sf_dir: str,
+    min_span_len: int = EXACT_SUBSTR_MIN_SPAN,
+) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    return _minspan_cut(docs, min_span_len)
+
+
+def _minspan_cut(docs: DataFrame, min_span_len: int) -> DataFrame:
+    """Frame-level core of the thresholded rewrite (docs must carry a
+    `toks` array column) — shared by the registry query and the
+    property tests."""
+    from pyspark.sql import Window
+
+    covered = _covered_idx(_substr_dups(docs))
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    # islands are contiguous index runs, so lo..hi re-expansion after
+    # the length filter is exact (span_len == hi - lo + 1)
+    long_spans = (
+        covered.withColumn("grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("span_len"),
+            F.min("idx").alias("lo"),
+            F.max("idx").alias("hi"),
+        )
+        .filter(F.col("span_len") >= min_span_len)
+    )
+    cut = long_spans.select(
+        "doc_id", F.explode(F.sequence("lo", "hi")).alias("idx")
+    )
+    return _substr_cut_covered(docs, cut.cache())
 
 
 # The REPORT half: per-document profile of the MAXIMAL duplicated
@@ -1074,9 +1135,67 @@ ORDER BY doc_id
 """
 
 
+EXACT_SUBSTR_MINSPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, CAST(i+1 AS INTEGER),
+                                        CAST(i+{EXACT_SUBSTR_K} AS INTEGER)),
+                             ' ')) AS gh
+  FROM d, unnest(range(0, greatest(len(toks) - {EXACT_SUBSTR_K - 1}, 0)))
+       AS t(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INTEGER) AS idx
+  FROM dup, unnest(range(0, {EXACT_SUBSTR_K})) AS u(j)
+),
+spans AS (
+  SELECT doc_id, COUNT(*) AS span_len, MIN(idx) AS lo FROM (
+    SELECT doc_id, idx,
+           idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+    FROM cov
+  ) GROUP BY doc_id, grp
+),
+cut AS (
+  SELECT doc_id, CAST(lo + j AS INTEGER) AS idx
+  FROM spans, unnest(range(0, span_len)) AS u(j)
+  WHERE span_len >= {EXACT_SUBSTR_MIN_SPAN}
+),
+tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS idx, toks[CAST(i+1 AS INTEGER)] AS tok
+  FROM d, unnest(range(0, len(toks))) AS t2(i)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.idx = c.idx
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS body
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.body, '') AS cleaned_text
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "exact_substr_rewrite": exact_substr_rewrite,
+    "exact_substr_rewrite_minspan": exact_substr_rewrite_minspan,
     "exact_substr_spans": exact_substr_spans,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1091,6 +1210,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "exact_substr_rewrite": EXACT_SUBSTR_SQL,
+    "exact_substr_rewrite_minspan": EXACT_SUBSTR_MINSPAN_SQL,
     "exact_substr_spans": EXACT_SUBSTR_SPANS_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

@@ -178,18 +178,50 @@ _LSH_HASH_P = 2147483647  # 2^31 - 1, shared with the sketch family
 # ~200× across the range and the rows decorrelate (pinned by unit).
 _LSH_HASH_A, _LSH_HASH_B = 1103515245, 12345
 _LSH_QUANT = 1_000_000
-_LSH_SIGNS = [
-    [
-        1
-        if ((_LSH_HASH_A * (b * EMBED_DIM + i) + _LSH_HASH_B) % _LSH_HASH_P) % 2
-        else -1
-        for i in range(EMBED_DIM)
+
+
+def _lsh_signs(table: int = 0) -> list[list[int]]:
+    """Rademacher sign rows for one LSH table. Table 0 keeps the
+    r7-pinned parity-LCG planes bit-for-bit (oracle-certified queries
+    depend on them). Tables ≥ 1 (the multi-table recall knob, r10)
+    draw sha256 parities instead: the LCG parity family has deep
+    linear structure — measured pairwise |dot| up to 52/64 within
+    table 0 and EXACT row collisions at some cross-table offsets —
+    which would make "independent" tables probe near-identical cuts.
+    sha rows measure max |dot| 24/64 among themselves and against
+    table 0. The choice of generator is driver-side only: the sign
+    values are INLINED into the DuckDB twin as a VALUES list, so
+    exactness of the oracle never depends on reproducing the hash in
+    SQL."""
+    if table == 0:
+        return [
+            [
+                1
+                if ((_LSH_HASH_A * (b * EMBED_DIM + i) + _LSH_HASH_B)
+                    % _LSH_HASH_P) % 2
+                else -1
+                for i in range(EMBED_DIM)
+            ]
+            for b in range(LSH_BITS)
+        ]
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.sha256(f"lsh:{table}:{b}:{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(EMBED_DIM)
+        ]
+        for b in range(LSH_BITS)
     ]
-    for b in range(LSH_BITS)
-]
+
+
+_LSH_SIGNS = _lsh_signs(0)
 assert (
-    len({tuple(row) for row in _LSH_SIGNS}) == LSH_BITS
-), "LSH sign rows must be distinct hyperplanes"
+    len({tuple(row) for t in range(4) for row in _lsh_signs(t)})
+    == 4 * LSH_BITS
+), "LSH sign rows must be distinct hyperplanes across tables"
 
 # Banded cosine-LSH for threshold pair-mining (the dedup_minhash_lsh
 # pattern applied to hyperplane signatures): NEARDUP_BANDS bands of
@@ -312,23 +344,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_proj_udf():
+def _lsh_proj_udf(table: int = 0):
     """Raw integer projections (one per hyperplane), before the sign —
     the balanced variant thresholds these at the per-bit corpus median
     instead of 0."""
     from pyspark.sql import types as T
 
+    table_signs = _lsh_signs(table)
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def _proj(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())
         quant = np.floor(mat * _LSH_QUANT).astype(np.int64)
-        signs = np.asarray(_LSH_SIGNS, dtype=np.int64).T  # (dim, LSH_BITS)
+        signs = np.asarray(table_signs, dtype=np.int64).T  # (dim, LSH_BITS)
         return pd.Series(list(quant @ signs))
 
     return _proj
 
 
-def balanced_buckets(emb: DataFrame) -> DataFrame:
+def balanced_buckets(emb: DataFrame, table: int = 0) -> DataFrame:
     """(vec_id, bucket) with per-bit MEDIAN-thresholded projections
     (spectral-hashing-style bit balancing): each bit splits the corpus
     exactly 50/50 regardless of where the data sits, where a
@@ -338,7 +372,7 @@ def balanced_buckets(emb: DataFrame) -> DataFrame:
     cumulative-sum move (the quantile_portable_value machinery)."""
     from pyspark.sql.window import Window
 
-    proj = emb.withColumn("proj", _lsh_proj_udf()(F.col("vec")))
+    proj = emb.withColumn("proj", _lsh_proj_udf(table)(F.col("vec")))
     # cache: pb feeds BOTH the threshold histogram and the bucket
     # assembly, and Catalyst does not reuse the Arrow projection
     # across the two consumers (verified: 8 ArrowEvalPython nodes
@@ -474,6 +508,102 @@ def ann_multiprobe_r2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same radius keeps recall ≥ 0.95 at 12 more bits, because the
     Hamming tail concentrates as bits grow."""
     return _multiprobe_topk(spark, sf_dir, _mp_masks_r2())
+
+
+ANN_TABLES = 3  # L in the classic (L tables, radius-r probes) LSH
+
+
+def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE independent balanced 6-bit LSH tables, each probed at
+    radius 2, candidate sets unioned — the ≥0.8 recall operating
+    point (VERDICT r9 item 5). All integer arithmetic, so the full
+    approximate answer keeps an exact DuckDB oracle.
+
+    Why L=3 × radius 2 (measured grid in PLANS.md r10, gated in
+    tests/test_ann_recall.py): the corpus's true top-5 pairs sit at
+    cos 0.40–0.51 — per-bit disagreement p ≈ θ/π ≈ 1/3, nearly a
+    coin flip, the hardest regime for LSH. The verdict's candidate
+    configs both fall short there: tables × radius-1 tops out at
+    1-(1-0.35)^L ≈ 0.58 for L=2 (0.54 measured at sf0.01 even with
+    FOUR tables), and 8-bit codes at radius 2 THIN the ball to
+    P[Ham ≤ 2 of 8] ≈ 0.47 — more bits shrink every fixed-radius
+    tail. Table independence turned out to be the load-bearing knob:
+    with the parity-LCG family extended past table 0 the rows are
+    heavily correlated (see _lsh_signs) and the grid stalls
+    (2/3/4×R2 = 0.70/0.76/0.82 at sf0.01); with sha tables the same
+    grid reads 0.76/0.84/0.92 at fan-out 0.59/0.73/0.82
+    (sf0.001: 0.86/0.94/0.96). L=3 is the knee: recall ≥ 0.84 at
+    both scales for ~72% expected fan-out. That fan-out is the
+    honest price of recall 0.8 at near-random angles; at a
+    production similarity cut (cos ≥ 0.9, p ≈ 0.86 per bit) the same
+    L and radius prune hard because the Hamming tail concentrates.
+
+    Scale notes: a neighbor can surface from several tables, so the
+    candidate PAIRS are distinct-ed BEFORE the cosine re-rank — the
+    dedup shuffles (query_id, neighbor_id) keys only, and each
+    pair's exact cosine is computed once. Bucket assignment stays one
+    Arrow projection pass per table (at 100 TB: one pass computing
+    all L codes, thresholds pinned in index metadata); the probe
+    explosion is an equi-join on the bucket key, never a cross
+    join."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec")
+    # one frame carrying every table's bucket: consumed by the query
+    # side and all L probe joins (cache avoids re-running the Arrow
+    # projection passes per consumer)
+    embb = emb
+    for t in range(ANN_TABLES):
+        embb = embb.join(
+            balanced_buckets(emb, t).withColumnRenamed("bucket", f"bucket{t}"),
+            "vec_id",
+        )
+    embb = embb.cache()
+    queries = embb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        *[F.col(f"bucket{t}").alias(f"qb{t}") for t in range(ANN_TABLES)],
+    )
+    masks = (0,) + _mp_masks_r2()  # 0 = the query's own bucket
+    pairs = None
+    for t in range(ANN_TABLES):
+        probes = F.array(
+            *[F.col(f"qb{t}").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        probed = queries.select(
+            "query_id", F.explode(probes).alias("pbucket")
+        )
+        cand = probed.join(
+            embb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col(f"bucket{t}").alias("nbucket"),
+            ),
+            (F.col("pbucket") == F.col("nbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        ).select("query_id", "neighbor_id")
+        pairs = cand if pairs is None else pairs.unionAll(cand)
+    pairs = pairs.distinct()
+    scored = (
+        pairs.join(
+            F.broadcast(queries.select("query_id", "qv")), "query_id"
+        )
+        .join(
+            embb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("vec").alias("nv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1148,6 +1278,80 @@ ANN_LSH_MULTIPROBE_R2_SQL = _multiprobe_sql(
     _probe_list_sql(_mp_masks_r2())
 )
 
+# Multi-table twin: same projections/thresholds machinery with a tbl
+# dimension; sign rows come from the SAME _lsh_signs() the Spark UDFs
+# use, so the twins cannot drift. Candidate pairs are DISTINCT-ed
+# before the cosine re-rank, mirroring the Spark plan.
+_LSH_SIGN_VALUES_MT = ", ".join(
+    f"({t}, {b}, {i}, {s})"
+    for t in range(ANN_TABLES)
+    for b, row in enumerate(_lsh_signs(t))
+    for i, s in enumerate(row)
+)
+
+ANN_MULTITABLE_SQL = f"""
+WITH s(tbl, b, i, sgn) AS (VALUES {_LSH_SIGN_VALUES_MT}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, s.tbl, s.b,
+         SUM(CAST(floor(e.v[s.i + 1] * {_LSH_QUANT}) AS BIGINT) * s.sgn)
+           AS p
+  FROM emb e CROSS JOIN s
+  GROUP BY e.vec_id, s.tbl, s.b
+),
+hist AS (SELECT tbl, b, p, COUNT(*) AS c FROM proj GROUP BY tbl, b, p),
+sized AS (
+  SELECT tbl, b, p, c,
+         SUM(c) OVER (PARTITION BY tbl, b ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY tbl, b) AS tot
+  FROM hist
+),
+thr AS (
+  SELECT tbl, b, MIN(CASE WHEN cum >= ceil(tot * 0.5) THEN p END) AS t
+  FROM sized GROUP BY tbl, b
+),
+buckets AS (
+  SELECT proj.vec_id, proj.tbl,
+         CAST(SUM((CASE WHEN proj.p > thr.t THEN 1 ELSE 0 END) << proj.b)
+              AS INTEGER) AS bucket
+  FROM proj JOIN thr USING (tbl, b)
+  GROUP BY proj.vec_id, proj.tbl
+),
+q AS (
+  SELECT bk.vec_id AS query_id, bk.tbl, bk.bucket AS qbucket
+  FROM buckets bk WHERE bk.vec_id < {N_QUERIES}
+),
+probed AS (
+  SELECT query_id, tbl,
+         unnest([{_probe_list_sql(_mp_masks_r2())}]) AS pbucket
+  FROM q
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, nb.vec_id AS neighbor_id
+  FROM probed p
+  JOIN buckets nb ON nb.tbl = p.tbl AND nb.bucket = p.pbucket
+  WHERE nb.vec_id <> p.query_id
+),
+scored AS (
+  SELECT pr.query_id, pr.neighbor_id,
+         {_cos_sql("qe.v", "ne.v")} AS cos
+  FROM pairs pr
+  JOIN emb qe ON qe.vec_id = pr.query_id
+  JOIN emb ne ON ne.vec_id = pr.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
 ANN_IVF_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 ex AS (
@@ -1205,6 +1409,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_multiprobe_r2_topk": ann_multiprobe_r2_topk,
+    "ann_multitable_topk": ann_multitable_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -1234,6 +1439,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_lsh_multiprobe_topk": ANN_LSH_MULTIPROBE_SQL,
     "ann_multiprobe_r2_topk": ANN_LSH_MULTIPROBE_R2_SQL,
+    "ann_multitable_topk": ANN_MULTITABLE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     # r6: the Lloyd's fit unrolls (KMEANS_ITERS is a fixed constant)
     # into an exact CTE chain — the last of the graduate-able

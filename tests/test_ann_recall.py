@@ -53,6 +53,55 @@ def test_recall_table_radius2_reaches_operating_point(spark, sf_smoke):
     assert r2_budget <= 0.35 and r1_budget <= 0.12, table
 
 
+def test_multitable_reaches_08_operating_point(spark, sf_smoke):
+    """r10 (VERDICT r9 item 5): L=3 independent sha-plane tables at
+    radius 2 must clear recall@5 ≥ 0.8 (measured 0.94 at sf0.001,
+    0.84 at sf0.01 — PLANS.md r10 grid), strictly above the
+    single-table radius-2 point, at sub-brute-force fan-out."""
+    from orionld_to_hive_spark.operators.similarity import (
+        ann_multitable_topk,
+    )
+
+    bf = _topk_sets(ann_bruteforce_topk(spark, sf_smoke))
+    tot = sum(len(v) for v in bf.values())
+    r2 = _topk_sets(ann_multiprobe_r2_topk(spark, sf_smoke))
+    mt = _topk_sets(ann_multitable_topk(spark, sf_smoke))
+    r2_recall = sum(len(r2.get(q, set()) & bf[q]) for q in bf) / tot
+    mt_recall = sum(len(mt.get(q, set()) & bf[q]) for q in bf) / tot
+    assert mt_recall >= 0.8, (mt_recall, r2_recall)
+    assert mt_recall > r2_recall
+
+
+def test_lsh_tables_are_independent_hyperplanes(spark):
+    """The load-bearing property behind the multi-table recall lift:
+    sign rows distinct across tables AND decorrelated — the
+    parity-LCG family extended naively produced |dot| = 64/64 row
+    clones across tables (see _lsh_signs docstring)."""
+    import itertools
+
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.similarity import (
+        ANN_TABLES,
+        EMBED_DIM,
+        _lsh_signs,
+    )
+
+    rows = [
+        np.array(r) for t in range(ANN_TABLES) for r in _lsh_signs(t)
+    ]
+    assert len({tuple(r) for r in rows}) == ANN_TABLES * LSH_BITS
+    cross = [
+        abs(int(a @ b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(rows), 2)
+        # table 0's internal correlations are pinned by its oracle
+        # history; the INDEPENDENCE claim is about sha tables vs
+        # everything
+        if i >= LSH_BITS or j >= LSH_BITS
+    ]
+    assert max(cross) <= EMBED_DIM // 2, max(cross)
+
+
 def test_r2_masks_are_distinct_and_complete(spark):
     masks = _mp_masks_r2()
     assert len(set(masks)) == len(masks) == LSH_BITS * (LSH_BITS + 1) // 2
