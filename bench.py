@@ -123,6 +123,11 @@ SF1_LADDER_QUERIES = (
     # r9: overlapping exact-substring dedup (the heaviest headline —
     # every overlapping 8-gram shuffles twice by design)
     "exact_substr_rewrite",
+    # r10 (VERDICT r9 item 6): the JPEG codec queries — the heaviest
+    # Python stage in the repo finally carries measured exponents
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg_selective_stats",
+    "multimodal_jpeg_tall_stats",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",
@@ -198,6 +203,14 @@ HEADLINE = (
     # family next to the near-dup representatives above: every
     # overlapping 8-gram is detected and cut, not just tiled blocks
     "exact_substr_rewrite",
+    # round-10: the multimodal JPEG codec family (Arrow-batched
+    # mapInPandas decode) — full decode, the r9 selective query (its
+    # predicate keeps ~100% on this corpus: pays dims-pass overhead,
+    # an honest upper bound), and the tall variant whose ~1/3 survivor
+    # fraction demonstrates the decode-only-survivors saving
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg_selective_stats",
+    "multimodal_jpeg_tall_stats",
 )
 
 
@@ -285,6 +298,55 @@ def run_scale(
     return per_query, detail
 
 
+# --------------------------------------------------------------------------
+# Ambient-noise canary (VERDICT r9 item 4): two rounds of ±18% host
+# drift on UNTOUCHED queries made cross-round raw sums unreadable.
+# A fixed probe set — scan-bound, CPU-bound, shuffle-bound — is timed
+# at the START and END of every publication run; ambient_index is the
+# geometric mean of (measured / pinned-reference) medians, so a reader
+# can divide any raw time by it to separate host weather from code.
+# CANARY_REF pins the r10 exclusive publication run's own medians at
+# sf0.1 (index ≡ 1.0 that round by construction); it must NEVER be
+# re-pinned, or the yardstick moves with the weather it measures.
+CANARY_QUERIES = ("q1_time_filter", "stats_moments",
+                  "skew_join_order_revenue")
+CANARY_REPS = 3
+CANARY_REF = {  # medians, seconds, sf0.1, r10 exclusive run
+    "q1_time_filter": 0.1086,
+    "stats_moments": 0.6313,
+    "skew_join_order_revenue": 0.4231,
+}
+
+
+def run_canary(spark, sf_dir: str, qmap) -> dict:
+    out = {}
+    for name in CANARY_QUERIES:
+        fn = qmap[name]
+        fn(spark, sf_dir).collect()  # warm
+        ts = []
+        for _ in range(CANARY_REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(ts), 4)
+    return out
+
+
+def canary_index(probe: dict) -> float | None:
+    import math
+
+    ratios = [
+        probe[n] / CANARY_REF[n]
+        for n in CANARY_QUERIES
+        if CANARY_REF.get(n) and probe.get(n)
+    ]
+    if not ratios:
+        return None
+    return round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -315,6 +377,8 @@ def main() -> None:
     for name in HEADLINE:
         qmap[name](spark, warm_dir).collect()
 
+    canary_start = run_canary(spark, sf_dir, qmap)
+
     ladder: dict[str, float] = {}
     ladder_detail: dict[str, dict] = {}
     for d in ladder_dirs:
@@ -326,6 +390,27 @@ def main() -> None:
         spark, sf_dir, REPS, high_reps=True, engine_split=True
     )
     total = round(sum(per_query.values()), 4)
+    canary_end = run_canary(spark, sf_dir, qmap)
+    idx_start, idx_end = canary_index(canary_start), canary_index(canary_end)
+    ambient = {
+        "queries": list(CANARY_QUERIES),
+        "ref": CANARY_REF,
+        "start": canary_start,
+        "end": canary_end,
+        "index_start": idx_start,
+        "index_end": idx_end,
+        # the headline number to divide raw times by
+        "ambient_index": (
+            round((idx_start + idx_end) / 2, 4)
+            if idx_start and idx_end else None
+        ),
+        # >~1.2 means the host shifted DURING the run — treat even
+        # normalized numbers with suspicion that round
+        "drift_within_run": (
+            round(max(idx_start, idx_end) / min(idx_start, idx_end), 4)
+            if idx_start and idx_end else None
+        ),
+    }
 
     # High-end ladder point (VERDICT r4 item 7): the expensive
     # headliners only, at a generated 3× replica of sf0.1 (see
@@ -484,6 +569,7 @@ def main() -> None:
                 "sf1_ladder_sf": sf1_sf if sf1_detail else None,
                 "sf1_ladder_detail": sf1_detail,
                 "scaling": scaling,
+                "ambient": ambient,
                 "layout_skip": layout_skip,
                 "baseline": {
                     "reference_parity_total_s_at_100pct": 24.418,
@@ -511,6 +597,12 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "parity_total": parity_total,
         "ladder": ladder,
+        "ambient_index": ambient["ambient_index"],
+        "value_normalized": (
+            round(total / ambient["ambient_index"], 4)
+            if ambient["ambient_index"]
+            else None
+        ),
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 2000:  # stay inside the observed tail window

@@ -6,12 +6,15 @@ complete baseline PNG decoder; JPEG was documented as out of reach
 "without codec libs", but baseline JPEG needs none — marker parsing,
 canonical Huffman decode, dequantization, an exact 8×8 float IDCT,
 pixel-replication chroma upsampling and the JFIF YCbCr→RGB transform
-are all spec arithmetic. Supported: SOF0 baseline, 8-bit precision,
-grey (1 component) and YCbCr (3 components), arbitrary h/v sampling
-factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 …), interleaved and
+are all spec arithmetic. Supported: SOF0 baseline AND SOF2
+progressive (r10 — spectral selection, successive approximation,
+multi-scan coefficient accumulation, EOB runs, AC refinement
+correction bits, interleaved and non-interleaved DC scans), 8-bit
+precision, grey (1 component) and YCbCr (3 components), arbitrary h/v
+sampling factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 …), interleaved and
 single-component scans, 8- and 16-bit DQT, multiple tables per DQT/DHT
 segment, restart intervals (DRI/RSTn), byte stuffing. Honest refusals:
-progressive (SOF2) and any non-baseline SOF, arithmetic coding, 4+
+other SOFs (lossless, hierarchical, 12-bit), arithmetic coding, 4+
 component (CMYK) images.
 
 The registry query rides the same byte-domain-oracle trick as the PNG
@@ -236,6 +239,11 @@ def decode_jpeg(payload: bytes) -> JpegImage:
     frame = None  # (height, width, comps) comps: [(cid, h, v, tq)]
     restart_interval = 0
     scan_out: dict[int, np.ndarray] = {}  # cid -> full-res-at-sampling plane
+    progressive = False
+    # progressive only: cid -> (by, bx, 64) RAW (un-dequantized) coefs
+    # in transmission order, accumulated across scans (spectral
+    # selection fills bands, successive approximation fills bit planes)
+    coef_store: dict[int, np.ndarray] = {}
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -278,7 +286,8 @@ def decode_jpeg(payload: bytes) -> JpegImage:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _build_huff(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -307,27 +316,46 @@ def decode_jpeg(payload: bytes) -> JpegImage:
                         f"{hmax}x{vmax})"
                     )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                # allocate the coefficient accumulators, padded to the
+                # interleaved MCU grid so dummy blocks at the right and
+                # bottom edges decode into real storage (cropped at
+                # assembly)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                for cid, ch, cv, _tq in comps:
+                    coef_store[cid] = np.zeros(
+                        (mcus_y * cv, mcus_x * ch, 64), dtype=np.int32
+                    )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise NotImplementedError(
-                f"non-baseline JPEG ({kind}); only SOF0 is supported"
+                f"non-baseline JPEG (SOF{marker - 0xC0}); "
+                "only SOF0 and SOF2 are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
-            pos = _decode_scan(
-                payload, end, body, frame, qt, huff,
-                restart_interval, scan_out,
-            )
+                raise ValueError("SOS before SOF")
+            if progressive:
+                pos = _decode_scan_progressive(
+                    payload, end, body, frame, huff,
+                    restart_interval, coef_store,
+                )
+            else:
+                pos = _decode_scan(
+                    payload, end, body, frame, qt, huff,
+                    restart_interval, scan_out,
+                )
             continue
         # APPn / COM / anything else: skip
         pos = end
 
     if frame is None:
         raise ValueError("no frame in JPEG stream")
+    if progressive:
+        return _assemble_progressive(frame, qt, coef_store)
     return _assemble(frame, scan_out)
 
 
@@ -408,8 +436,12 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
     for cid, plane in planes.items():
         scan_out[cid] = plane
-    # skip to the next marker (past any padding bits / final RST)
-    p = r.pos
+    return _skip_to_marker(payload, r.pos)
+
+
+def _skip_to_marker(payload: bytes, p: int) -> int:
+    """Advance past entropy padding / trailing RSTs to the next real
+    marker — the shared tail of every scan decoder."""
     last = len(payload) - 1
     while p < last and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
         p += 1
@@ -441,6 +473,175 @@ def _decode_block(r, dc_table, ac_table, q, pred, cid, coef) -> None:
         k += rr
         coef[k] = _extend(r.read_bits(s), s) * int(q[k])
         k += 1
+
+
+def _decode_scan_progressive(payload, data_start, body, frame, huff,
+                             restart_interval, store) -> int:
+    """Decode one PROGRESSIVE scan (spec §G.2, decode procedures
+    G.1.2): spectral selection [Ss, Se] of one bit plane (successive
+    approximation Ah→Al) into the raw coefficient accumulators.
+    DC scans (Ss=0) may be interleaved; AC scans are single-component
+    by construction (B.2.3: Ns > 1 only when Ss = 0)."""
+    height, width, comps = frame
+    ns = body[0]
+    sel = []
+    for s in range(ns):
+        cs, tda = body[1 + 2 * s], body[2 + 2 * s]
+        comp = next(c for c in comps if c[0] == cs)
+        sel.append((comp, tda >> 4, tda & 0xF))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    r = _BitReader(payload, data_start)
+
+    if ss == 0:  # DC scan (first pass or refinement)
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se = 0")
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        if ns == 1:
+            # non-interleaved DC scan: walk the component's REAL grid
+            (cid, ch, cv, _tq), td, _ta = sel[0]
+            cw = -(-width * ch // hmax)
+            chh = -(-height * cv // vmax)
+            layout = [((cid, td), 1, 1)]
+            mcus_x, mcus_y = -(-cw // 8), -(-chh // 8)
+        else:
+            layout = [
+                ((cid, td), ch, cv)
+                for (cid, ch, cv, _tq), td, _ta in sel
+            ]
+        pred = {key[0]: 0 for key, *_ in layout}
+        rst_n = 0
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                r.align()
+                if r.consume_rst() != rst_n & 7:
+                    raise ValueError("RST marker out of sequence")
+                rst_n += 1
+                for k in pred:
+                    pred[k] = 0
+            my, mx = divmod(m, mcus_x)
+            for (cid, td), ch, cv in layout:
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        blk = store[cid][my * cv + byi, mx * ch + bxi]
+                        if ah == 0:
+                            t = _huff_decode(r, huff[(0, td)])
+                            pred[cid] += _extend(r.read_bits(t), t)
+                            blk[0] = pred[cid] << al
+                        elif r.read_bit():
+                            blk[0] |= 1 << al
+    else:  # AC scan: one component, spectral band [ss, se]
+        if ns != 1:
+            raise ValueError("progressive AC scan must be one component")
+        (cid, ch, cv, _tq), _td, ta = sel[0]
+        actab = huff[(1, ta)]
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        bx_n, by_n = -(-cw // 8), -(-chh // 8)
+        plane = store[cid]
+        eobrun = 0
+        rst_n = 0
+        for bidx in range(bx_n * by_n):
+            if restart_interval and bidx and bidx % restart_interval == 0:
+                r.align()
+                if r.consume_rst() != rst_n & 7:
+                    raise ValueError("RST marker out of sequence")
+                rst_n += 1
+                eobrun = 0
+            by, bx = divmod(bidx, bx_n)
+            coef = plane[by, bx]
+            if ah == 0:  # first pass for this band (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(r, actab)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.read_bits(rr)
+                        break
+                    k += rr
+                    coef[k] = _extend(r.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3)
+                eobrun = _refine_ac(r, actab, coef, ss, se, al, eobrun)
+    return _skip_to_marker(payload, r.pos)
+
+
+def _refine_ac(r, actab, coef, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement of one block (spec
+    G.1.2.3 / the libjpeg decode_mcu_AC_refine shape): correction
+    bits for every already-nonzero coefficient in the band, newly
+    significant coefficients arrive as ±1 << Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, actab)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break  # remainder of this block handled below
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if r.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val != 0 and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0 and r.read_bit() and (c & p1) == 0:
+                coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, qt, store) -> JpegImage:
+    """Dequantize + IDCT the accumulated raw coefficients (all scans
+    seen), then reuse the baseline assembly (upsample/crop/color)."""
+    scan_out: dict[int, np.ndarray] = {}
+    for cid, _ch, _cv, tq in frame[2]:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        arr = store[cid]
+        by_n, bx_n, _ = arr.shape
+        deq = arr.reshape(-1, 64).astype(np.float64) * qt[tq]
+        blocks = np.zeros((by_n * bx_n, 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = deq
+        spatial = _IDCT_M.T @ blocks.reshape(-1, 8, 8) @ _IDCT_M
+        scan_out[cid] = (
+            spatial.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
+    return _assemble(frame, scan_out)
 
 
 def _assemble(frame, scan_out) -> JpegImage:
@@ -550,6 +751,247 @@ def encode_jpeg_gray_flat(
             bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
         bw.write(0, 1)  # EOB
     return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+# --------------------------------------------------------------------------
+# PROGRESSIVE writer (r10): general single-component SOF2 encoder over
+# RAW quantized coefficient blocks, any scan script (spectral
+# selection [Ss,Se] × successive approximation Ah→Al). Follows spec
+# G.1.2.2 (first pass: run/size + EOB runs) and G.1.2.3 (refinement:
+# ±1<<Al newly-significant coefs, deferred correction bits) — the
+# encode mirror of the decoder above, used by the registry query's
+# flat twin AND by the tests' arbitrary-coefficient roundtrips (which
+# cross-check the progressive DECODER against the certified baseline
+# path on identical coefficients).
+#
+# Tables: DC categories 0-15 as 5-bit codes; AC rs symbols 0-254 as
+# 8-bit codes + 0xFF at 9 bits (Kraft-incomplete, spec-legal) — big
+# but universal, so any coefficient pattern encodes.
+_PENC_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_PENC_DC_VALS = list(range(16))
+_PENC_AC_BITS = [0] * 7 + [255, 1] + [0] * 7
+_PENC_AC_VALS = list(range(255)) + [255]
+
+
+def _penc_ac(bw: "_BitWriter", sym: int) -> None:
+    if sym < 255:
+        bw.write(sym, 8)
+    else:
+        bw.write(510, 9)
+
+
+def _penc_scan_body(bw, blocks, ss, se, ah, al) -> None:
+    """Entropy-encode one progressive scan over every block."""
+    if ss == 0:  # DC scan
+        if ah == 0:
+            pred = 0
+            for coef in blocks:
+                v = int(coef[0]) >> al  # DC point transform: arith shift
+                diff = v - pred
+                pred = v
+                cat = abs(diff).bit_length()
+                bw.write(cat, 5)
+                if cat:
+                    bw.write(
+                        diff if diff > 0 else diff + (1 << cat) - 1, cat
+                    )
+        else:
+            for coef in blocks:
+                bw.write((int(coef[0]) >> al) & 1, 1)
+        return
+    if ah == 0:  # AC first pass for this band
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                _penc_ac(bw, rr << 4)
+                if rr:
+                    bw.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for coef in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(coef[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    _penc_ac(bw, 0xF0)
+                    r -= 16
+                nbits = t.bit_length()
+                _penc_ac(bw, (r << 4) | nbits)
+                bw.write(
+                    t if v > 0 else (-t) + (1 << nbits) - 1, nbits
+                )
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return
+    # AC refinement pass (jcphuff encode_mcu_AC_refine shape)
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed with the next EOB
+
+    def flush_eob_ref():
+        nonlocal eobrun, pending
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            _penc_ac(bw, rr << 4)
+            if rr:
+                bw.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+
+    for coef in blocks:
+        absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        br: list[int] = []  # correction bits in the current run
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if t > 1:  # previously significant: one correction bit
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant this pass
+            while r > 15 and i <= eob_idx:
+                flush_eob_ref()
+                _penc_ac(bw, 0xF0)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            flush_eob_ref()
+            _penc_ac(bw, (r << 4) | 1)
+            bw.write(1 if int(coef[ss + i]) > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob_ref()
+    flush_eob_ref()
+
+
+DEFAULT_PROGRESSIVE_SCANS = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0))
+
+
+def encode_jpeg_progressive(
+    blocks: np.ndarray,
+    width_blocks: int,
+    scans=DEFAULT_PROGRESSIVE_SCANS,
+    qtable: bytes = _ENC_QT,
+) -> bytes:
+    """REAL single-component SOF2 writer: `blocks` is (n_blocks, 64)
+    RAW quantized coefficients in transmission (zigzag) order, laid
+    out `width_blocks` per row (must divide n_blocks); `scans` is the
+    scan script as (Ss, Se, Ah, Al) tuples."""
+    blocks = np.asarray(blocks, dtype=np.int64)
+    n_blocks = len(blocks)
+    assert n_blocks % width_blocks == 0
+    w_px = width_blocks * 8
+    h_px = (n_blocks // width_blocks) * 8
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + qtable)
+    out += _seg(
+        0xC2, struct.pack(">BHHB", 8, h_px, w_px, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_PENC_DC_BITS) + bytes(_PENC_DC_VALS)
+        + bytes([0x10]) + bytes(_PENC_AC_BITS) + bytes(_PENC_AC_VALS),
+    )
+    for ss, se, ah, al in scans:
+        tda = 0x00 if ss == 0 else 0x00  # table 0 either class
+        out += _seg(0xDA, bytes([1, 1, tda, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        _penc_scan_body(bw, blocks, ss, se, ah, al)
+        out += bw.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_baseline_blocks(
+    blocks: np.ndarray, width_blocks: int, qtable: bytes = _ENC_QT
+) -> bytes:
+    """Baseline (SOF0) twin of encode_jpeg_progressive over the same
+    RAW quantized coefficient blocks — the tests' cross-check anchor:
+    the baseline decode path is certified (r9 driver + hand-built
+    streams), so progressive-encode→decode must pixel-match
+    baseline-encode→decode on identical coefficients; a symmetric
+    encoder/decoder bug in the new progressive pair cannot survive
+    that comparison."""
+    blocks = np.asarray(blocks, dtype=np.int64)
+    n_blocks = len(blocks)
+    assert n_blocks % width_blocks == 0
+    w_px = width_blocks * 8
+    h_px = (n_blocks // width_blocks) * 8
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + qtable)
+    out += _seg(
+        0xC0, struct.pack(">BHHB", 8, h_px, w_px, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_PENC_DC_BITS) + bytes(_PENC_DC_VALS)
+        + bytes([0x10]) + bytes(_PENC_AC_BITS) + bytes(_PENC_AC_VALS),
+    )
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    pred = 0
+    for coef in blocks:
+        v = int(coef[0])
+        diff = v - pred
+        pred = v
+        cat = abs(diff).bit_length()
+        bw.write(cat, 5)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        r = 0
+        for k in range(1, 64):
+            a = int(coef[k])
+            if a == 0:
+                r += 1
+                continue
+            while r > 15:
+                _penc_ac(bw, 0xF0)
+                r -= 16
+            nbits = abs(a).bit_length()
+            _penc_ac(bw, (r << 4) | nbits)
+            bw.write(a if a > 0 else a + (1 << nbits) - 1, nbits)
+            r = 0
+        if r > 0:
+            _penc_ac(bw, 0x00)  # EOB
+    return bytes(out) + bw.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_gray_flat_progressive(
+    raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W
+) -> bytes:
+    """Progressive twin of encode_jpeg_gray_flat: same flat blocks
+    (byte i → flat 8×8 block i, DC quant step 8 ⇒ lossless), sent as
+    a 3-scan script — DC first pass at Al=1, DC refinement to Al=0,
+    then the all-zero AC band as pure EOB runs. Decodes to exactly
+    the input bytes, so it shares the grey byte-domain oracle."""
+    raster = _pad_raster(np.asarray(raw, dtype=np.uint8), width_blocks)
+    blocks = np.zeros((len(raster), 64), dtype=np.int64)
+    blocks[:, 0] = raster.astype(np.int64) - 128
+    return encode_jpeg_progressive(blocks, width_blocks)
 
 
 # Color twin of the flat-block encoder: 4:4:4 YCbCr, byte i → luma
@@ -685,14 +1127,14 @@ def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack_from(">H", payload, pos)
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             h, w = struct.unpack_from(">HH", payload, pos + 3)
             return w, h, payload[pos + 7]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise NotImplementedError(
-                f"non-baseline JPEG ({kind}); only SOF0 is supported"
+                f"non-baseline JPEG (SOF{marker - 0xC0}); "
+                "only SOF0 and SOF2 are supported"
             )
         pos += seglen
     raise ValueError("no frame in JPEG stream")
@@ -732,6 +1174,28 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pixel_stats(jpeg_assets_from_documents(spark, sf_dir)).orderBy(
         "asset_id"
     )
+
+
+def jpeg_progressive_assets_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _assets_from_documents(
+        spark, sf_dir, encode_jpeg_gray_flat_progressive
+    )
+
+
+def multimodal_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded PROGRESSIVE (SOF2) JPEGs — the
+    r10 decoder extension on the oracle path: DC successive
+    approximation (first pass at Al=1 + refinement scan) and the
+    EOB-run machinery of the AC band scan feed every stat; the flat
+    construction makes the multi-scan pipeline lossless, so the query
+    shares the grey byte-domain oracle with multimodal_jpeg_stats."""
+    return jpeg_pixel_stats(
+        jpeg_progressive_assets_from_documents(spark, sf_dir)
+    ).orderBy("asset_id")
 
 
 def jpeg_color_assets_from_documents(
@@ -805,9 +1269,7 @@ ORDER BY asset_id
 JPEG_SELECT_MIN_ROWS = 2
 
 
-def multimodal_jpeg_selective_stats(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _jpeg_selective(spark, sf_dir: str, min_rows: int) -> DataFrame:
     assets = jpeg_assets_from_documents(spark, sf_dir)
 
     def dims(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -825,10 +1287,35 @@ def multimodal_jpeg_selective_stats(
     )
     survivors = (
         assets.mapInPandas(dims, dims_schema)
-        .filter(F.col("height") >= 8 * JPEG_SELECT_MIN_ROWS)
+        .filter(F.col("height") >= 8 * min_rows)
         .select("asset_id", "payload", "mime")
     )
     return jpeg_pixel_stats(survivors).orderBy("asset_id")
+
+
+def multimodal_jpeg_selective_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _jpeg_selective(spark, sf_dir, JPEG_SELECT_MIN_ROWS)
+
+
+# On this corpus EVERY document clears the r9 predicate (docs are
+# 300-500 bytes, nb >= 2 needs > 4), so the r9 query pins frame
+# equality but cannot demonstrate the selective pattern's SAVING. The
+# tall variant keeps ~1/3 of assets (nb >= 96 ⇔ height >= 768 px ⇔
+# doc > 380 bytes) — enough drop for the decode-only-survivors payoff
+# to be measurable (ladder row + PLANS.md r10 note) while staying an
+# exact byte-domain oracle.
+JPEG_TALL_MIN_ROWS = 96
+
+
+def multimodal_jpeg_tall_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-phase selective decode at a predicate that actually drops
+    rows: header dims pass over every asset, full pixel decode only
+    for the ~1/3 that are >= 768 px tall."""
+    return _jpeg_selective(spark, sf_dir, JPEG_TALL_MIN_ROWS)
 
 
 # oracle: the grey stats restricted to nb ≥ JPEG_SELECT_MIN_ROWS —
@@ -837,6 +1324,12 @@ MULTIMODAL_JPEG_SELECTIVE_SQL = MULTIMODAL_JPEG_SQL.replace(
     "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id",
     "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id\n"
     f"WHERE d.nb >= {JPEG_SELECT_MIN_ROWS}",
+)
+
+MULTIMODAL_JPEG_TALL_SQL = MULTIMODAL_JPEG_SQL.replace(
+    "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id",
+    "FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id\n"
+    f"WHERE d.nb >= {JPEG_TALL_MIN_ROWS}",
 )
 
 
@@ -893,12 +1386,16 @@ ORDER BY asset_id
 
 QUERIES = {
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
+    "multimodal_jpeg_progressive_stats": multimodal_jpeg_progressive_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_jpeg_selective_stats": multimodal_jpeg_selective_stats,
+    "multimodal_jpeg_tall_stats": multimodal_jpeg_tall_stats,
 }
 
 ORACLES = {
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
+    "multimodal_jpeg_progressive_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
     "multimodal_jpeg_selective_stats": MULTIMODAL_JPEG_SELECTIVE_SQL,
+    "multimodal_jpeg_tall_stats": MULTIMODAL_JPEG_TALL_SQL,
 }

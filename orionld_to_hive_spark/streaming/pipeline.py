@@ -26,7 +26,11 @@ arbitrary arrival order the survivor CHOICE among identical texts may
 differ (first arrival wins), but every choice carries the same text,
 so token accounting is order-insensitive whenever duplicates stay
 within a source — the planted-duplicate live-stream test asserts
-exactly that.
+exactly that. For CROSS-source duplicates under arbitrary arrival,
+`accounting()` attributes the duplicate's tokens to the
+first-arriving source; `reconciled_accounting()` (r10) closes that
+last gap by re-deriving each hash's winner as the global min-doc_id
+over the winners ledger — batch-identical for any arrival order.
 
 Replay contract: a re-run of batch N reads only hashes with
 batch_id < N, so checkpoint replays (and explicit re-runs) rewrite the
@@ -57,6 +61,8 @@ class StreamingCurationPipeline:
 
     base/survivors/batch_id=N/       — curated rows admitted by batch N
     base/hashes/batch_id=N/          — text hashes admitted by batch N
+    base/winners/batch_id=N/         — per-hash min (doc_id, source)
+                                       over the batch's gated rows
     base/tokens/partials/batch_id=N/ — per-source token partials
     base/substr/...                  — gram-minima store + rewritten
                                        rows (substr_dedup=True only)
@@ -110,6 +116,24 @@ class StreamingCurationPipeline:
             fresh = batch_first
         fresh = fresh.persist()  # three consumers below
         try:
+            # winners ledger (r10, VERDICT r9 item 7): per-hash MIN
+            # (doc_id, source) over every GATED observation of this
+            # batch — a mergeable min-partial, so the reconciliation
+            # view can re-derive the GLOBAL min-doc_id winner per
+            # content hash regardless of arrival order. Idempotent:
+            # replays overwrite their own batch directory; duplicate
+            # deliveries across batches are absorbed by min-merge.
+            # State is one row per distinct hash per batch that sees
+            # it — bounded by distinct content, compactable.
+            gated.groupBy("text_hash").agg(
+                F.min(F.struct("doc_id", "source")).alias("w")
+            ).select(
+                "text_hash",
+                F.col("w.doc_id").alias("doc_id"),
+                F.col("w.source").alias("source"),
+            ).write.mode("overwrite").parquet(
+                f"{self.base}/winners/batch_id={batch_id}"
+            )
             fresh.select("doc_id", "source", "text").write.mode(
                 "overwrite"
             ).parquet(f"{self.base}/survivors/batch_id={batch_id}")
@@ -166,6 +190,68 @@ class StreamingCurationPipeline:
         """Per-source token accounting over the CURATED corpus, schema-
         identical to the batch `bpe_token_accounting`."""
         return self._acct.accounting(spark)
+
+    def reconciled_accounting(self, spark: SparkSession) -> DataFrame:
+        """Arrival-order-INDEPENDENT mixture table (r10, VERDICT r9
+        item 7): re-derives each content hash's surviving source as
+        the GLOBAL min-doc_id winner over every gated observation
+        (the winners ledger), closing the documented cross-source-
+        duplicate caveat — `accounting()` attributes a duplicate's
+        tokens to whichever source arrived first; this view matches
+        the batch twin for ANY arrival order. Text bytes come from
+        the admitted copy via the content hash (same hash ⇒ same
+        bytes; cleaned text when the ExactSubstr stage is on)."""
+        if not _hadoop_exists(spark, f"{self.base}/winners"):
+            raise RuntimeError(
+                f"no winners ledger under {self.base}/winners yet — "
+                "run the pipeline (start / process_batch) first"
+            )
+        from orionld_to_hive_spark.streaming.tokens import batch_partials
+
+        glob = (
+            spark.read.parquet(f"{self.base}/winners")
+            .groupBy("text_hash")
+            .agg(F.min(F.struct("doc_id", "source")).alias("w"))
+            .select(
+                "text_hash",
+                F.col("w.doc_id").alias("doc_id"),
+                F.col("w.source").alias("source"),
+            )
+        )
+        surv = self.survivors(spark)
+        hashed = surv.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("text_hash"),
+            F.col("doc_id").alias("admitted_doc_id"),
+            "text",
+        )
+        if self._substr is not None:
+            rw = self._substr.rewritten(spark).select(
+                F.col("doc_id").alias("admitted_doc_id"),
+                F.col("cleaned_text").alias("clean"),
+            )
+            hashed = (
+                hashed.join(rw, "admitted_doc_id")
+                .select("text_hash", F.col("clean").alias("text"))
+            )
+        else:
+            hashed = hashed.select("text_hash", "text")
+        docs = glob.join(hashed, "text_hash").select(
+            "doc_id", "source", "text"
+        )
+        return (
+            batch_partials(docs)
+            .select(
+                "source",
+                "n_docs",
+                "n_words",
+                "n_tokens",
+                (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+                (F.col("n_tokens") / F.col("n_docs")).alias(
+                    "tokens_per_doc"
+                ),
+            )
+            .orderBy("source")
+        )
 
     def curated(self, spark: SparkSession) -> DataFrame:
         """The corpus a training run would read: survivors, with

@@ -278,11 +278,11 @@ def test_dims_pass_never_touches_entropy_data():
     truncated = full[: full.index(b"\xff\xda")]
     assert parse_jpeg_dims(truncated) == (32, 24, 1)
     assert parse_jpeg_dims(full) == (32, 24, 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        parse_jpeg_dims(
-            b"\xff\xd8"
-            + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        )
+    # r10: progressive headers PARSE now (decoder supports SOF2)
+    assert parse_jpeg_dims(
+        b"\xff\xd8"
+        + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    ) == (8, 8, 1)
 
 
 def test_selective_stats_equal_full_stats_filtered(spark, sf_smoke):
@@ -305,11 +305,13 @@ def test_selective_stats_equal_full_stats_filtered(spark, sf_smoke):
 
 
 def test_refusals_are_loud():
+    # r10: SOF2 is supported — a frame with no DQT fails for the
+    # honest reason (missing table), not a capability refusal
     sof2 = (
         b"\xff\xd8"
         + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="quantization"):
         decode_jpeg(sof2)
     cmyk = (
         b"\xff\xd8"

@@ -1,0 +1,127 @@
+"""Progressive (SOF2) JPEG decode — r10 (VERDICT r9 item 2).
+
+Anchor: the baseline decode path is certified (r9 driver rows +
+hand-built streams), so every test here cross-checks
+progressive-encode→decode against baseline-encode→decode of the SAME
+raw quantized coefficients — a symmetric bug in the new progressive
+encoder/decoder pair cannot survive pixel equality with the old path,
+because the two scan formats share no entropy machinery beyond the
+bit reader."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orionld_to_hive_spark.operators.jpeg import (
+    _seg,
+    decode_jpeg,
+    encode_jpeg_baseline_blocks,
+    encode_jpeg_gray_flat,
+    encode_jpeg_gray_flat_progressive,
+    encode_jpeg_progressive,
+    parse_jpeg_dims,
+)
+
+# spectral-selection × successive-approximation scripts (every
+# refinement chain steps Ah = previous Al down to 0, per spec G.1.1.1)
+SCRIPTS = [
+    # sequential-like: DC then the whole AC band, single precision
+    ((0, 0, 0, 0), (1, 63, 0, 0)),
+    # the registry twin's shape: DC approximated then refined
+    ((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)),
+    # split bands, interleaved refinement order
+    (
+        (0, 0, 0, 2), (1, 8, 0, 1), (0, 0, 2, 1), (9, 63, 0, 2),
+        (1, 8, 1, 0), (9, 63, 2, 1), (0, 0, 1, 0), (9, 63, 1, 0),
+    ),
+]
+
+
+def _pixel_match(blocks, width_blocks, script):
+    base = decode_jpeg(encode_jpeg_baseline_blocks(blocks, width_blocks))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(blocks, width_blocks, scans=script)
+    )
+    assert (base.width, base.height) == (prog.width, prog.height)
+    assert (base.samples == prog.samples).all()
+
+
+def test_flat_progressive_equals_baseline_flat():
+    raw = np.arange(256, dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg_gray_flat(raw))
+    p = decode_jpeg(encode_jpeg_gray_flat_progressive(raw))
+    assert (b.samples == p.samples).all()
+    assert parse_jpeg_dims(encode_jpeg_gray_flat_progressive(raw)) == (
+        32, 512, 1,
+    )
+
+
+def test_zrl_inside_refinement_pass():
+    """A coefficient that becomes significant only in the refinement
+    pass, preceded by > 16 zero-history positions: the G.1.2.3 ZRL
+    branch (skip 16 zero-history coefs, correction bits en route)."""
+    blk = np.zeros((1, 64), dtype=np.int64)
+    blk[0, 0] = 5
+    blk[0, 2] = 4      # significant in first pass at Al=1 (4>>1 = 2)
+    blk[0, 25] = -1    # invisible at Al=1, newly significant at Al=0
+    blk[0, 40] = 1
+    script = ((0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0))
+    _pixel_match(blk, 1, script)
+
+
+def test_eobrun_with_extra_bits_across_blocks():
+    """> 2 consecutive all-EOB blocks force an EOBn code with appended
+    run-length bits in both first and refinement passes."""
+    n = 13
+    blocks = np.zeros((n, 64), dtype=np.int64)
+    blocks[:, 0] = np.arange(n) - 6
+    blocks[0, 7] = 3   # one block with AC so the band scan isn't empty
+    blocks[n - 1, 9] = -2
+    for script in SCRIPTS:
+        _pixel_match(blocks, 1, script)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 63),
+            st.integers(-300, 300).filter(lambda v: v != 0),
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    n_blocks=st.integers(1, 6),
+    script_i=st.integers(0, len(SCRIPTS) - 1),
+)
+def test_progressive_matches_baseline_on_arbitrary_blocks(
+    data, n_blocks, script_i
+):
+    blocks = np.zeros((n_blocks, 64), dtype=np.int64)
+    for i, (k, v) in enumerate(data):
+        blocks[i % n_blocks, k] = v
+    _pixel_match(blocks, 1, SCRIPTS[script_i])
+
+
+def test_dims_pass_reads_progressive_headers():
+    payload = encode_jpeg_gray_flat_progressive(
+        np.arange(9, dtype=np.uint8)
+    )
+    truncated = payload[: payload.index(b"\xff\xda")]
+    assert parse_jpeg_dims(truncated) == (32, 24, 1)
+
+
+def test_non_baseline_sofs_still_refuse():
+    for marker, name in ((0xC3, "SOF3"), (0xC7, "SOF7"), (0xCB, "SOF11")):
+        payload = b"\xff\xd8" + _seg(
+            marker, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        )
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg(payload)
+        with pytest.raises(NotImplementedError, match=name):
+            parse_jpeg_dims(payload)

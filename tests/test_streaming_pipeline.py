@@ -205,3 +205,69 @@ def test_full_pipeline_with_substr_stage_equals_batch(
     assert got[400001]["n_removed"] == 8
     assert phrase not in got[400001]["text"]
     inp.unpersist()
+
+
+def test_reconciled_accounting_cross_source_any_order(
+    spark, sf_smoke, tmp_path
+):
+    """r10 (VERDICT r9 item 7): a CROSS-source duplicate whose
+    global-min copy arrives LAST — plain accounting() attributes its
+    tokens to the first-arriving source (the documented caveat);
+    reconciled_accounting() must re-derive the batch twin's
+    attribution from the winners ledger for this adversarial order."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # clone ~50 texts into a DIFFERENT source under HIGHER doc_ids
+    clones = docs.filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("mirror-of-"), F.col("source")).alias("source"),
+        "text",
+    )
+    inp = docs.unionAll(clones).cache()
+    pipe = StreamingCurationPipeline(str(tmp_path / "cur"))
+    # adversarial arrival: the mirror clones (global-min LOSERS but
+    # with distinct sources) arrive FIRST, the true winners second
+    pipe.process_batch(inp.filter(F.col("doc_id") >= 100000), batch_id=0)
+    pipe.process_batch(inp.filter(F.col("doc_id") < 100000), batch_id=1)
+
+    twin = _batch_twin_survivors(inp)
+    reconciled = _rows(pipe.reconciled_accounting(spark))
+    assert reconciled == _rows(_accounting_of(twin))
+    # the caveat is REAL on this order: first-arrival accounting
+    # attributes the duplicated texts to the mirror sources
+    assert _rows(pipe.accounting(spark)) != reconciled
+
+
+def test_reconciled_equals_plain_for_ordered_arrival(
+    spark, sf_smoke, tmp_path
+):
+    """When arrival is doc_id-ordered (first arrival ≡ global min),
+    the reconciliation changes nothing — both views equal the batch
+    twin, including with within-source duplicates and redeliveries."""
+    inp = _injected_corpus(spark, sf_smoke).cache()
+    pipe = StreamingCurationPipeline(str(tmp_path / "cur"))
+    bounds = [0, 200, 100000, 10**9]
+    for i in range(3):
+        chunk = inp.filter(
+            (F.col("doc_id") >= bounds[i])
+            & (F.col("doc_id") < bounds[i + 1])
+        )
+        pipe.process_batch(chunk, batch_id=i)
+    twin_acct = _rows(_accounting_of(_batch_twin_survivors(inp)))
+    assert _rows(pipe.accounting(spark)) == twin_acct
+    assert _rows(pipe.reconciled_accounting(spark)) == twin_acct
+
+
+def test_reconciled_winners_replay_idempotent(spark, sf_smoke, tmp_path):
+    """Replaying a batch (same batch_id) must leave the winners
+    ledger — and therefore the reconciled table — unchanged."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pipe = StreamingCurationPipeline(str(tmp_path / "cur"))
+    pipe.process_batch(docs.filter(F.col("doc_id") < 100), batch_id=0)
+    pipe.process_batch(docs.filter(F.col("doc_id") >= 100), batch_id=1)
+    before = _rows(pipe.reconciled_accounting(spark))
+    pipe.process_batch(docs.filter(F.col("doc_id") < 100), batch_id=0)
+    assert _rows(pipe.reconciled_accounting(spark)) == before
