@@ -311,10 +311,18 @@ def run_scale(
 CANARY_QUERIES = ("q1_time_filter", "stats_moments",
                   "skew_join_order_revenue")
 CANARY_REPS = 3
-CANARY_REF = {  # medians, seconds, sf0.1, r10 exclusive run
-    "q1_time_filter": 0.1086,
-    "stats_moments": 0.6313,
-    "skew_join_order_revenue": 0.4231,
+# The references are only meaningful at this scale: a repointed
+# SPARK_GRAFT_SF_DIR run skips the canary rather than publishing a
+# normalized headline against the wrong yardstick.
+CANARY_REF_SF = 0.1
+CANARY_REF = {
+    # Medians (s) from the r10 exclusive warm pass on this host — the
+    # FIRST real pin (the value set that shipped mid-r10 was a
+    # provisional placeholder never used for a published artifact).
+    # Fixed from r10 onward.
+    "q1_time_filter": 0.1599,
+    "stats_moments": 1.1004,
+    "skew_join_order_revenue": 0.5603,
 }
 
 
@@ -333,8 +341,6 @@ def run_canary(spark, sf_dir: str, qmap) -> dict:
 
 
 def canary_index(probe: dict) -> float | None:
-    import math
-
     ratios = [
         probe[n] / CANARY_REF[n]
         for n in CANARY_QUERIES
@@ -342,9 +348,7 @@ def canary_index(probe: dict) -> float | None:
     ]
     if not ratios:
         return None
-    return round(
-        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
-    )
+    return round(statistics.geometric_mean(ratios), 4)
 
 
 def main() -> None:
@@ -377,7 +381,11 @@ def main() -> None:
     for name in HEADLINE:
         qmap[name](spark, warm_dir).collect()
 
-    canary_start = run_canary(spark, sf_dir, qmap)
+    # canary only at the pinned reference scale — normalizing a
+    # repointed-sf run against sf0.1 medians would publish a
+    # meaningless value_normalized (r10 self-review finding)
+    canary_on = _sf_of(sf_dir) == CANARY_REF_SF
+    canary_start = run_canary(spark, sf_dir, qmap) if canary_on else {}
 
     ladder: dict[str, float] = {}
     ladder_detail: dict[str, dict] = {}
@@ -390,27 +398,6 @@ def main() -> None:
         spark, sf_dir, REPS, high_reps=True, engine_split=True
     )
     total = round(sum(per_query.values()), 4)
-    canary_end = run_canary(spark, sf_dir, qmap)
-    idx_start, idx_end = canary_index(canary_start), canary_index(canary_end)
-    ambient = {
-        "queries": list(CANARY_QUERIES),
-        "ref": CANARY_REF,
-        "start": canary_start,
-        "end": canary_end,
-        "index_start": idx_start,
-        "index_end": idx_end,
-        # the headline number to divide raw times by
-        "ambient_index": (
-            round((idx_start + idx_end) / 2, 4)
-            if idx_start and idx_end else None
-        ),
-        # >~1.2 means the host shifted DURING the run — treat even
-        # normalized numbers with suspicion that round
-        "drift_within_run": (
-            round(max(idx_start, idx_end) / min(idx_start, idx_end), 4)
-            if idx_start and idx_end else None
-        ),
-    }
 
     # High-end ladder point (VERDICT r4 item 7): the expensive
     # headliners only, at a generated 3× replica of sf0.1 (see
@@ -459,6 +446,33 @@ def main() -> None:
             )
             sf1_detail[name] = stats
             sf1[name] = stats["median"]
+
+    # END ambient bracket AFTER the sf0.3/sf1.0 ladders — they are the
+    # longest phase of a publication run, and a host shift during them
+    # must land in drift_within_run (r10 self-review finding; the
+    # first draft bracketed only the headline section)
+    canary_end = run_canary(spark, sf_dir, qmap) if canary_on else {}
+    idx_start, idx_end = canary_index(canary_start), canary_index(canary_end)
+    ambient = {
+        "queries": list(CANARY_QUERIES),
+        "ref": CANARY_REF,
+        "canary_sf": CANARY_REF_SF if canary_on else None,
+        "start": canary_start,
+        "end": canary_end,
+        "index_start": idx_start,
+        "index_end": idx_end,
+        # the headline number to divide raw times by
+        "ambient_index": (
+            round((idx_start + idx_end) / 2, 4)
+            if idx_start and idx_end else None
+        ),
+        # >~1.2 means the host shifted DURING the run — treat even
+        # normalized numbers with suspicion that round
+        "drift_within_run": (
+            round(max(idx_start, idx_end) / min(idx_start, idx_end), 4)
+            if idx_start and idx_end else None
+        ),
+    }
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
     # style 3-point scaling curve) — measured once, reported in both.
     ladder[str(_sf_of(sf_dir))] = total

@@ -570,6 +570,13 @@ def _decode_scan_progressive(payload, data_start, body, frame, huff,
                             eobrun += r.read_bits(rr)
                         break
                     k += rr
+                    if k > se:
+                        # corrupt run length: refuse loudly instead of
+                        # writing into another scan's spectral band or
+                        # dying on a bare IndexError past k=63
+                        raise ValueError(
+                            "AC run past the scan's spectral band"
+                        )
                     coef[k] = _extend(r.read_bits(s), s) << al
                     k += 1
             else:  # refinement pass (G.1.2.3)
@@ -918,8 +925,8 @@ def encode_jpeg_progressive(
         + bytes([0x10]) + bytes(_PENC_AC_BITS) + bytes(_PENC_AC_VALS),
     )
     for ss, se, ah, al in scans:
-        tda = 0x00 if ss == 0 else 0x00  # table 0 either class
-        out += _seg(0xDA, bytes([1, 1, tda, ss, se, (ah << 4) | al]))
+        # Tda byte: table 0 for both classes (one DC + one AC table)
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         bw = _BitWriter()
         _penc_scan_body(bw, blocks, ss, se, ah, al)
         out += bw.flush()

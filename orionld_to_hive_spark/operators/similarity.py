@@ -218,10 +218,17 @@ def _lsh_signs(table: int = 0) -> list[list[int]]:
 
 
 _LSH_SIGNS = _lsh_signs(0)
-assert (
-    len({tuple(row) for t in range(4) for row in _lsh_signs(t)})
-    == 4 * LSH_BITS
-), "LSH sign rows must be distinct hyperplanes across tables"
+# guard at least the shipped table count AND the 4-table headroom the
+# grid explored, so raising ANN_TABLES can't outrun the distinctness
+# check (r10 self-review finding)
+_LSH_ASSERT_TABLES = 4
+
+
+def _assert_lsh_tables(n: int) -> None:
+    assert (
+        len({tuple(row) for t in range(n) for row in _lsh_signs(t)})
+        == n * LSH_BITS
+    ), "LSH sign rows must be distinct hyperplanes across tables"
 
 # Banded cosine-LSH for threshold pair-mining (the dedup_minhash_lsh
 # pattern applied to hyperplane signatures): NEARDUP_BANDS bands of
@@ -511,6 +518,7 @@ def ann_multiprobe_r2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TABLES = 3  # L in the classic (L tables, radius-r probes) LSH
+_assert_lsh_tables(max(_LSH_ASSERT_TABLES, ANN_TABLES))
 
 
 def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,10 @@ exactly that. For CROSS-source duplicates under arbitrary arrival,
 `accounting()` attributes the duplicate's tokens to the
 first-arriving source; `reconciled_accounting()` (r10) closes that
 last gap by re-deriving each hash's winner as the global min-doc_id
-over the winners ledger — batch-identical for any arrival order.
+over the winners ledger — batch-identical for any arrival order on
+the exact-dedup pipeline (with the ExactSubstr stage on, source
+attribution is reconciled but cleaned-token counts still reflect the
+streamed admission — see the method's Scope note).
 
 Replay contract: a re-run of batch N reads only hashes with
 batch_id < N, so checkpoint replays (and explicit re-runs) rewrite the
@@ -197,10 +200,21 @@ class StreamingCurationPipeline:
         the GLOBAL min-doc_id winner over every gated observation
         (the winners ledger), closing the documented cross-source-
         duplicate caveat — `accounting()` attributes a duplicate's
-        tokens to whichever source arrived first; this view matches
-        the batch twin for ANY arrival order. Text bytes come from
-        the admitted copy via the content hash (same hash ⇒ same
-        bytes; cleaned text when the ExactSubstr stage is on)."""
+        tokens to whichever source arrived first; for the exact-dedup
+        pipeline this view matches the batch twin for ANY arrival
+        order (pinned by the adversarial-order test). Text bytes come
+        from the admitted copy via the content hash (same hash ⇒ same
+        bytes).
+
+        Scope (honest limit, r10 self-review): with the ExactSubstr
+        stage ON, the SOURCE attribution is still globally
+        reconciled, but the CLEANED token counts reflect the streamed
+        admission — gram keep-first decisions key on the admitted
+        copy's doc_id, so a cross-source duplicate admitted under a
+        different doc_id than the batch twin's winner can shift which
+        OTHER documents' spans were cut. Exact any-order substr
+        reconciliation would need gram-ledger reconciliation, not
+        just hash-winner reconciliation."""
         if not _hadoop_exists(spark, f"{self.base}/winners"):
             raise RuntimeError(
                 f"no winners ledger under {self.base}/winners yet — "

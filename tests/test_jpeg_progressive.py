@@ -125,3 +125,37 @@ def test_non_baseline_sofs_still_refuse():
             decode_jpeg(payload)
         with pytest.raises(NotImplementedError, match=name):
             parse_jpeg_dims(payload)
+
+
+def test_corrupt_ac_run_past_band_refuses_loudly():
+    """A run/size whose zero-run jumps past Se must raise ValueError
+    (not write into another scan's band or die on IndexError)."""
+    from orionld_to_hive_spark.operators.jpeg import (
+        _BitWriter,
+        _ENC_QT,
+        _PENC_AC_BITS,
+        _PENC_AC_VALS,
+        _PENC_DC_BITS,
+        _PENC_DC_VALS,
+        _penc_ac,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + _ENC_QT)
+    out += _seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_PENC_DC_BITS) + bytes(_PENC_DC_VALS)
+        + bytes([0x10]) + bytes(_PENC_AC_BITS) + bytes(_PENC_AC_VALS),
+    )
+    # AC scan over band [1, 5]: emit (run=10, size=1) -> k = 1 + 10
+    # lands past Se=5
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x00]))
+    bw = _BitWriter()
+    _penc_ac(bw, (10 << 4) | 1)
+    bw.write(1, 1)  # the would-be coefficient's sign/value bit
+    payload = bytes(out) + bw.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="spectral band"):
+        decode_jpeg(payload)
