@@ -1001,6 +1001,74 @@ def encode_jpeg_gray_flat_progressive(
     return encode_jpeg_progressive(blocks, width_blocks)
 
 
+def encode_jpeg_color_flat_progressive(
+    raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W
+) -> bytes:
+    """COLOR progressive twin (r10): 4:4:4 YCbCr flat blocks sent as
+    a 5-scan SOF2 script — interleaved 3-component DC first pass at
+    Al=1, interleaved DC refinement, then each component's all-zero
+    AC band as EOB runs. Exercises the decoder's multi-component
+    progressive paths (interleaved DC MCU walk with per-component
+    predictors + per-component non-interleaved AC scans) and decodes
+    to exactly the baseline color construction's pixels, so it shares
+    the color closed-form oracle."""
+    raster = _pad_raster(np.asarray(raw, dtype=np.uint8), width_blocks)
+    n_blocks = len(raster)
+    w_px = width_blocks * 8
+    h_px = (n_blocks // width_blocks) * 8
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + _ENC_QT)
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h_px, w_px, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_PENC_DC_BITS) + bytes(_PENC_DC_VALS)
+        + bytes([0x10]) + bytes(_PENC_AC_BITS) + bytes(_PENC_AC_VALS),
+    )
+    # raw quantized DC per component (DC quant step 8 ⇒ coef = value)
+    dc = [
+        (int(b) - 128, JPEG_CB, JPEG_CR) for b in raster.tolist()
+    ]
+    # scan 1: interleaved DC first pass, Al = 1
+    out += _seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])
+    )
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for vals in dc:
+        for c, v in enumerate(vals):
+            v1 = v >> 1
+            diff = v1 - preds[c]
+            preds[c] = v1
+            cat = abs(diff).bit_length()
+            bw.write(cat, 5)
+            if cat:
+                bw.write(
+                    diff if diff > 0 else diff + (1 << cat) - 1, cat
+                )
+    out += bw.flush()
+    # scan 2: interleaved DC refinement, Ah=1 → Al=0
+    out += _seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])
+    )
+    bw = _BitWriter()
+    for vals in dc:
+        for v in vals:
+            bw.write(v & 1, 1)
+    out += bw.flush()
+    # scans 3-5: each component's AC band — all zero ⇒ pure EOB runs
+    zero = np.zeros((n_blocks, 64), dtype=np.int64)
+    for cs in (1, 2, 3):
+        out += _seg(0xDA, bytes([1, cs, 0x00, 1, 63, 0x00]))
+        bw = _BitWriter()
+        _penc_scan_body(bw, zero, 1, 63, 0, 0)
+        out += bw.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
 # Color twin of the flat-block encoder: 4:4:4 YCbCr, byte i → luma
 # block of value i, chroma planes held at the CONSTANTS Cb=+20,
 # Cr=−10 (centered domain). The decoded RGB is then a closed form of
@@ -1205,6 +1273,20 @@ def multimodal_jpeg_progressive_stats(
     ).orderBy("asset_id")
 
 
+def multimodal_jpeg_progressive_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded PROGRESSIVE COLOR (SOF2, 4:4:4)
+    JPEGs — puts the decoder's multi-component progressive paths
+    (interleaved DC scans with per-component predictors, per-component
+    AC band scans) on the oracle path via the color closed form."""
+    return jpeg_pixel_stats(
+        _assets_from_documents(
+            spark, sf_dir, encode_jpeg_color_flat_progressive
+        )
+    ).orderBy("asset_id")
+
+
 def jpeg_color_assets_from_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1394,6 +1476,8 @@ ORDER BY asset_id
 QUERIES = {
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
     "multimodal_jpeg_progressive_stats": multimodal_jpeg_progressive_stats,
+    "multimodal_jpeg_progressive_color_stats":
+        multimodal_jpeg_progressive_color_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
     "multimodal_jpeg_selective_stats": multimodal_jpeg_selective_stats,
     "multimodal_jpeg_tall_stats": multimodal_jpeg_tall_stats,
@@ -1402,6 +1486,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg_progressive_stats": MULTIMODAL_JPEG_SQL,
+    "multimodal_jpeg_progressive_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
     "multimodal_jpeg_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
     "multimodal_jpeg_selective_stats": MULTIMODAL_JPEG_SELECTIVE_SQL,
     "multimodal_jpeg_tall_stats": MULTIMODAL_JPEG_TALL_SQL,

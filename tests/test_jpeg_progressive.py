@@ -159,3 +159,20 @@ def test_corrupt_ac_run_past_band_refuses_loudly():
     payload = bytes(out) + bw.flush() + b"\xff\xd9"
     with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(payload)
+
+
+def test_color_progressive_equals_baseline_color():
+    """Multi-component progressive: interleaved DC scans (first +
+    refinement, per-component predictors) and per-component AC band
+    scans must reproduce the baseline color construction exactly."""
+    from orionld_to_hive_spark.operators.jpeg import (
+        encode_jpeg_color_flat,
+        encode_jpeg_color_flat_progressive,
+    )
+
+    for n in (0, 1, 7, 256):
+        raw = (np.arange(n, dtype=np.int64) * 37 % 256).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg_color_flat(raw))
+        p = decode_jpeg(encode_jpeg_color_flat_progressive(raw))
+        assert p.channels == 3
+        assert (b.samples == p.samples).all(), n
