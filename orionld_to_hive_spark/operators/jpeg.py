@@ -870,10 +870,11 @@ def _penc_scan_body(bw, blocks, ss, se, ah, al) -> None:
             if t == 0:
                 r += 1
                 continue
-            if t > 1:  # previously significant: one correction bit
-                br.append(t & 1)
-                continue
-            # t == 1: newly significant this pass
+            # Emit any required ZRLs FIRST — before buffering this
+            # coefficient's correction bit — unless the run can fold
+            # into the EOB (jcphuff order; a deferred ZRL would land
+            # the correction bit before the next code while the
+            # decoder reads it in the advance loop AFTER that code)
             while r > 15 and i <= eob_idx:
                 flush_eob_ref()
                 _penc_ac(bw, 0xF0)
@@ -881,6 +882,10 @@ def _penc_scan_body(bw, blocks, ss, se, ah, al) -> None:
                 for b in br:
                     bw.write(b, 1)
                 br = []
+            if t > 1:  # previously significant: one correction bit
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant this pass
             flush_eob_ref()
             _penc_ac(bw, (r << 4) | 1)
             bw.write(1 if int(coef[ss + i]) > 0 else 0, 1)

@@ -614,6 +614,43 @@ def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified recall measurement (r10): per-query recall@5
+    of the multi-table index against the exact brute-force reference
+    — the 0.84-at-sf0.01 operating-point claim as an ORACLE-CHECKED
+    query, not just a unit assertion. Both sides are engine-exact
+    (integer bucketing + deterministic tie-breaks), so the recall
+    table itself carries an exact DuckDB twin built from the same two
+    SQL constants the underlying queries publish."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    mt = ann_multitable_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(mt, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hits")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("n_true"), 6)
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Centroid (IVF-flat) scaffold: per-label centroids as the coarse index
 # (labels stand in for k-means cells, which would be trained offline at
@@ -1360,6 +1397,25 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+# Recall twin: both underlying answers are exact, so the recall table
+# composes their SQL constants directly (no drift possible).
+ANN_RECALL_SQL = f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL}),
+mt AS ({ANN_MULTITABLE_SQL}),
+per AS (
+  SELECT bf.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN mt.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM bf LEFT JOIN mt
+    ON mt.query_id = bf.query_id AND mt.neighbor_id = bf.neighbor_id
+  GROUP BY bf.query_id
+)
+SELECT query_id, n_true, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall
+FROM per ORDER BY query_id
+"""
+
 ANN_IVF_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 ex AS (
@@ -1414,6 +1470,7 @@ FROM ranked WHERE rank <= {TOP_K}
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_recall_report": ann_recall_report,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_multiprobe_r2_topk": ann_multiprobe_r2_topk,
@@ -1430,6 +1487,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_recall_report": ANN_RECALL_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
     # The LSH variant is held to the SAME exact-pairs oracle: with
     # 16×2-bit bands the per-pair miss probability is ~3e-4 and the

@@ -57,18 +57,19 @@ _MODULES = (
 # rows-only-by-design queries (p6_sample_seeded etc.) are excluded —
 # each has an exact driver-certified sibling, so prefix slots are
 # wasted on them.
-# Final r10 prefix math: (a)=5 r10-new + (b)=6 r4 tail + the first 39
-# of the 50-query r6 block = 50 (slot 50 = tpch_q20_excess_shippers);
-# the alphabetical r6 tail of 11 (tpch_q21_waiting_suppliers,
-# tpch_q22_idle_customers, tpch_q2_min_cost_supplier,
-# tpch_q3_shipping, tpch_q4_priority, tpch_q6_forecast,
-# tpch_q7_nation_volume, tpch_q8_market_share, tpch_q9_profit,
-# trailing_hour_stats, u1_union_all — slots 51-61) rotates with the
-# r7 block in r11.
+# Final r10 prefix math: (a)=6 r10-new + (b)=6 r4 tail + the first 38
+# of the 50-query r6 block = 50 (slot 50 = tpch_q1_pricing); the
+# alphabetical r6 tail of 12 (tpch_q20_excess_shippers,
+# tpch_q21_waiting_suppliers, tpch_q22_idle_customers,
+# tpch_q2_min_cost_supplier, tpch_q3_shipping, tpch_q4_priority,
+# tpch_q6_forecast, tpch_q7_nation_volume, tpch_q8_market_share,
+# tpch_q9_profit, trailing_hour_stats, u1_union_all — slots 51-62)
+# rotates with the r7 block in r11.
 _PRIORITY = (
     # (a) new in r10 — added as each lands this round
     "exact_substr_rewrite_minspan",
     "ann_multitable_topk",
+    "ann_recall_report",
     "multimodal_jpeg_progressive_stats",
     "multimodal_jpeg_progressive_color_stats",
     "multimodal_jpeg_tall_stats",
