@@ -749,14 +749,13 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_fit(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Lloyd's fit shared by the k-means report and SemDeDup: init =
+    the first KMEANS_K vectors, KMEANS_ITERS assignment/mean rounds
+    (exact-decimal means), returns the final centroid frame
+    (cid, cvec). Only K-bounded centroid rows ever reach the driver."""
     from orionld_to_hive_spark.functions.numeric import DECIMAL_T
 
-    # The working set is re-scanned once per Lloyd round (+ the final
-    # assignment) — cache it: at cluster scale this is the difference
-    # between T parquet scans and one (MEMORY_AND_DISK spills gracefully
-    # when the corpus exceeds executor memory).
-    emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
     init = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("vec").alias("cvec")
     )
@@ -779,7 +778,18 @@ def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = [
             (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in means.collect()
         ]
-    cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+    return spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+
+
+def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.numeric import DECIMAL_T
+
+    # The working set is re-scanned once per Lloyd round (+ the final
+    # assignment) — cache it: at cluster scale this is the difference
+    # between T parquet scans and one (MEMORY_AND_DISK spills gracefully
+    # when the corpus exceeds executor memory).
+    emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
+    cdf = _kmeans_fit(spark, emb)
     return (
         _assign(emb, cdf)
         .groupBy("cid")
@@ -788,6 +798,87 @@ def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.round(F.col("d"), 6).cast(DECIMAL_T)).cast("double"), 6
             ).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+# embedding space — cluster the corpus with k-means, then inside each
+# cluster treat pairs with cosine >= tau as semantic duplicates and
+# keep the member FARTHEST from its centroid (the paper's
+# keep-low-centroid-similarity rule, which preserves the cluster's
+# diversity). Deterministic pairwise variant: x is dropped iff some
+# same-cluster partner y with pair-cos >= tau precedes it in the
+# (centroid-cos, vec_id) order — the paper's per-group rule applied
+# edge-wise, so the result is arrival/partitioning independent and
+# exactly SQL-expressible (the oracle replays it verbatim).
+#
+# Scale shape (the paper's own): K grows with the corpus (50K clusters
+# on LAION-440M) so cluster size stays bounded; the within-cluster
+# pair join is a keyed equi-join on cid — n²/K work, never a global
+# cross join — and AQE's skew handling covers a hot cluster. The fit
+# reuses _kmeans_fit (K-bounded driver traffic only).
+SEMDEDUP_TAU = NEARDUP_COS  # 0.4 — this corpus's near-dup regime
+
+
+def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
+    cdf = _kmeans_fit(spark, emb)
+    asg = (
+        _assign(emb, cdf)
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            "cid",
+            "vec_id",
+            "vec",
+            F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),
+        )
+    )
+    a = asg.select(
+        "cid",
+        F.col("vec_id").alias("ia"),
+        F.col("vec").alias("va"),
+        F.col("ccos").alias("ca"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("vec_id").alias("ib"),
+        F.col("vec").alias("vb"),
+        F.col("ccos").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select("cid", "ia", "ca", "ib", "cb")
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("ib") < F.col("ia")))
+        )
+        .select("cid", "ia")
+        .distinct()
+    )
+    pts = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
+    dup = (
+        pairs.filter(F.col("ia") < F.col("ib"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+    drp = dropped.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        pts.join(dup, "cid", "left")
+        .join(drp, "cid", "left")
+        .select(
+            "cid",
+            "n_points",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_points") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
         )
         .orderBy("cid")
     )
@@ -1129,7 +1220,10 @@ LIMIT 20
 # distance is the strict left fold both engines share, assignment
 # tie-breaks on (d, cid), means use the DECIMAL(27,6) convention, and
 # empty clusters drop out of both engines' mean tables identically.
-def _kmeans_sql() -> str:
+# The chain is shared with the SemDeDup oracle below: _lloyd_ctes
+# returns (ctes ending in the final assignment "af", the final
+# centroid CTE's name).
+def _lloyd_ctes() -> tuple[list, str]:
     l2 = (
         "list_sum(list_transform(range(1, len(e.v)+1), "
         "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])))"
@@ -1168,12 +1262,54 @@ def _kmeans_sql() -> str:
         cur = f"c{it + 1}"
         ctes.append(means(cur, f"a{it}"))
     ctes.append(assign("af", cur))
+    return ctes, cur
+
+
+def _kmeans_sql() -> str:
+    ctes, _ = _lloyd_ctes()
     return (
         "WITH " + ",\n".join(ctes) + """
 SELECT cid, COUNT(*) AS n_points,
        round(CAST(SUM(CAST(round(d, 6) AS DECIMAL(27,6))) AS DOUBLE), 6)
          AS inertia
 FROM af GROUP BY cid ORDER BY cid
+"""
+    )
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the unrolled Lloyd's chain (shared with the
+    k-means oracle) + final centroid-cosine, the within-cluster pair
+    relation at tau, and the edge-wise keep-farthest-from-centroid
+    drop rule — all in the engine-exact cosine/rounding convention."""
+    ctes, cur = _lloyd_ctes()
+    ctes.append(f"""ac AS (
+  SELECT af.vec_id, af.v, af.cid,
+         round({_cos_sql("af.v", "c.cvec")}, 6) AS ccos
+  FROM af JOIN {cur} c ON af.cid = c.cid
+)""")
+    ctes.append(f"""pr AS (
+  SELECT x.cid, x.vec_id AS ia, x.ccos AS ca, y.vec_id AS ib, y.ccos AS cb
+  FROM ac x JOIN ac y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+  WHERE round({_cos_sql("x.v", "y.v")}, 6) >= {SEMDEDUP_TAU}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """,
+dropped AS (
+  SELECT DISTINCT cid, ia FROM pr
+  WHERE cb < ca OR (cb = ca AND ib < ia)
+),
+pts AS (SELECT cid, COUNT(*) AS n_points FROM ac GROUP BY cid),
+dup AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pr WHERE ia < ib GROUP BY cid),
+drp AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
+SELECT p.cid, CAST(p.n_points AS BIGINT) AS n_points,
+       CAST(COALESCE(dup.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(p.n_points - COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_kept
+FROM pts p
+LEFT JOIN dup ON dup.cid = p.cid
+LEFT JOIN drp ON drp.cid = p.cid
+ORDER BY p.cid
 """
     )
 
@@ -1469,6 +1605,7 @@ FROM ranked WHERE rank <= {TOP_K}
 
 QUERIES = {
     "kmeans_embeddings_report": kmeans_embeddings_report,
+    "semdedup_prune_report": semdedup_prune_report,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_recall_report": ann_recall_report,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1486,6 +1623,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semdedup_prune_report": _semdedup_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
