@@ -211,6 +211,14 @@ HEADLINE = (
     "multimodal_jpeg_stats",
     "multimodal_jpeg_selective_stats",
     "multimodal_jpeg_tall_stats",
+    # round-10 continuation: animated-GIF frame sampling (real LZW
+    # decode + compositing, the video-shaped 1:N fan-out), SemDeDup
+    # (k-means + within-cluster cosine prune), and the unigram-LM
+    # tokenizer (Viterbi over the distinct-word frame — the
+    # SentencePiece-family twin of bpe_token_accounting above)
+    "multimodal_gif_frames",
+    "semdedup_prune_report",
+    "unigram_tokenize_report",
 )
 
 

@@ -737,15 +737,25 @@ def _l2sq(a, b):
 
 
 def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
-    w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    """Nearest-centroid assignment with (d, cid) tie-break. The argmin
+    is a map-side-combinable min(struct) aggregate — structs compare
+    lexicographically, so min(struct(d, cid, …)) IS "order by d asc,
+    cid asc, take first" without shuffling and sorting all n×K scored
+    rows the way the previous row_number window did (at cluster scale
+    the shuffle shrinks from n×K scored rows to n combined partials)."""
     return (
         emb.crossJoin(F.broadcast(cdf))
         .select(
             "vec_id", "vec", "cid", _l2sq(F.col("vec"), F.col("cvec")).alias("d")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid", "vec")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.vec").alias("vec"),
+            F.col("m.cid").alias("cid"),
+            F.col("m.d").alias("d"),
+        )
     )
 
 
@@ -824,52 +834,75 @@ SEMDEDUP_TAU = NEARDUP_COS  # 0.4 — this corpus's near-dup regime
 
 
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orionld_to_hive_spark.functions.vectors import dot, norm2
+
     emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
     cdf = _kmeans_fit(spark, emb)
+    # Pre-normalize once (n rows, not n²/K pairs): every pair score is
+    # then a SINGLE dot fold instead of dot + two norms, and each
+    # unordered pair is evaluated exactly once. The oracle performs
+    # the identical normalize-then-dot ops, so exactness survives.
+    ncdf = cdf.select(
+        "cid",
+        F.transform("cvec", lambda x: x / norm2(F.col("cvec"))).alias("ncvec"),
+    )
     asg = (
         _assign(emb, cdf)
-        .join(F.broadcast(cdf), "cid")
+        .withColumn("nrm", norm2(F.col("vec")))
+        .join(F.broadcast(ncdf), "cid")
         .select(
             "cid",
             "vec_id",
-            "vec",
-            F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("ccos"),
+            F.transform("vec", lambda x: x / F.col("nrm")).alias("nv"),
+            "ncvec",
         )
+        .select(
+            "cid",
+            "vec_id",
+            "nv",
+            F.round(dot(F.col("nv"), F.col("ncvec")), 6).alias("ccos"),
+        )
+        .persist()
     )
     a = asg.select(
         "cid",
         F.col("vec_id").alias("ia"),
-        F.col("vec").alias("va"),
+        F.col("nv").alias("na"),
         F.col("ccos").alias("ca"),
     )
     b = asg.select(
         "cid",
         F.col("vec_id").alias("ib"),
-        F.col("vec").alias("vb"),
+        F.col("nv").alias("nb"),
         F.col("ccos").alias("cb"),
     )
     pairs = (
         a.join(b, "cid")
-        .filter(F.col("ia") != F.col("ib"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= SEMDEDUP_TAU)
-        .select("cid", "ia", "ca", "ib", "cb")
-    )
-    dropped = (
-        pairs.filter(
-            (F.col("cb") < F.col("ca"))
-            | ((F.col("cb") == F.col("ca")) & (F.col("ib") < F.col("ia")))
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(dot(F.col("na"), F.col("nb")), 6) >= SEMDEDUP_TAU)
+        .select(
+            "cid",
+            "ia",
+            "ib",
+            # exactly one member of a duplicate pair drops: the LATER
+            # in (centroid-cos, vec_id) order
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("ia") > F.col("ib"))),
+                F.col("ia"),
+            )
+            .otherwise(F.col("ib"))
+            .alias("loser"),
         )
-        .select("cid", "ia")
-        .distinct()
     )
     pts = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
-    dup = (
-        pairs.filter(F.col("ia") < F.col("ib"))
+    dup = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    drp = (
+        pairs.select("cid", "loser")
+        .distinct()
         .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
-    drp = dropped.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
     return (
         pts.join(dup, "cid", "left")
         .join(drp, "cid", "left")
@@ -1283,24 +1316,39 @@ def _semdedup_sql() -> str:
     relation at tau, and the edge-wise keep-farthest-from-centroid
     drop rule — all in the engine-exact cosine/rounding convention."""
     ctes, cur = _lloyd_ctes()
-    ctes.append(f"""ac AS (
-  SELECT af.vec_id, af.v, af.cid,
-         round({_cos_sql("af.v", "c.cvec")}, 6) AS ccos
-  FROM af JOIN {cur} c ON af.cid = c.cid
+    dotf = (
+        "list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i]))"
+    )
+    ctes.append(f"""ncv AS (
+  SELECT cid, list_transform(cvec,
+           x -> x / sqrt(list_sum(list_transform(cvec, t -> t*t)))) AS ncvec
+  FROM {cur}
 )""")
-    ctes.append(f"""pr AS (
+    ctes.append("""nv0 AS (
+  SELECT vec_id, cid, v,
+         sqrt(list_sum(list_transform(v, t -> t*t))) AS nrm
+  FROM af
+)""")
+    ctes.append(f"""ac AS MATERIALIZED (
+  SELECT n.vec_id, n.cid, list_transform(n.v, x -> x / n.nrm) AS nv,
+         round(list_sum(list_transform(range(1, len(n.v)+1),
+               i -> (n.v[i] / n.nrm) * c.ncvec[i])), 6) AS ccos
+  FROM nv0 n JOIN ncv c ON n.cid = c.cid
+)""")
+    ctes.append(f"""pr AS MATERIALIZED (
   SELECT x.cid, x.vec_id AS ia, x.ccos AS ca, y.vec_id AS ib, y.ccos AS cb
-  FROM ac x JOIN ac y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-  WHERE round({_cos_sql("x.v", "y.v")}, 6) >= {SEMDEDUP_TAU}
+  FROM ac x JOIN ac y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round({dotf}, 6) >= {SEMDEDUP_TAU}
 )""")
     return (
         "WITH " + ",\n".join(ctes) + """,
 dropped AS (
-  SELECT DISTINCT cid, ia FROM pr
-  WHERE cb < ca OR (cb = ca AND ib < ia)
+  SELECT DISTINCT cid,
+         CASE WHEN ca > cb OR (ca = cb AND ia > ib) THEN ia ELSE ib END AS loser
+  FROM pr
 ),
 pts AS (SELECT cid, COUNT(*) AS n_points FROM ac GROUP BY cid),
-dup AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pr WHERE ia < ib GROUP BY cid),
+dup AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pr GROUP BY cid),
 drp AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
 SELECT p.cid, CAST(p.n_points AS BIGINT) AS n_points,
        CAST(COALESCE(dup.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,

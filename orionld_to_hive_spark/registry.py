@@ -32,6 +32,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.similarity",
     "orionld_to_hive_spark.operators.text",
     "orionld_to_hive_spark.operators.bpe",
+    "orionld_to_hive_spark.operators.unigram",
     "orionld_to_hive_spark.operators.multimodal",
     "orionld_to_hive_spark.operators.jpeg",
     "orionld_to_hive_spark.operators.gif",
@@ -58,16 +59,17 @@ _MODULES = (
 # rows-only-by-design queries (p6_sample_seeded etc.) are excluded —
 # each has an exact driver-certified sibling, so prefix slots are
 # wasted on them.
-# Final r10 prefix math: (a)=9 r10-new (6 + the 2 GIF queries and
-# SemDeDup added in the round's continuation session) + (b)=6 r4 tail
-# + the first 35 of the 50-query r6 block = 50 (slot 50 =
-# tpch_q13_custdist); the alphabetical r6 tail of 15
-# (tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
+# Final r10 prefix math: (a)=10 r10-new (6 + the 2 GIF queries,
+# SemDeDup, and the unigram tokenizer added in the round's
+# continuation session) + (b)=6 r4 tail + the first 34 of the
+# 50-query r6 block = 50 (slot 50 = tpch_q11_important_parts); the
+# alphabetical r6 tail of 16 (tpch_q13_custdist,
+# tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
 # tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 # tpch_q22_idle_customers, tpch_q2_min_cost_supplier, tpch_q3_shipping,
 # tpch_q4_priority, tpch_q6_forecast, tpch_q7_nation_volume,
 # tpch_q8_market_share, tpch_q9_profit, trailing_hour_stats,
-# u1_union_all — slots 51-65) rotates with the r7 block in r11.
+# u1_union_all — slots 51-66) rotates with the r7 block in r11.
 _PRIORITY = (
     # (a) new in r10 — added as each lands this round
     "exact_substr_rewrite_minspan",
@@ -79,6 +81,7 @@ _PRIORITY = (
     "multimodal_gif_frames",
     "multimodal_gif_anim_summary",
     "semdedup_prune_report",
+    "unigram_tokenize_report",
     # (b) the six-query alphabetical r4 tail from the r9 rotation
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive",
