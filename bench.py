@@ -128,6 +128,13 @@ SF1_LADDER_QUERIES = (
     "multimodal_jpeg_stats",
     "multimodal_jpeg_selective_stats",
     "multimodal_jpeg_tall_stats",
+    # r10 continuation: the session's new headliners — GIF decode
+    # (codec family, byte-proportional), SemDeDup (fit overhead is
+    # scale-flat, pair stage n²/K), unigram Viterbi (distinct-word
+    # bounded)
+    "multimodal_gif_frames",
+    "semdedup_prune_report",
+    "unigram_tokenize_report",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",

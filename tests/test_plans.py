@@ -562,3 +562,58 @@ def test_delete_where_scan_prunes_partitions(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.filter("day = 'a' AND value < 5.0").count() == 0
     assert left.count() == 30 - 2  # ids 0 and 3 matched
+
+
+def test_unigram_tokenize_single_pruned_scan(spark, sf_smoke):
+    # the tokenizer's 100 TB shape: ONE documents scan reading ONLY
+    # text (the Viterbi fan-out and both aggregates run off the
+    # distinct-word frame, never a second corpus pass), and the word
+    # count is map-side combined before its exchange
+    from orionld_to_hive_spark.operators.unigram import unigram_tokenize_report
+
+    import re
+
+    df = unigram_tokenize_report(spark, sf_smoke)
+    plan = formatted(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert read_schema_columns(df) == ["text"], read_schema_columns(df)
+    # partial aggregate feeds the lowest exchange (map-side combine):
+    # the node numbered one below the first Exchange in scan-up order
+    # must be a HashAggregate
+    lowest_exchange = min(int(n) for n in re.findall(r"\((\d+)\) Exchange", plan))
+    assert f"({lowest_exchange - 1}) HashAggregate" in plan, plan
+
+
+def test_gif_pipeline_spreads_before_codec_stages(spark, sf_smoke):
+    # the codec stages are CPU-bound Python: the plan must place the
+    # core-spreading exchange BEFORE both mapInPandas stages and read
+    # only (doc_id, text) from the corpus
+    from orionld_to_hive_spark.operators.gif import multimodal_gif_frames
+
+    import re
+
+    df = multimodal_gif_frames(spark, sf_smoke)
+    plan = formatted(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert sorted(read_schema_columns(df)) == ["doc_id", "text"]
+    tree = plan[: plan.index("(1) Scan")]
+    # the tree prints top-down, so the LAST exchange before the scan
+    # is the spreading one and both codec stages sit above it
+    assert tree.rindex("Exchange") > tree.rindex("MapInPandas"), tree
+    assert tree.count("MapInPandas") == 2, tree
+
+
+def test_semdedup_pair_join_is_keyed_not_cartesian(spark, sf_smoke):
+    # the within-cluster pair relation must be an equi-join on cid
+    # (n²/K bounded by cluster size) — never a cartesian product; the
+    # only cross joins allowed are the K-bounded broadcast centroid
+    # scorings of the Lloyd fit
+    from orionld_to_hive_spark.operators.similarity import semdedup_prune_report
+
+    df = semdedup_prune_report(spark, sf_smoke)
+    plan = formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    # the cid self-join is present as a real join, and every
+    # BroadcastNestedLoopJoin (the crossJoin physical form) carries
+    # the K-bounded centroid side, which arrives via LocalTableScan
+    assert "Join" in plan
