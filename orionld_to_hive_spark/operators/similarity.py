@@ -23,10 +23,13 @@ outputs hash-match.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from orionld_to_hive_spark.functions.vectors import as_double, cosine
@@ -759,21 +762,93 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_fit(spark: SparkSession, emb: DataFrame) -> DataFrame:
+_ASSIGN_MARGIN = 1e-9
+
+
+def _assign_fast(emb: DataFrame, centroids: list) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment (numpy matmul over
+    broadcast centroids) — the SemDeDup fit path, where K grows with
+    the corpus and the fold-based _assign's n×K interpreted lambdas
+    become the bottleneck (measured 54 s → 7 s at the 10× ladder).
+
+    Exactness contract with the fold-based twin (what keeps the
+    DuckDB oracle valid): numpy's pairwise-summed distances differ
+    from the strict left fold by ≤ ~1e-12 relative, so the ARGMIN can
+    only disagree on a near-tie. The guard raises on any gap in
+    (0, 1e-9) between the best and second-best distance to
+    NON-IDENTICAL centroids; bitwise-equal ties pick the lowest cid
+    in both engines (numpy argmin = first minimum; fold tie-break =
+    (d, cid) asc). No sub-tolerance gap → argmin provably identical."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    order = np.argsort(cids)
+    cids, C = cids[order], C[order]
+    cnorm = (C * C).sum(axis=1)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), True),
+            T.StructField("cid", T.IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            D = (V * V).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (V @ C.T)
+            i0 = D.argmin(axis=1)
+            rows = np.arange(len(D))
+            d0 = D[rows, i0].copy()
+            D[rows, i0] = np.inf
+            i1 = D.argmin(axis=1)
+            d1 = D[rows, i1]
+            gap = d1 - d0
+            risky = (gap > 0) & (gap < _ASSIGN_MARGIN)
+            if risky.any():
+                j = int(np.argmax(risky))
+                if not np.array_equal(C[i0[j]], C[i1[j]]):
+                    raise RuntimeError(
+                        "assignment near-tie below tolerance "
+                        f"(gap={gap[j]:.3e}): the fast argmin is not "
+                        "provably fold-exact here — use _assign"
+                    )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "cid": pd.Series(cids[i0], dtype="int32"),
+                }
+            )
+
+    return emb.mapInPandas(batches, schema)
+
+
+def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KMEANS_K,
+                fast: bool = False) -> DataFrame:
     """Lloyd's fit shared by the k-means report and SemDeDup: init =
-    the first KMEANS_K vectors, KMEANS_ITERS assignment/mean rounds
+    the first k vectors, KMEANS_ITERS assignment/mean rounds
     (exact-decimal means), returns the final centroid frame
-    (cid, cvec). Only K-bounded centroid rows ever reach the driver."""
+    (cid, cvec). Only k-bounded centroid rows ever reach the driver.
+    fast=True routes assignment through the margin-guarded numpy path
+    (used by SemDeDup, whose K grows with the corpus)."""
     from orionld_to_hive_spark.functions.numeric import DECIMAL_T
 
-    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    init = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("vec").alias("cvec")
     )
     centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in init.collect()]
     for _ in range(KMEANS_ITERS):
         cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+        assigned = (
+            _assign_fast(emb, centroids) if fast else _assign(emb, cdf)
+        )
         means = (
-            _assign(emb, cdf)
+            assigned
             .select("cid", F.posexplode("vec").alias("i", "x"))
             .groupBy("cid", "i")
             .agg(
@@ -825,19 +900,32 @@ def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edge-wise, so the result is arrival/partitioning independent and
 # exactly SQL-expressible (the oracle replays it verbatim).
 #
-# Scale shape (the paper's own): K grows with the corpus (50K clusters
-# on LAION-440M) so cluster size stays bounded; the within-cluster
-# pair join is a keyed equi-join on cid — n²/K work, never a global
-# cross join — and AQE's skew handling covers a hot cluster. The fit
-# reuses _kmeans_fit (K-bounded driver traffic only).
+# Scale shape (the paper's own): K grows with the corpus — k =
+# max(KMEANS_K, n // SEMDEDUP_CLUSTER_TARGET), the same rule in both
+# engines — so cluster size stays bounded (~TARGET) and the
+# within-cluster pair join is a keyed equi-join on cid doing n·TARGET
+# work, never global n²; AQE's skew handling covers a hot cluster.
+# Honest caveat: the ASSIGNMENT stays brute-force exact n×K (that is
+# what keeps the DuckDB oracle bit-exact); the paper accelerates this
+# step with ANN — at production scale the IVF/LSH bucketing in this
+# module is the drop-in for the scoring join, trading exactness of
+# the fit for assignment cost. Driver traffic stays K-bounded.
 SEMDEDUP_TAU = NEARDUP_COS  # 0.4 — this corpus's near-dup regime
+SEMDEDUP_CLUSTER_TARGET = 250
+
+
+def _semdedup_k(n: int) -> int:
+    return max(KMEANS_K, n // SEMDEDUP_CLUSTER_TARGET)
 
 
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orionld_to_hive_spark.functions.vectors import dot, norm2
 
     emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
-    cdf = _kmeans_fit(spark, emb)
+    cdf = _kmeans_fit(spark, emb, k=_semdedup_k(emb.count()), fast=True)
+    centroids = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cdf.collect()
+    ]
     # Pre-normalize once (n rows, not n²/K pairs): every pair score is
     # then a SINGLE dot fold instead of dot + two norms, and each
     # unordered pair is evaluated exactly once. The oracle performs
@@ -847,7 +935,7 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("cvec", lambda x: x / norm2(F.col("cvec"))).alias("ncvec"),
     )
     asg = (
-        _assign(emb, cdf)
+        _assign_fast(emb, centroids)
         .withColumn("nrm", norm2(F.col("vec")))
         .join(F.broadcast(ncdf), "cid")
         .select(
@@ -864,37 +952,57 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = asg.select(
-        "cid",
-        F.col("vec_id").alias("ia"),
-        F.col("nv").alias("na"),
-        F.col("ccos").alias("ca"),
+    # Per-cluster pairwise scoring as ONE numpy matmul per cluster
+    # (the paper's own within-cluster step): shuffle by cid, then
+    # NV @ NV.T inside the Arrow group — replacing the interpreted
+    # fold per candidate pair (measured 26 s → see PLANS.md at the
+    # 10× ladder). Exactness contract with the fold+round oracle:
+    # round6(dot) >= TAU  ⟺  dot >= TAU − 0.5e-6, and numpy's dot
+    # differs from the strict fold by ≤ ~1e-12 — so the decision can
+    # only disagree within 1e-9 of the cut point, where the guard
+    # raises instead of answering. Memory/skew bound: a hot cluster
+    # of m rows builds an m×m block — K ∝ n keeps m near
+    # SEMDEDUP_CLUSTER_TARGET by construction.
+    tau_edge = SEMDEDUP_TAU - 0.5e-6
+    pair_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("ia", T.LongType(), False),
+            T.StructField("ib", T.LongType(), False),
+            T.StructField("loser", T.LongType(), False),
+        ]
     )
-    b = asg.select(
-        "cid",
-        F.col("vec_id").alias("ib"),
-        F.col("nv").alias("nb"),
-        F.col("ccos").alias("cb"),
-    )
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(dot(F.col("na"), F.col("nb")), 6) >= SEMDEDUP_TAU)
-        .select(
-            "cid",
-            "ia",
-            "ib",
-            # exactly one member of a duplicate pair drops: the LATER
-            # in (centroid-cos, vec_id) order
-            F.when(
-                (F.col("ca") > F.col("cb"))
-                | ((F.col("ca") == F.col("cb")) & (F.col("ia") > F.col("ib"))),
-                F.col("ia"),
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        NV = np.array(pdf["nv"].to_numpy()[order].tolist(), dtype=np.float64)
+        cc = pdf["ccos"].to_numpy()[order]
+        S = NV @ NV.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = S[iu, ju]
+        if np.any(np.abs(s - tau_edge) < 1e-9):
+            raise RuntimeError(
+                "pair score within 1e-9 of the rounding cut point: "
+                "the matmul decision is not provably fold-exact here"
             )
-            .otherwise(F.col("ib"))
-            .alias("loser"),
+        hit = s >= tau_edge
+        ia, ib = ids[iu[hit]], ids[ju[hit]]
+        ca, cb = cc[iu[hit]], cc[ju[hit]]
+        # exactly one member of a duplicate pair drops: the LATER in
+        # (centroid-cos, vec_id) order — ids are sorted so ia < ib
+        loser = np.where((ca > cb), ia, np.where(ca < cb, ib, ib))
+        return pd.DataFrame(
+            {
+                "cid": np.full(len(ia), int(pdf["cid"].iloc[0]), dtype="int32"),
+                "ia": ia,
+                "ib": ib,
+                "loser": loser,
+            }
         )
-    )
+
+    pairs = asg.groupBy("cid").applyInPandas(cluster_pairs, pair_schema)
     pts = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
     dup = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     drp = (
@@ -1256,7 +1364,7 @@ LIMIT 20
 # The chain is shared with the SemDeDup oracle below: _lloyd_ctes
 # returns (ctes ending in the final assignment "af", the final
 # centroid CTE's name).
-def _lloyd_ctes() -> tuple[list, str]:
+def _lloyd_ctes(init_k_sql: str = str(KMEANS_K)) -> tuple[list, str]:
     l2 = (
         "list_sum(list_transform(range(1, len(e.v)+1), "
         "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])))"
@@ -1287,7 +1395,7 @@ def _lloyd_ctes() -> tuple[list, str]:
     ctes = [
         "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cvec "
-        f"FROM emb WHERE vec_id < {KMEANS_K})",
+        f"FROM emb WHERE vec_id < ({init_k_sql}))",
     ]
     cur = "c0"
     for it in range(KMEANS_ITERS):
@@ -1315,7 +1423,10 @@ def _semdedup_sql() -> str:
     k-means oracle) + final centroid-cosine, the within-cluster pair
     relation at tau, and the edge-wise keep-farthest-from-centroid
     drop rule — all in the engine-exact cosine/rounding convention."""
-    ctes, cur = _lloyd_ctes()
+    # the corpus-proportional K rule, replayed verbatim in SQL
+    ctes, cur = _lloyd_ctes(
+        f"SELECT GREATEST({KMEANS_K}, COUNT(*) // {SEMDEDUP_CLUSTER_TARGET}) FROM emb"
+    )
     dotf = (
         "list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i]))"
     )

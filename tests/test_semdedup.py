@@ -10,8 +10,8 @@ import pyarrow.parquet as pq
 
 from orionld_to_hive_spark.operators.similarity import (
     KMEANS_ITERS,
-    KMEANS_K,
     SEMDEDUP_TAU,
+    _semdedup_k,
     semdedup_prune_report,
 )
 
@@ -28,6 +28,7 @@ def _numpy_model():
     v = np.array([np.array(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
     order = np.argsort(vec_id)
     vec_id, v = vec_id[order], v[order]
+    KMEANS_K = _semdedup_k(len(v))  # corpus-proportional cluster count
 
     cent = v[vec_id < KMEANS_K].copy()
     for _ in range(KMEANS_ITERS):
