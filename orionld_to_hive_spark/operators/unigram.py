@@ -305,6 +305,76 @@ def unigram_tokenize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTOK_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType(), False),
+        T.StructField("n_word_tokens", T.LongType(), False),
+    ]
+)
+
+
+def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture/budget table under the unigram tokenizer —
+    the twin of bpe_token_accounting: documents, words, pieces,
+    fertility, tokens/doc per source. Viterbi runs once per DISTINCT
+    capped word (piece COUNT only — no fan-out rows); counts join
+    back on the word key; fertility and tokens_per_doc are single
+    IEEE-754 divisions of exact integer sums."""
+    from orionld_to_hive_spark.operators.bpe import _doc_word_counts
+
+    doc_words = (
+        _doc_word_counts(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.substring("word", 1, WORD_CAP).alias("word"),
+            "cnt",
+        )
+        .groupBy("doc_id", "source", "word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    uniq = doc_words.groupBy("word").agg(F.lit(1).alias("one")).drop("one")
+
+    def ntok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_word_tokens": pd.Series(
+                        [len(viterbi_segment(w)) for w in pdf["word"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    vocab = uniq.mapInPandas(ntok, _NTOK_SCHEMA)
+    per_doc = (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").alias("doc_words"),
+            F.sum(F.col("cnt") * F.col("n_word_tokens")).alias("doc_tokens"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_words").alias("n_words"),
+            F.sum("doc_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle: the bounded Viterbi loop unrolled over WORD_CAP positions
 # (forward DP CTEs d1..d16 with the same integer scores and
@@ -317,7 +387,11 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _unigram_sql() -> str:
+def _viterbi_ctes() -> list:
+    """The unrolled Viterbi chain shared by both oracles: vocab +
+    corpus-wide distinct capped words + forward DP d0..d16 + the
+    backpointer walk ending in `pieces(word, piece)` — one row per
+    piece occurrence per distinct word."""
     vocab_values = ", ".join(
         f"({_sql_quote(p)}, {lp})" for p, lp in FROZEN_UNIGRAM
     )
@@ -378,9 +452,13 @@ def _unigram_sql() -> str:
     pieces = "\n    UNION ALL ".join(
         f"SELECT word, piece FROM p{s}" for s in range(1, WORD_CAP + 1)
     )
-    ctes.append(f"pieces AS (\n    {pieces}\n)")
+    ctes.append(f"pieces AS MATERIALIZED (\n    {pieces}\n)")
+    return ctes
+
+
+def _unigram_sql() -> str:
     return (
-        "WITH " + ",\n".join(ctes) + """
+        "WITH " + ",\n".join(_viterbi_ctes()) + """
 SELECT p.piece,
        CAST(SUM(w.wcnt) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT p.word) AS BIGINT) AS n_words
@@ -391,10 +469,51 @@ ORDER BY p.piece
     )
 
 
+def _unigram_accounting_sql() -> str:
+    """Per-source accounting oracle: per-word piece counts from the
+    shared Viterbi chain, joined back to (doc, source, word) counts —
+    the same integer-sums-then-one-division arithmetic as the BPE
+    accounting twin."""
+    return (
+        "WITH " + ",\n".join(_viterbi_ctes()) + f""",
+wordtok AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word_tokens
+            FROM pieces GROUP BY word),
+dw AS (
+  SELECT doc_id, source, substr(w, 1, {WORD_CAP}) AS word,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, source,
+               unnest(regexp_extract_all(text, '{_PRETOK_RE}')) AS w
+        FROM documents)
+  GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         SUM(d.cnt) AS doc_words,
+         SUM(d.cnt * t.n_word_tokens) AS doc_tokens
+  FROM dw d JOIN wordtok t ON t.word = d.word
+  GROUP BY d.doc_id, d.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_words) AS BIGINT) AS n_words,
+       CAST(SUM(doc_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_tokens) AS BIGINT) / CAST(SUM(doc_words) AS BIGINT)
+         AS fertility,
+       CAST(SUM(doc_tokens) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+         AS tokens_per_doc
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
 QUERIES = {
     "unigram_tokenize_report": unigram_tokenize_report,
+    "unigram_token_accounting": unigram_token_accounting,
 }
 
 ORACLES = {
     "unigram_tokenize_report": _unigram_sql(),
+    "unigram_token_accounting": _unigram_accounting_sql(),
 }

@@ -177,3 +177,41 @@ def test_frozen_table_wellformed():
     # log-probs normalize to ~1 (floor rounding only loses micro-nats)
     total = sum(math.exp(lp / LP_SCALE) for _, lp in FROZEN_UNIGRAM)
     assert abs(total - 1.0) < 1e-3
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="ab#", min_size=1, max_size=8),
+    st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=PIECE_MAX),
+        st.integers(min_value=-15 * LP_SCALE, max_value=-1),
+        max_size=12,
+    ),
+)
+def test_viterbi_is_score_optimal(word, extra):
+    """Viterbi total score must equal the brute-force maximum over ALL
+    segmentations (single chars always segmentable via vocab or the
+    UNK fallback); the emitted pieces must reproduce that score."""
+    vocab = {"a": -2 * LP_SCALE, "b": -3 * LP_SCALE}
+    vocab.update(extra)
+
+    def lp(piece):
+        if piece in vocab:
+            return vocab[piece]
+        return UNK_LP if len(piece) == 1 else None
+
+    def best(rest):
+        if not rest:
+            return 0
+        cands = []
+        for k in range(1, min(PIECE_MAX, len(rest)) + 1):
+            v = lp(rest[:k])
+            if v is not None:
+                tail = best(rest[k:])
+                cands.append(v + tail)
+        return max(cands)
+
+    pieces = viterbi_segment(word, vocab)
+    assert "".join(pieces) == word
+    got = sum(lp(p) for p in pieces)
+    assert got == best(word)
