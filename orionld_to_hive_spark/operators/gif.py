@@ -48,6 +48,7 @@ from typing import Iterator, NamedTuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from orionld_to_hive_spark.operators.multimodal import PNG_DARK
@@ -368,6 +369,58 @@ def decode_gif(payload: bytes) -> GifImage:
     return GifImage(sw, sh, frames, delays, loop_count)
 
 
+def parse_gif_meta(payload: bytes) -> tuple:
+    """Metadata-only pass: (screen_w, screen_h, n_frames) WITHOUT
+    touching entropy data — image data sub-blocks are SKIPPED via
+    their length bytes (no LZW decode), so the cost is a few bytes per
+    block. The cheap first phase of selective decode: at 100 TB you
+    walk block headers to decide which assets are worth the full
+    decode (the GIF twin of parse_jpeg_dims)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh = _u16(payload, 6), _u16(payload, 8)
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1  # label
+            _, pos = _skip_sub_blocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        iflags = payload[pos + 8]
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1  # LZW minimum code size
+        _, pos = _skip_sub_blocks(payload, pos)
+        n_frames += 1
+    return sw, sh, n_frames
+
+
+def _skip_sub_blocks(payload: bytes, pos: int) -> tuple:
+    """Like _sub_blocks but never materializes the data."""
+    while True:
+        if pos >= len(payload):
+            raise ValueError("unexpected end inside sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return None, pos
+        pos += n
+
+
 # --------------------------------------------------------------------------
 # encoder (synth fixture + roundtrip tests)
 
@@ -645,12 +698,48 @@ ORDER BY asset_id
 """
 
 
+def multimodal_gif_selective_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SELECTIVE decode (the JPEG pattern on the GIF path):
+    the metadata walk (parse_gif_meta — block-length skips, no LZW)
+    filters to ANIMATED assets (n_frames >= 2), and the expensive
+    frame decode runs only on survivors. On this corpus the predicate
+    keeps docs longer than one 256-byte frame (~55% of assets holding
+    ~75% of bytes at sf0.1)."""
+    assets = gif_assets_from_documents(spark, sf_dir)
+
+    def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nf = [parse_gif_meta(bytes(p))[2] for p in pdf["payload"]]
+            out = pdf.copy()
+            out["n_frames"] = pd.Series(nf, dtype="int32")
+            yield out
+
+    with_meta = assets.mapInPandas(
+        meta,
+        T.StructType(
+            list(_ASSET_SCHEMA.fields)
+            + [T.StructField("n_frames", T.IntegerType(), False)]
+        ),
+    )
+    survivors = with_meta.filter(F.col("n_frames") >= 2).drop("n_frames")
+    return gif_frame_stats(survivors).orderBy("asset_id", "frame_index")
+
+
+MULTIMODAL_GIF_SELECTIVE_SQL = MULTIMODAL_GIF_FRAMES_SQL.replace(
+    "FROM frames f LEFT JOIN fstats s ON s.doc_id = f.doc_id AND s.k = f.k",
+    "FROM frames f LEFT JOIN fstats s ON s.doc_id = f.doc_id AND s.k = f.k\n"
+    "WHERE f.nf >= 2",
+)
+
+
 QUERIES = {
     "multimodal_gif_frames": multimodal_gif_frames,
     "multimodal_gif_anim_summary": multimodal_gif_anim_summary,
+    "multimodal_gif_selective_frames": multimodal_gif_selective_frames,
 }
 
 ORACLES = {
     "multimodal_gif_frames": MULTIMODAL_GIF_FRAMES_SQL,
     "multimodal_gif_anim_summary": MULTIMODAL_GIF_SUMMARY_SQL,
+    "multimodal_gif_selective_frames": MULTIMODAL_GIF_SELECTIVE_SQL,
 }

@@ -59,17 +59,18 @@ _MODULES = (
 # rows-only-by-design queries (p6_sample_seeded etc.) are excluded —
 # each has an exact driver-certified sibling, so prefix slots are
 # wasted on them.
-# Final r10 prefix math: (a)=11 r10-new (6 + the 2 GIF queries,
+# Final r10 prefix math: (a)=12 r10-new (6 + the 3 GIF queries,
 # SemDeDup, and the 2 unigram-tokenizer queries added in the round's
-# continuation session) + (b)=6 r4 tail + the first 33 of the
-# 50-query r6 block = 50 (slot 50 = topk_events); the alphabetical r6
-# tail of 17 (tpch_q11_important_parts, tpch_q13_custdist,
+# continuation session) + (b)=6 r4 tail + the first 32 of the
+# 50-query r6 block = 50 (slot 50 = top_spenders_per_segment); the
+# alphabetical r6 tail of 18 (topk_events,
+# tpch_q11_important_parts, tpch_q13_custdist,
 # tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
 # tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 # tpch_q22_idle_customers, tpch_q2_min_cost_supplier, tpch_q3_shipping,
 # tpch_q4_priority, tpch_q6_forecast, tpch_q7_nation_volume,
 # tpch_q8_market_share, tpch_q9_profit, trailing_hour_stats,
-# u1_union_all — slots 51-67) rotates with the r7 block in r11.
+# u1_union_all — slots 51-68) rotates with the r7 block in r11.
 _PRIORITY = (
     # (a) new in r10 — added as each lands this round
     "exact_substr_rewrite_minspan",
@@ -80,6 +81,7 @@ _PRIORITY = (
     "multimodal_jpeg_tall_stats",
     "multimodal_gif_frames",
     "multimodal_gif_anim_summary",
+    "multimodal_gif_selective_frames",
     "semdedup_prune_report",
     "unigram_tokenize_report",
     "unigram_token_accounting",

@@ -50,6 +50,8 @@ ALLOWED = {
     ("dedup.py", "queries"), ("similarity.py", "queries"),
     ("similarity.py", "cent"), ("similarity.py", "centroids"),
     ("similarity.py", "stats"), ("similarity.py", "cdf"),
+    # similarity.py: K-bounded NORMALIZED centroid frame (SemDeDup)
+    ("similarity.py", "ncdf"),
     # similarity.py: LSH_BITS-row per-bit median threshold table
     ("similarity.py", "thr"),
     # graph.py: ≤25-node nation-keyed state / 1-row dangling-mass agg

@@ -306,3 +306,31 @@ def test_gif_gray_anim_roundtrip(raw, interlace):
             fr[:, :, 0],
             padded[k * GIF_FRAME_PX : (k + 1) * GIF_FRAME_PX].reshape(16, 16),
         )
+
+
+def test_parse_gif_meta_agrees_with_decode():
+    from orionld_to_hive_spark.operators.gif import parse_gif_meta
+
+    rng = np.random.default_rng(5)
+    for n in (0, 100, 256, 700):
+        for inter in (False, True):
+            p = encode_gif_gray_anim(
+                rng.integers(0, 256, size=n).astype(np.uint8), interlace=inter
+            )
+            img = decode_gif(p)
+            assert parse_gif_meta(p) == (img.width, img.height, len(img.frames))
+
+
+def test_parse_gif_meta_skips_without_decoding():
+    from orionld_to_hive_spark.operators.gif import parse_gif_meta
+
+    # corrupt the LZW payload bytes: the metadata walk must still
+    # count frames (it skips data blocks by length, never decodes)
+    p = bytearray(encode_gif_gray_anim(np.arange(600, dtype=np.uint8) % 256))
+    # clobber bytes inside the first data sub-block (after header+GCT
+    # + NETSCAPE + GCE + descriptor + mcs + subblock len)
+    off = 13 + 768 + 19 + 8 + 10 + 2
+    p[off : off + 4] = b"\xde\xad\xbe\xef"
+    assert parse_gif_meta(bytes(p))[2] == 3
+    with pytest.raises(ValueError):
+        decode_gif(bytes(p))  # the full decode DOES notice
