@@ -313,18 +313,14 @@ _NTOK_SCHEMA = T.StructType(
 )
 
 
-def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source mixture/budget table under the unigram tokenizer —
-    the twin of bpe_token_accounting: documents, words, pieces,
-    fertility, tokens/doc per source. Viterbi runs once per DISTINCT
-    capped word (piece COUNT only — no fan-out rows); counts join
-    back on the word key; fertility and tokens_per_doc are single
-    IEEE-754 divisions of exact integer sums."""
-    from orionld_to_hive_spark.operators.bpe import _doc_word_counts
-
-    doc_words = (
-        _doc_word_counts(spark, sf_dir)
-        .select(
+def unigram_source_partials(doc_words: DataFrame) -> DataFrame:
+    """(source, n_docs, n_words, n_tokens) integer partials under the
+    frozen unigram model, from a (doc_id, source, word, cnt) frame —
+    the frame-based core shared by the batch accounting query and the
+    streaming twin (streaming/tokens.py). Viterbi runs once per
+    DISTINCT capped word (piece COUNT only — no fan-out rows)."""
+    capped = (
+        doc_words.select(
             "doc_id",
             "source",
             F.substring("word", 1, WORD_CAP).alias("word"),
@@ -333,7 +329,7 @@ def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "word")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    uniq = doc_words.groupBy("word").agg(F.lit(1).alias("one")).drop("one")
+    uniq = capped.select("word").distinct()
 
     def ntok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -349,20 +345,29 @@ def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vocab = uniq.mapInPandas(ntok, _NTOK_SCHEMA)
     per_doc = (
-        doc_words.join(vocab, "word")
+        capped.join(vocab, "word")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("cnt").alias("doc_words"),
             F.sum(F.col("cnt") * F.col("n_word_tokens")).alias("doc_tokens"),
         )
     )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_words").alias("n_words"),
+        F.sum("doc_tokens").alias("n_tokens"),
+    )
+
+
+def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture/budget table under the unigram tokenizer —
+    the twin of bpe_token_accounting: documents, words, pieces,
+    fertility, tokens/doc per source. Fertility and tokens_per_doc
+    are single IEEE-754 divisions of exact integer sums."""
+    from orionld_to_hive_spark.operators.bpe import _doc_word_counts
+
     return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_words").alias("n_words"),
-            F.sum("doc_tokens").alias("n_tokens"),
-        )
+        unigram_source_partials(_doc_word_counts(spark, sf_dir))
         .select(
             "source",
             "n_docs",

@@ -54,14 +54,34 @@ def batch_partials(docs: DataFrame) -> DataFrame:
     )
 
 
-class StreamingTokenAccounting:
-    """Partials under `base/partials/batch_id=N/`."""
+def batch_partials_unigram(docs: DataFrame) -> DataFrame:
+    """Unigram-tokenizer twin of `batch_partials`: the same
+    (source, n_docs, n_words, n_tokens) integer partials, but counted
+    under the frozen unigram-LM vocabulary (Viterbi per distinct
+    capped word). Shares the frame-based core with the batch query
+    `unigram_token_accounting`, so the stream ≡ batch identity holds
+    by the same argument as the BPE twin."""
+    from orionld_to_hive_spark.operators.unigram import (
+        unigram_source_partials,
+    )
 
-    def __init__(self, base: str):
+    return unigram_source_partials(_doc_word_counts_frame(docs))
+
+
+class StreamingTokenAccounting:
+    """Partials under `base/partials/batch_id=N/`. The tokenizer is
+    pluggable: `partials_fn` maps a batch of documents to the
+    (source, n_docs, n_words, n_tokens) integer partials — the
+    default is the BPE accounting; pass `batch_partials_unigram` for
+    the unigram-LM model. The totals view is tokenizer-agnostic
+    (counts are associative integers either way)."""
+
+    def __init__(self, base: str, partials_fn=None):
         self.base = base.rstrip("/")
+        self.partials_fn = partials_fn or batch_partials
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_partials(batch_df).write.mode("overwrite").parquet(
+        self.partials_fn(batch_df).write.mode("overwrite").parquet(
             f"{self.base}/partials/batch_id={batch_id}"
         )
 

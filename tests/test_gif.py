@@ -334,3 +334,43 @@ def test_parse_gif_meta_skips_without_decoding():
     assert parse_gif_meta(bytes(p))[2] == 3
     with pytest.raises(ValueError):
         decode_gif(bytes(p))  # the full decode DOES notice
+
+
+# ------------------------------------------------------------------ fuzzing
+# A decoder pointed at web-crawl data sees arbitrary bytes. The
+# contract: every malformed input raises ValueError — never a crash,
+# hang, over-allocation, or foreign exception type.
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_random_bytes_never_crashes(raw):
+    from orionld_to_hive_spark.operators.gif import parse_gif_meta
+
+    for fn in (decode_gif, parse_gif_meta):
+        try:
+            fn(raw)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.binary(min_size=1, max_size=8),
+    st.randoms(use_true_random=False),
+)
+def test_decode_mutated_valid_gif_never_crashes(pos, junk, rnd):
+    from orionld_to_hive_spark.operators.gif import parse_gif_meta
+
+    base = encode_gif_gray_anim(
+        np.arange(400, dtype=np.uint8) % 256, interlace=bool(rnd.random() < 0.5)
+    )
+    b = bytearray(base)
+    pos %= len(b)
+    b[pos : pos + len(junk)] = junk
+    for fn in (decode_gif, parse_gif_meta):
+        try:
+            fn(bytes(b))
+        except ValueError:
+            pass  # refusing is fine; crashing/hanging is not

@@ -68,3 +68,32 @@ def test_accounting_before_any_batch_names_bootstrap_step(
     acc = StreamingTokenAccounting(str(tmp_path / "none"))
     with pytest.raises(RuntimeError, match="write_batch"):
         acc.accounting(spark)
+
+
+def test_unigram_stream_accounting_equals_batch(spark, sf_smoke, tmp_path):
+    # the pluggable-tokenizer path: identical stream ≡ batch identity
+    # under the frozen unigram-LM vocabulary
+    from orionld_to_hive_spark.operators.unigram import unigram_token_accounting
+    from orionld_to_hive_spark.streaming.tokens import batch_partials_unigram
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    acct = StreamingTokenAccounting(
+        str(tmp_path / "utok"), partials_fn=batch_partials_unigram
+    )
+    in_dir = str(tmp_path / "uin")
+    docs.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = acct.start(stream, checkpoint_dir=str(tmp_path / "uckpt"))
+    q.awaitTermination(120)
+    assert _rows(acct.accounting(spark)) == _rows(
+        unigram_token_accounting(spark, sf_smoke)
+    )
+    # (replay idempotence of the batch_id-overwrite mechanism is
+    # pinned by test_replayed_batch_does_not_double_count above — the
+    # mechanism is tokenizer-agnostic, shared by both partials_fn's)
