@@ -229,6 +229,27 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> JpegImage:
+    """Decode boundary with crawl-data hygiene: a malformed stream
+    must surface as ValueError (or NotImplementedError for honest
+    capability refusals) — never a low-level IndexError/KeyError/
+    struct.error, and never StopIteration, which would silently
+    terminate a surrounding generator (the mapInPandas batch loop).
+    Found by fuzzing mutated streams; the impl's own specific
+    ValueErrors pass through untouched."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (StopIteration, IndexError, KeyError, struct.error,
+            OverflowError) as e:
+        # OverflowError: a corrupt progressive stream can pump the DC
+        # predictor past int64 before any range check fires
+        raise ValueError(
+            f"malformed JPEG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> JpegImage:
     """Decode a baseline sequential-DCT Huffman JPEG. See module
     docstring for the supported matrix and the refusal list."""
     if payload[:2] != b"\xff\xd8":

@@ -833,6 +833,25 @@ class PngImage(NamedTuple):
 
 
 def decode_png(payload: bytes) -> PngImage:
+    """Decode boundary (crawl-data hygiene, same contract as
+    decode_jpeg): malformed streams raise ValueError, never a
+    low-level struct.error/zlib.error/IndexError/KeyError or
+    StopIteration. Found by fuzzing mutated chunk streams."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        return _decode_png_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (StopIteration, IndexError, KeyError,
+            _struct.error, _zlib.error) as e:
+        raise ValueError(
+            f"malformed PNG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_png_impl(payload: bytes) -> PngImage:
     """REAL decode of a baseline PNG — pure stdlib zlib, no codec
     libraries. Returns a PngImage (samples, width, height, channels,
     depth). Covers the COMPLETE baseline matrix (r8, sub-byte depths
