@@ -73,3 +73,35 @@ def test_semdedup_matches_numpy_model(spark):
         assert r["n_kept"] == r["n_points"] - r["n_dropped"]
         # the cluster's (ccos, vec_id)-minimal member never drops
         assert r["n_kept"] >= 1
+
+
+def test_fast_assign_margin_guard_fires(spark):
+    """The numpy assignment's exactness contract: a sub-tolerance
+    near-tie between NON-identical centroids must raise, not answer."""
+    import pytest
+
+    from orionld_to_hive_spark.operators.similarity import _assign_fast
+
+    v = [0.5] * 64
+    emb = spark.createDataFrame(
+        [(0, v)], "vec_id LONG, vec ARRAY<DOUBLE>"
+    )
+    # two centroids equidistant from v up to ~1e-12 but not identical
+    c0 = [0.5] * 64
+    c0[0] = 0.5 + 1e-7
+    c1 = [0.5] * 64
+    c1[1] = 0.5 + 1e-7 + 1e-14
+    with pytest.raises(Exception, match="near-tie below tolerance"):
+        _assign_fast(emb, [(0, c0), (1, c1)]).collect()
+
+
+def test_fast_assign_identical_tie_is_fine(spark):
+    """Bitwise-identical centroids tie exactly; both engines pick the
+    lowest cid, so the guard must NOT fire."""
+    from orionld_to_hive_spark.operators.similarity import _assign_fast
+
+    v = [0.25] * 64
+    emb = spark.createDataFrame([(7, v)], "vec_id LONG, vec ARRAY<DOUBLE>")
+    c = [0.5] * 64
+    rows = _assign_fast(emb, [(3, c), (1, list(c))]).collect()
+    assert rows[0]["cid"] == 1  # lowest cid wins the exact tie
