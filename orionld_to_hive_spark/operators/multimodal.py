@@ -108,12 +108,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if not (
+        (audio_format == 1 and bits in (8, 16))
+        or (audio_format in (6, 7) and bits == 8)
+    ):
         raise NotImplementedError(
-            f"only integer PCM 8/16-bit supported (format={audio_format}, "
-            f"bits={bits}); compressed codecs are absent in this container"
+            f"only integer PCM 8/16-bit and G.711 A-law/mu-law supported "
+            f"(format={audio_format}, bits={bits}); compressed codecs are "
+            f"absent in this container"
         )
-    if bits == 16:
+    if audio_format == 7:  # G.711 mu-law (ITU-T, the classic expansion)
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = _ulaw_expand(raw).astype(np.float64) / 32768.0
+    elif audio_format == 6:  # G.711 A-law
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = _alaw_expand(raw).astype(np.float64) / 32768.0
+    elif bits == 16:
         raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
         samples = raw.astype(np.float64) / 32768.0
     else:
@@ -123,6 +133,34 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         usable = len(samples) // n_channels * n_channels
         samples = samples[:usable].reshape(-1, n_channels).mean(axis=1)
     return samples, rate
+
+
+def _ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law expansion (vectorized): bytes are stored
+    complemented; magnitude = (mantissa << (exp+3)) + (132 << exp)
+    - 132, sign from bit 7 after the complement. Extremes pin the
+    table: 0x00 -> -32124, 0x7F -> -0, 0xFF -> 0 (the format's two
+    zeros), max magnitude 32124."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (m << (e + 3)) + (132 << e) - 132
+    return np.where(u & 0x80, -mag, mag)
+
+
+def _alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law expansion (vectorized): bytes are stored
+    XOR 0x55; segment 0: (m<<4)+8, segment 1: (m<<4)+0x108, segment
+    s>=2: ((m<<4)+0x108) << (s-1); bit 7 SET means positive (the
+    opposite of mu-law). Extremes: 0x2A -> -32256, 0xD5 -> +8."""
+    a = codes.astype(np.int64) ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    mag = np.where(
+        seg == 0, m + 8,
+        np.where(seg == 1, m + 0x108, (m + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, mag, -mag)
 
 
 def decode_asset(payload: bytes) -> object:
@@ -652,6 +690,165 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
+
+
+# --------------------------------------------------------------------------
+# G.711 mu-law path (r10): one mu-law code per utf-8 byte, hand-built
+# RIFF header (stdlib wave cannot write format 7), decoded by the REAL
+# expander and run through the same windowed-RMS stats. The oracle
+# replays the G.711 integer expansion from the hex dump — magnitudes
+# are exact integers, window sums stay under 2^53, and the final
+# sqrt/rounding is the shared portable form.
+MULAW_ACTIVE_RMS9 = 300_000_000  # rms > 0.3 (sample domain, 1e9-scaled)
+
+
+def wav_mulaw_assets_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = (text or "").encode("utf-8")
+                fmt = struct.pack(
+                    "<HHIIHH", 7, 1, WAV_RATE, WAV_RATE, 1, 8
+                )
+                body = (
+                    b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/basic",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return docs.mapInPandas(synth, schema)
+
+
+def mulaw_audio_energy(df: DataFrame) -> DataFrame:
+    """Same windowed-RMS shape as wav_audio_energy, over REAL-decoded
+    G.711 samples; magnitudes are exact integers in float64."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "n_windows": np.zeros(len(pdf), dtype="int32"),
+                "mean_rms": np.zeros(len(pdf)),
+                "max_rms": np.zeros(len(pdf)),
+                "n_active": np.zeros(len(pdf), dtype="int32"),
+            }
+            for j, payload in enumerate(pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                n = len(samples)
+                if n == 0:
+                    continue
+                nw = (
+                    (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
+                )
+                mags = samples * 32768.0  # exact G.711 integers
+                csq = np.concatenate(([0.0], np.cumsum(mags * mags)))
+                starts = np.arange(nw) * AUDIO_HOP
+                wlen = min(AUDIO_WIN, n)
+                sumsq = csq[starts + wlen] - csq[starts]
+                rms = np.sqrt(sumsq / wlen) / 32768.0
+                r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
+                out["n_windows"][j] = nw
+                out["mean_rms"][j] = (
+                    np.floor((r9.sum() / 1e9) / nw * 1e6 + 0.5) / 1e6
+                )
+                out["max_rms"][j] = np.floor(r9.max() / 1e9 * 1e6 + 0.5) / 1e6
+                out["n_active"][j] = int((r9 > MULAW_ACTIVE_RMS9).sum())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, ENERGY_SCHEMA)
+
+
+def multimodal_wav_mulaw_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mulaw_audio_energy(
+        wav_mulaw_assets_from_documents(spark, sf_dir)
+    ).orderBy("asset_id")
+
+
+# the G.711 expansion in SQL: u = ~code = 255 - code; exp/mantissa
+# bit fields; magnitude = (m << (e+3)) + (132 << e) - 132; bit 7 of u
+# sets the sign. rms scales by 32768 in the shared portable rounding.
+MULTIMODAL_MULAW_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) >= {AUDIO_WIN}
+              THEN (octet_length(encode(text)) - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+              WHEN octet_length(encode(text)) > 0 THEN 1
+              ELSE 0 END AS nw
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, n, nw, CAST(i AS BIGINT) AS i,
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
+  FROM docs, UNNEST(range(n)) AS t(i)
+),
+samples AS (
+  SELECT doc_id, n, nw, i,
+         CASE WHEN ((255 - code) & 128) != 0 THEN -mag ELSE mag END AS s
+  FROM (
+    SELECT *,
+           (((255 - code) & 15) << ((((255 - code) >> 4) & 7) + 3))
+             + (132 << (((255 - code) >> 4) & 7)) - 132 AS mag
+    FROM codes
+  )
+),
+owned AS (
+  SELECT c.doc_id, c.nw, t.k, c.s,
+         LEAST({AUDIO_WIN}, c.n) AS wlen
+  FROM samples c, UNNEST([c.i // {AUDIO_HOP}, c.i // {AUDIO_HOP} - 1]) AS t(k)
+  WHERE t.k >= 0 AND t.k < c.nw
+    AND c.i < t.k * {AUDIO_HOP} + LEAST({AUDIO_WIN}, c.n)
+),
+win AS (
+  SELECT doc_id, nw, k,
+         CAST(FLOOR(sqrt(CAST(SUM(s * s) AS DOUBLE)
+                         / ANY_VALUE(wlen)) / 32768 * 1e9 + 0.5)
+              AS BIGINT) AS r9
+  FROM owned GROUP BY doc_id, nw, k
+),
+agg AS (
+  SELECT doc_id,
+         FLOOR((CAST(SUM(r9) AS DOUBLE) / 1e9) / ANY_VALUE(nw) * 1e6 + 0.5)
+           / 1e6 AS mean_rms,
+         FLOOR(CAST(MAX(r9) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS max_rms,
+         CAST(SUM(CASE WHEN r9 > {MULAW_ACTIVE_RMS9} THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_active
+  FROM win GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       CAST(d.nw AS INTEGER) AS n_windows,
+       COALESCE(a.mean_rms, 0.0) AS mean_rms,
+       COALESCE(a.max_rms, 0.0) AS max_rms,
+       COALESCE(a.n_active, 0) AS n_active
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1751,6 +1948,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_wav_rms": multimodal_wav_rms,
+    "multimodal_wav_mulaw_rms": multimodal_wav_mulaw_rms,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_png_palette_stats": multimodal_png_palette_stats,
     "multimodal_png_palette4_stats": multimodal_png_palette4_stats,
@@ -1765,6 +1963,7 @@ ORACLES = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "multimodal_wav_rms": MULTIMODAL_WAV_SQL,
+    "multimodal_wav_mulaw_rms": MULTIMODAL_MULAW_SQL,
     "multimodal_png_stats": MULTIMODAL_PNG_SQL,
     "multimodal_png_palette_stats": MULTIMODAL_PNG_PALETTE_SQL,
     "multimodal_png_palette4_stats": MULTIMODAL_PNG_PALETTE4_SQL,

@@ -59,18 +59,19 @@ _MODULES = (
 # rows-only-by-design queries (p6_sample_seeded etc.) are excluded —
 # each has an exact driver-certified sibling, so prefix slots are
 # wasted on them.
-# Final r10 prefix math: (a)=12 r10-new (6 + the 3 GIF queries,
-# SemDeDup, and the 2 unigram-tokenizer queries added in the round's
-# continuation session) + (b)=6 r4 tail + the first 32 of the
-# 50-query r6 block = 50 (slot 50 = top_spenders_per_segment); the
-# alphabetical r6 tail of 18 (topk_events,
+# Final r10 prefix math: (a)=13 r10-new (6 + the 3 GIF queries,
+# SemDeDup, the 2 unigram-tokenizer queries, and the G.711 mu-law
+# audio query added in the round's continuation session) + (b)=6 r4
+# tail + the first 31 of the 50-query r6 block = 50 (slot 50 =
+# source_kl_divergence); the alphabetical r6 tail of 19
+# (top_spenders_per_segment, topk_events,
 # tpch_q11_important_parts, tpch_q13_custdist,
 # tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
 # tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 # tpch_q22_idle_customers, tpch_q2_min_cost_supplier, tpch_q3_shipping,
 # tpch_q4_priority, tpch_q6_forecast, tpch_q7_nation_volume,
 # tpch_q8_market_share, tpch_q9_profit, trailing_hour_stats,
-# u1_union_all — slots 51-68) rotates with the r7 block in r11.
+# u1_union_all — slots 51-69) rotates with the r7 block in r11.
 _PRIORITY = (
     # (a) new in r10 — added as each lands this round
     "exact_substr_rewrite_minspan",
@@ -85,6 +86,7 @@ _PRIORITY = (
     "semdedup_prune_report",
     "unigram_tokenize_report",
     "unigram_token_accounting",
+    "multimodal_wav_mulaw_rms",
     # (b) the six-query alphabetical r4 tail from the r9 rotation
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive",

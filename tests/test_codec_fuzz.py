@@ -93,3 +93,68 @@ def test_boundary_preserves_specific_errors():
         decode_png(b"\x00" * 20)
     with pytest.raises(ValueError, match="RIFF|WAVE"):
         decode_wav(b"\x00" * 20)
+
+
+# ------------------------------------------------------- G.711 (r10)
+
+
+def test_g711_expansion_extremes_match_published_tables():
+    from orionld_to_hive_spark.operators.multimodal import (
+        _alaw_expand,
+        _ulaw_expand,
+    )
+
+    u = _ulaw_expand(np.array([0x00, 0x7F, 0xFF, 0x80], dtype=np.uint8))
+    assert u.tolist() == [-32124, 0, 0, 32124]
+    a = _alaw_expand(np.array([0x2A, 0xD5, 0x55, 0xAA], dtype=np.uint8))
+    assert a.tolist() == [-32256, 8, -8, 32256]
+
+
+def test_g711_expansion_monotone_within_sign():
+    from orionld_to_hive_spark.operators.multimodal import (
+        _alaw_expand,
+        _ulaw_expand,
+    )
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    for expand in (_ulaw_expand, _alaw_expand):
+        vals = expand(all_bytes)
+        mags = np.abs(vals)
+        # every code's magnitude stays in the 15-bit range and each
+        # (sign, segment, mantissa) combination is distinct except the
+        # mu-law double zero
+        assert mags.max() <= 32256
+        assert len(np.unique(vals)) >= 255
+
+
+def test_decode_wav_g711_formats_end_to_end():
+    import struct
+
+    from orionld_to_hive_spark.operators.multimodal import (
+        _alaw_expand,
+        _ulaw_expand,
+        decode_wav,
+    )
+
+    data = bytes(range(256))
+    for fmt_code, expand in ((7, _ulaw_expand), (6, _alaw_expand)):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        samples, rate = decode_wav(payload)
+        assert rate == 8000
+        expected = expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+        assert np.array_equal(samples, expected)
+    # unknown compressed formats still refuse
+    import pytest
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # MP3
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
