@@ -63,7 +63,7 @@ _MODULES = (
 # SemDeDup, the 2 unigram-tokenizer queries, and the G.711 mu-law
 # audio query added in the round's continuation session) + (b)=6 r4
 # tail + the first 31 of the 50-query r6 block = 50 (slot 50 =
-# source_kl_divergence); the alphabetical r6 tail of 19
+# span_dedup_report); the alphabetical r6 tail of 19
 # (top_spenders_per_segment, topk_events,
 # tpch_q11_important_parts, tpch_q13_custdist,
 # tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
