@@ -36,6 +36,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.multimodal",
     "orionld_to_hive_spark.operators.jpeg",
     "orionld_to_hive_spark.operators.gif",
+    "orionld_to_hive_spark.operators.mp4",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -59,19 +60,20 @@ _MODULES = (
 # rows-only-by-design queries (p6_sample_seeded etc.) are excluded —
 # each has an exact driver-certified sibling, so prefix slots are
 # wasted on them.
-# Final r10 prefix math: (a)=13 r10-new (6 + the 3 GIF queries,
-# SemDeDup, the 2 unigram-tokenizer queries, and the G.711 mu-law
-# audio query added in the round's continuation session) + (b)=6 r4
-# tail + the first 31 of the 50-query r6 block = 50 (slot 50 =
-# span_dedup_report); the alphabetical r6 tail of 19
-# (top_spenders_per_segment, topk_events,
+# Final r10 prefix math: (a)=14 r10-new (6 + the 3 GIF queries,
+# SemDeDup, the 2 unigram-tokenizer queries, the G.711 mu-law audio
+# query, and the MP4 metadata-triage query added in the round's
+# continuation session) + (b)=6 r4 tail + the first 30 of the
+# 50-query r6 block = 50 (slot 50 = source_kl_divergence); the
+# alphabetical r6 tail of 20 (span_dedup_report,
+# top_spenders_per_segment, topk_events,
 # tpch_q11_important_parts, tpch_q13_custdist,
 # tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q1_pricing,
 # tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 # tpch_q22_idle_customers, tpch_q2_min_cost_supplier, tpch_q3_shipping,
 # tpch_q4_priority, tpch_q6_forecast, tpch_q7_nation_volume,
 # tpch_q8_market_share, tpch_q9_profit, trailing_hour_stats,
-# u1_union_all — slots 51-69) rotates with the r7 block in r11.
+# u1_union_all — slots 51-70) rotates with the r7 block in r11.
 _PRIORITY = (
     # (a) new in r10 — added as each lands this round
     "exact_substr_rewrite_minspan",
@@ -87,6 +89,7 @@ _PRIORITY = (
     "unigram_tokenize_report",
     "unigram_token_accounting",
     "multimodal_wav_mulaw_rms",
+    "multimodal_mp4_meta",
     # (b) the six-query alphabetical r4 tail from the r9 rotation
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive",
