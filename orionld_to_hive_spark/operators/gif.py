@@ -576,13 +576,15 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, means, darks, delays = [], [], [], [], []
+            ids, idxs, ws, hs, means, darks, delays = [], [], [], [], [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 img = decode_gif(bytes(payload))
                 for k, fr in enumerate(img.frames):
                     px = fr[:, :, 0]  # identity gray palette: R == index
                     ids.append(asset_id)
                     idxs.append(k)
+                    ws.append(fr.shape[1])
+                    hs.append(fr.shape[0])
                     means.append(
                         np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
                         / 1e6
@@ -593,8 +595,8 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),
                     "frame_index": pd.Series(idxs, dtype="int32"),
-                    "width": pd.Series([GIF_W] * len(ids), dtype="int32"),
-                    "height": pd.Series([GIF_H] * len(ids), dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
                     "mean_pixel": pd.Series(means, dtype="float64"),
                     "n_dark": pd.Series(darks, dtype="int32"),
                     "delay_cs": pd.Series(delays, dtype="int32"),

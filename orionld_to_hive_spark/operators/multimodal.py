@@ -745,7 +745,12 @@ def wav_mulaw_assets_from_documents(
 
 def mulaw_audio_energy(df: DataFrame) -> DataFrame:
     """Same windowed-RMS shape as wav_audio_energy, over REAL-decoded
-    G.711 samples; magnitudes are exact integers in float64."""
+    G.711 samples; magnitudes are exact integers. The prefix-sum of
+    squared magnitudes is kept in int64 (max |mag| = 32124 ⇒ ~1.03e9
+    per sample ⇒ exact up to ~8.9e9 samples per document), so the
+    per-window sum — at most AUDIO_WIN·1.03e9 ≪ 2^53 — converts to
+    float64 exactly and the SQL oracle's integer window sums are
+    matched bit-for-bit with no whole-document float53 bound."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -764,11 +769,13 @@ def mulaw_audio_energy(df: DataFrame) -> DataFrame:
                 nw = (
                     (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
                 )
-                mags = samples * 32768.0  # exact G.711 integers
-                csq = np.concatenate(([0.0], np.cumsum(mags * mags)))
+                mags = np.rint(samples * 32768.0).astype(np.int64)
+                csq = np.concatenate(
+                    ([0], np.cumsum(mags * mags, dtype=np.int64))
+                )
                 starts = np.arange(nw) * AUDIO_HOP
                 wlen = min(AUDIO_WIN, n)
-                sumsq = csq[starts + wlen] - csq[starts]
+                sumsq = (csq[starts + wlen] - csq[starts]).astype(np.float64)
                 rms = np.sqrt(sumsq / wlen) / 32768.0
                 r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
                 out["n_windows"][j] = nw
