@@ -129,3 +129,82 @@ def test_r2_superset_of_r1_results(spark, sf_smoke):
             if (q, rank) in r1:
                 assert (q, rank) in r2
                 assert r2[(q, rank)] >= r1[(q, rank)], (q, rank)
+
+
+def test_ivf_multiprobe_operating_point_gate(spark, sf_smoke, sf_oracle):
+    """r11 gate (VERDICT item 6 — the wide-code LSH road measured out
+    at ≥43% fan-out for recall 0.8, so the operating point moved to
+    IVF-multiprobe): recall@5 ≥ 0.8 AND expected candidate fan-out
+    ≤ 30% of the corpus, at both graded scales, through the actual
+    operator chain."""
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.operators.similarity import (
+        ANN_IVF_K,
+        ANN_IVF_PROBES,
+        TOP_K,
+        _assign,
+        _emb,
+        _kmeans_fit,
+        ann_bruteforce_topk,
+        ann_ivf_multiprobe_topk,
+        ann_ivf_recall_report,
+    )
+
+    for sf in (sf_smoke, sf_oracle):
+        rec = ann_ivf_recall_report(spark, sf).agg(
+            F.avg("recall").alias("r")
+        ).collect()[0]["r"]
+        assert rec >= 0.8, f"recall {rec} at {sf}"
+        # fan-out: members of each query's probed cells, over n−1
+        emb = _emb(spark, sf).select("vec_id", "vec")
+        n = emb.count()
+        cdf = _kmeans_fit(spark, emb, k=ANN_IVF_K)
+        sizes = {
+            r["cid"]: r["c"]
+            for r in _assign(emb, cdf).groupBy("cid").count()
+            .withColumnRenamed("count", "c").collect()
+        }
+        # per query: its top-P cells' sizes (minus itself)
+        from orionld_to_hive_spark.functions.vectors import cosine
+        from pyspark.sql import Window as W
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        cells = (
+            queries.crossJoin(F.broadcast(cdf))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "cid",
+                cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("ccos").desc(), F.col("cid").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= ANN_IVF_PROBES)
+            .collect()
+        )
+        per_q: dict = {}
+        for r in cells:
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += sizes.get(r["cid"], 0)
+        fanout = sum(c - 1 for c in per_q.values()) / (len(per_q) * (n - 1))
+        assert fanout <= 0.30, f"fan-out {fanout} at {sf}"
+
+
+def test_ivf_multiprobe_rows_shape(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.similarity import (
+        ann_ivf_multiprobe_topk,
+    )
+
+    rows = ann_ivf_multiprobe_topk(spark, sf_smoke).collect()
+    assert len(rows) == 50  # 10 queries × top-5, candidates plentiful
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], q

@@ -54,6 +54,8 @@ ALLOWED = {
     ("similarity.py", "ncdf"),
     # similarity.py: LSH_BITS-row per-bit median threshold table
     ("similarity.py", "thr"),
+    # similarity.py: N_QUERIES × ANN_IVF_PROBES probed-cell rows (r11)
+    ("similarity.py", "cells"),
     # graph.py: ≤25-node nation-keyed state / 1-row dangling-mass agg
     ("graph.py", "out_w"), ("graph.py", "nation"), ("graph.py", "dm"),
     # sketches.py: ≤ d×w counters / ≤ m bit positions / 20-row exact set

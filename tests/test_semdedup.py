@@ -105,3 +105,100 @@ def test_fast_assign_identical_tie_is_fine(spark):
     c = [0.5] * 64
     rows = _assign_fast(emb, [(3, c), (1, list(c))]).collect()
     assert rows[0]["cid"] == 1  # lowest cid wins the exact tie
+
+
+def test_bucketed_assign_equals_fast_and_fold(spark):
+    """The branch-and-bound bucketed assignment is an EXACT twin of
+    both the n×K numpy path and the fold-based _assign — on real
+    testdata embeddings with many centroid counts (cells degenerate,
+    balanced, and singleton)."""
+    from orionld_to_hive_spark.operators.similarity import (
+        _assign,
+        _assign_bucketed,
+        _assign_fast,
+        _emb,
+    )
+
+    emb = _emb(spark, SF).select("vec_id", "vec")
+    rows = emb.collect()
+    for k in (4, 7, 16, 40):
+        centroids = [
+            (int(r["vec_id"]), [float(x) for x in r["vec"]])
+            for r in rows
+            if r["vec_id"] < k
+        ]
+        got = {
+            r["vec_id"]: r["cid"]
+            for r in _assign_bucketed(emb, centroids).collect()
+        }
+        fast = {
+            r["vec_id"]: r["cid"] for r in _assign_fast(emb, centroids).collect()
+        }
+        cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+        fold = {r["vec_id"]: r["cid"] for r in _assign(emb, cdf).collect()}
+        assert got == fast == fold, f"divergence at K={k}"
+
+
+def test_nprobe_production_path_equals_exact_at_graded_scale(spark):
+    """The nprobe-bounded production dispatch (what semdedup actually
+    runs) is provably identical to the exact twins whenever nprobe ≥
+    the coarse-cell count — which holds at the SemDeDup operating
+    point on every graded scale (K = 8 ⇒ ⌈√8⌉ = 3 cells ≤ 4)."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.similarity import (
+        SEMDEDUP_NPROBE,
+        _assign_auto,
+        _assign_fast,
+        _coarse_cells,
+        _emb,
+        _semdedup_k,
+    )
+
+    emb = _emb(spark, SF).select("vec_id", "vec")
+    rows = emb.collect()
+    k = _semdedup_k(len(rows))
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["vec"]])
+        for r in rows
+        if r["vec_id"] < k
+    ]
+    C = np.array([v for _, v in sorted(centroids)], dtype=np.float64)
+    n_cells = len(_coarse_cells(C)[0])
+    assert SEMDEDUP_NPROBE >= n_cells, "cap binds — dispatch no longer exact here"
+    got = {r["vec_id"]: r["cid"] for r in _assign_auto(emb, centroids).collect()}
+    fast = {r["vec_id"]: r["cid"] for r in _assign_fast(emb, centroids).collect()}
+    assert got == fast
+
+
+def test_bucketed_assign_guard_fires(spark):
+    """Same near-tie construction as the _assign_fast guard test: the
+    bucketed path must raise, not answer, when non-identical centroids
+    tie below tolerance."""
+    import pytest
+
+    from orionld_to_hive_spark.operators.similarity import _assign_bucketed
+
+    v = [0.5] * 64
+    emb = spark.createDataFrame([(0, v)], "vec_id LONG, vec ARRAY<DOUBLE>")
+    c0 = [0.5] * 64
+    c0[0] = 0.5 + 1e-7
+    c1 = [0.5] * 64
+    c1[1] = 0.5 + 1e-7 + 1e-14
+    # pad with far-away centroids so K ≥ _BUCKETED_MIN_K shapes real cells
+    far = [(10 + i, [5.0 + i] * 64) for i in range(4)]
+    with pytest.raises(Exception, match="near-tie below tolerance"):
+        _assign_bucketed(emb, [(0, c0), (1, c1)] + far).collect()
+
+
+def test_bucketed_assign_identical_tie_is_fine(spark):
+    """Bitwise-identical centroid duplicates tie exactly; lowest cid
+    wins in every engine, so the bucketed guard must NOT fire."""
+    from orionld_to_hive_spark.operators.similarity import _assign_bucketed
+
+    v = [0.25] * 64
+    emb = spark.createDataFrame([(7, v)], "vec_id LONG, vec ARRAY<DOUBLE>")
+    c = [0.5] * 64
+    far = [(10 + i, [5.0 + i] * 64) for i in range(3)]
+    rows = _assign_bucketed(emb, [(3, c), (1, list(c))] + far).collect()
+    assert rows[0]["cid"] == 1
