@@ -13,9 +13,12 @@ correction bits, interleaved and non-interleaved DC scans), 8-bit
 precision, grey (1 component) and YCbCr (3 components), arbitrary h/v
 sampling factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 …), interleaved and
 single-component scans, 8- and 16-bit DQT, multiple tables per DQT/DHT
-segment, restart intervals (DRI/RSTn), byte stuffing. Honest refusals:
-other SOFs (lossless, hierarchical, 12-bit), arithmetic coding, 4+
-component (CMYK) images.
+segment, restart intervals (DRI/RSTn), byte stuffing, and (r11)
+4-component Adobe frames — APP14 transform 0 (plain CMYK, planes
+emitted as stored) and 2 (YCCK: JFIF YCbCr math then CMY = 255 − RGB,
+K passthrough). Honest refusals: other SOFs (lossless, hierarchical,
+12-bit), arithmetic coding, 5+ component frames, APP14 transform
+values invalid for the component count.
 
 The registry query rides the same byte-domain-oracle trick as the PNG
 family (multimodal.py): the flat-block grey encoder below quantizes DC
@@ -89,7 +92,7 @@ class JpegImage(NamedTuple):
     samples: np.ndarray  # uint8, shape (height*width*channels,) interleaved
     width: int
     height: int
-    channels: int  # 1 = grey, 3 = RGB
+    channels: int  # 1 = grey, 3 = RGB, 4 = CMYK (stored-plane values)
 
 
 class _BitReader:
@@ -261,6 +264,7 @@ def _decode_jpeg_impl(payload: bytes) -> JpegImage:
     restart_interval = 0
     scan_out: dict[int, np.ndarray] = {}  # cid -> full-res-at-sampling plane
     progressive = False
+    adobe_transform = None  # APP14 "Adobe" color-transform byte
     # progressive only: cid -> (by, bx, 64) RAW (un-dequantized) coefs
     # in transmission order, accumulated across scans (spectral
     # selection fills bands, successive approximation fills bit planes)
@@ -316,9 +320,9 @@ def _decode_jpeg_impl(payload: bytes) -> JpegImage:
                 )
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (grey and YCbCr only)"
+                    f"{nc}-component JPEG (grey, YCbCr, CMYK/YCCK only)"
                 )
             comps = []
             for c in range(nc):
@@ -356,6 +360,11 @@ def _decode_jpeg_impl(payload: bytes) -> JpegImage:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            # layout: "Adobe" ver(2) flags0(2) flags1(2) transform(1)
+            if len(body) < 12:
+                raise ValueError("short Adobe APP14 segment")
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -376,8 +385,8 @@ def _decode_jpeg_impl(payload: bytes) -> JpegImage:
     if frame is None:
         raise ValueError("no frame in JPEG stream")
     if progressive:
-        return _assemble_progressive(frame, qt, coef_store)
-    return _assemble(frame, scan_out)
+        return _assemble_progressive(frame, qt, coef_store, adobe_transform)
+    return _assemble(frame, scan_out, adobe_transform)
 
 
 def _decode_scan(payload, data_start, body, frame, qt, huff,
@@ -651,7 +660,7 @@ def _refine_ac(r, actab, coef, ss, se, al, eobrun) -> int:
     return eobrun
 
 
-def _assemble_progressive(frame, qt, store) -> JpegImage:
+def _assemble_progressive(frame, qt, store, adobe_transform=None) -> JpegImage:
     """Dequantize + IDCT the accumulated raw coefficients (all scans
     seen), then reuse the baseline assembly (upsample/crop/color)."""
     scan_out: dict[int, np.ndarray] = {}
@@ -669,15 +678,17 @@ def _assemble_progressive(frame, qt, store) -> JpegImage:
             .transpose(0, 2, 1, 3)
             .reshape(by_n * 8, bx_n * 8)
         )
-    return _assemble(frame, scan_out)
+    return _assemble(frame, scan_out, adobe_transform)
 
 
-def _assemble(frame, scan_out) -> JpegImage:
+def _assemble(frame, scan_out, adobe_transform=None) -> JpegImage:
     height, width, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     out_planes = []
     for cid, ch, cv, _tq in comps:
+        if cid not in scan_out:
+            raise ValueError(f"no scan data for component {cid}")
         plane = scan_out[cid]
         # pixel-replication upsample to full resolution, then crop
         plane = np.repeat(
@@ -687,6 +698,37 @@ def _assemble(frame, scan_out) -> JpegImage:
     if len(out_planes) == 1:
         px = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
         return JpegImage(px.astype(np.uint8).ravel(), width, height, 1)
+    if len(out_planes) == 4:
+        # Adobe 4-component frames (the common scanned-document /
+        # print-origin crawl case). transform 2 = YCCK: the first
+        # three planes ride the JFIF YCbCr math, then CMY = 255 − RGB
+        # with K passed through (the published ycck→cmyk transform);
+        # transform 0 / no APP14 = plain CMYK, planes emitted as
+        # stored. Adobe's historical value inversion is NOT undone
+        # here — the decoder reports stored samples (same contract as
+        # libjpeg's raw CMYK output); consumers that want ink
+        # percentages apply 255−x themselves.
+        if adobe_transform == 2:
+            y = out_planes[0] + 128.0
+            cb, cr = out_planes[1], out_planes[2]
+            cmyk = np.stack(
+                [
+                    255.0 - (y + 1.402 * cr),
+                    255.0 - (y - 0.344136 * cb - 0.714136 * cr),
+                    255.0 - (y + 1.772 * cb),
+                    out_planes[3] + 128.0,
+                ],
+                axis=-1,
+            )
+        elif adobe_transform in (None, 0):
+            cmyk = np.stack([p + 128.0 for p in out_planes], axis=-1)
+        else:
+            raise ValueError(
+                f"APP14 transform {adobe_transform} invalid for a "
+                "4-component frame (0 = CMYK, 2 = YCCK)"
+            )
+        px = np.clip(np.round(cmyk), 0, 255).astype(np.uint8)
+        return JpegImage(px.ravel(), width, height, 4)
     y = out_planes[0] + 128.0
     cb = out_planes[1]  # already centered: level shift cancels the -128
     cr = out_planes[2]
@@ -1152,6 +1194,74 @@ def encode_jpeg_color_flat(
     return bytes(head) + bw.flush() + b"\xff\xd9"
 
 
+# Flat-block CMYK plane values per source byte b — chosen so each of
+# the four channels is a distinct non-degenerate closed form DuckDB
+# can compute from the hex dump (see MULTIMODAL_JPEG_CMYK_SQL).
+def _cmyk_planes(b: int) -> tuple[int, int, int, int]:
+    return b, min(b + 64, 255), max(b - 64, 0), 255 - b
+
+
+def encode_jpeg_cmyk_flat(
+    raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W, transform: int = 0
+) -> bytes:
+    """REAL baseline 4-component Adobe JPEG writer restricted to flat
+    blocks: byte i of `raw` becomes block i of all four planes via
+    `_cmyk_planes`. Writes the APP14 "Adobe" segment with the given
+    transform byte (0 = plain CMYK — the oracle path, decode is the
+    identity on stored planes; 2 = YCCK for the unit-test path, where
+    the first three stored planes are Y/Cb/Cr). Zero-padded like the
+    grey twin."""
+    raster = _pad_raster(np.asarray(raw, dtype=np.uint8), width_blocks)
+    n_rows = len(raster) // width_blocks
+    w_px, h_px = width_blocks * 8, n_rows * 8
+    head = bytearray(b"\xff\xd8")
+    head += _seg(
+        0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    )
+    head += _seg(0xDB, bytes([0x00]) + _ENC_QT)
+    head += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h_px, w_px, 4)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]),
+    )
+    head += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    head += _seg(
+        0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+    )
+    bw = _BitWriter()
+
+    def _dc(diff: int) -> None:
+        cat = abs(diff).bit_length()
+        bw.write(cat, 4)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bw.write(0, 1)  # EOB
+
+    if transform == 2:
+        plane_vals = [
+            lambda b: b - 128,
+            lambda b: JPEG_CB,
+            lambda b: JPEG_CR,
+            lambda b: (255 - b) - 128,
+        ]
+    else:
+        pv = _cmyk_planes
+        plane_vals = [
+            lambda b, i=i: pv(b)[i] - 128 for i in range(4)
+        ]
+    preds = [0, 0, 0, 0]
+    for b in raster.tolist():
+        for i in range(4):
+            s = plane_vals[i](int(b))
+            _dc(s - preds[i])
+            preds[i] = s
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
 # --------------------------------------------------------------------------
 # Registry query: synth flat-block JPEGs from document text, decode
 # with the GENERAL decoder, aggregate per-asset pixel stats. Exact
@@ -1375,6 +1485,76 @@ ORDER BY asset_id
 """
 
 
+def jpeg_cmyk_assets_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _assets_from_documents(spark, sf_dir, encode_jpeg_cmyk_flat)
+
+
+def multimodal_jpeg_cmyk_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel stats over REAL-decoded 4-component Adobe CMYK JPEGs
+    (r10 verdict item 3 — the most common real-crawl refusal after
+    progressive): the APP14 parse, 4-component interleaved scan, and
+    4-plane assembly are on the oracle path."""
+    return jpeg_pixel_stats(
+        jpeg_cmyk_assets_from_documents(spark, sf_dir)
+    ).orderBy("asset_id")
+
+
+# CMYK byte-domain oracle: byte b → 64 CMYK pixels (b, min(b+64,255),
+# max(b−64,0), 255−b); per byte the channel sum is
+# 255 + min(b+64,255) + max(b−64,0), the max channel is
+# GREATEST(min(b+64,255), 255−b), and the dark (<32) count is
+# (b<32) + (b<96) + (b>223). A zero padding block contributes
+# (0,64,0,255): sum 319, max 255, dark 2.
+MULTIMODAL_JPEG_CMYK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1
+              ELSE (n + {JPEG_BLOCKS_W} - 1) // {JPEG_BLOCKS_W} END AS nb
+  FROM docs
+),
+codes AS (
+  SELECT doc_id,
+         16 * (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1)
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1) AS code
+  FROM dims, UNNEST(range(n)) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(255 + LEAST(code + 64, 255)
+                  + GREATEST(code - 64, 0)) AS BIGINT) AS s,
+         MAX(GREATEST(LEAST(code + 64, 255), 255 - code)) AS mx,
+         CAST(SUM(CASE WHEN code < 32 THEN 1 ELSE 0 END
+                  + CASE WHEN code < 96 THEN 1 ELSE 0 END
+                  + CASE WHEN code > 223 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dark
+  FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id,
+       {JPEG_BLOCKS_W * 8} AS width,
+       CAST(d.nb * 8 AS INTEGER) AS height,
+       CAST(d.nb * {JPEG_BLOCKS_W} * 64 * 4 AS INTEGER) AS n_pixels,
+       FLOOR((CAST(COALESCE(a.s, 0) AS DOUBLE)
+              + 319.0 * (d.nb * {JPEG_BLOCKS_W} - d.n))
+             / (d.nb * {JPEG_BLOCKS_W} * 4) * 1e6 + 0.5) / 1e6 AS mean_pixel,
+       CAST(CASE WHEN d.nb * {JPEG_BLOCKS_W} > d.n
+                 THEN 255 ELSE a.mx END AS INTEGER) AS max_pixel,
+       CAST(64 * (COALESCE(a.dark, 0)
+                  + 2 * (d.nb * {JPEG_BLOCKS_W} - d.n)) AS INTEGER) AS n_dark
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY asset_id
+"""
+
+
 # Selective decode: header-only dims pass → filter → full decode of
 # the SURVIVORS only. The pattern real multimodal pipelines run at
 # 100 TB: the metadata pass reads a few hundred bytes per asset and
@@ -1505,6 +1685,7 @@ QUERIES = {
     "multimodal_jpeg_progressive_color_stats":
         multimodal_jpeg_progressive_color_stats,
     "multimodal_jpeg_color_stats": multimodal_jpeg_color_stats,
+    "multimodal_jpeg_cmyk_stats": multimodal_jpeg_cmyk_stats,
     "multimodal_jpeg_selective_stats": multimodal_jpeg_selective_stats,
     "multimodal_jpeg_tall_stats": multimodal_jpeg_tall_stats,
 }
@@ -1514,6 +1695,7 @@ ORACLES = {
     "multimodal_jpeg_progressive_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg_progressive_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
     "multimodal_jpeg_color_stats": MULTIMODAL_JPEG_COLOR_SQL,
+    "multimodal_jpeg_cmyk_stats": MULTIMODAL_JPEG_CMYK_SQL,
     "multimodal_jpeg_selective_stats": MULTIMODAL_JPEG_SELECTIVE_SQL,
     "multimodal_jpeg_tall_stats": MULTIMODAL_JPEG_TALL_SQL,
 }

@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 
 from orionld_to_hive_spark.operators.jpeg import (
     decode_jpeg,
+    encode_jpeg_cmyk_flat,
     encode_jpeg_gray_flat,
     encode_jpeg_gray_flat_progressive,
     parse_jpeg_dims,
@@ -50,6 +51,10 @@ _BASES = {
     "png": encode_png_gray(np.arange(256, dtype=np.uint8)),
     "png_pal": encode_png_palette(np.arange(256, dtype=np.uint8)),
     "wav": _wav_base(),
+    "jpeg_cmyk": encode_jpeg_cmyk_flat(np.arange(64, dtype=np.uint8)),
+    "jpeg_ycck": encode_jpeg_cmyk_flat(
+        np.arange(64, dtype=np.uint8), transform=2
+    ),
 }
 
 _DECODERS = (decode_jpeg, parse_jpeg_dims, decode_png, decode_wav)

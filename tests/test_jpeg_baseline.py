@@ -313,7 +313,21 @@ def test_refusals_are_loud():
     )
     with pytest.raises(ValueError, match="quantization"):
         decode_jpeg(sof2)
-    cmyk = (
+    # r11: 4-component is supported — 5 components stays a refusal
+    five = (
+        b"\xff\xd8"
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 5)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0,
+                     5, 0x11, 0]),
+        )
+    )
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg(five)
+    # a 4-component frame whose stream ends before any scan fails for
+    # the honest reason (no scan data), not a crash
+    cmyk_hdr = (
         b"\xff\xd8"
         + _seg(
             0xC0,
@@ -321,7 +335,104 @@ def test_refusals_are_loud():
             + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]),
         )
     )
-    with pytest.raises(NotImplementedError, match="component"):
-        decode_jpeg(cmyk)
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(cmyk_hdr)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
+
+
+# ------------------------------------------------------- CMYK (r11)
+
+
+def test_cmyk_transform0_roundtrip_all_bytes():
+    """Flat-block Adobe CMYK (transform 0): decode is the identity on
+    stored planes — exact for every byte value through the full
+    4-component interleaved scan + APP14 parse + 4-plane assembly."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.jpeg import (
+        _cmyk_planes,
+        decode_jpeg,
+        encode_jpeg_cmyk_flat,
+        parse_jpeg_dims,
+    )
+
+    raw = np.arange(256, dtype=np.uint8)
+    p = encode_jpeg_cmyk_flat(raw)
+    assert parse_jpeg_dims(p) == (32, 8 * 64, 4)
+    img = decode_jpeg(p)
+    assert img.channels == 4
+    px = img.samples.reshape(img.height, img.width, 4)
+    for b in range(256):
+        br, bc = divmod(b, 4)
+        block = px[br * 8 : (br + 1) * 8, bc * 8 : (bc + 1) * 8, :]
+        assert (block == np.array(_cmyk_planes(b))).all(), b
+
+
+def test_ycck_transform2_matches_published_transform():
+    """Transform 2: YCbCr→RGB (JFIF constants) then CMY = 255 − RGB,
+    K passthrough — closed forms per byte, clipping included."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.jpeg import (
+        JPEG_CB,
+        JPEG_CR,
+        decode_jpeg,
+        encode_jpeg_cmyk_flat,
+    )
+
+    raw = np.arange(256, dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_cmyk_flat(raw, transform=2))
+    px = img.samples.reshape(img.height, img.width, 4)
+    clip = lambda v: min(max(int(np.round(v)), 0), 255)  # noqa: E731
+    for b in range(256):
+        br, bc = divmod(b, 4)
+        got = tuple(px[br * 8, bc * 8, :])
+        exp = (
+            clip(255 - (b + 1.402 * JPEG_CR)),
+            clip(255 - (b - 0.344136 * JPEG_CB - 0.714136 * JPEG_CR)),
+            clip(255 - (b + 1.772 * JPEG_CB)),
+            255 - b,
+        )
+        assert got == exp, (b, got, exp)
+
+
+def test_cmyk_invalid_transform_and_5_components_refused():
+    import numpy as np
+    import pytest
+
+    from orionld_to_hive_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_cmyk_flat,
+    )
+
+    p = encode_jpeg_cmyk_flat(np.arange(8, dtype=np.uint8), transform=1)
+    with pytest.raises(ValueError, match="APP14 transform 1"):
+        decode_jpeg(p)
+    # bump the SOF component count to 5: honest refusal, not a crash
+    b = bytearray(encode_jpeg_cmyk_flat(np.arange(8, dtype=np.uint8)))
+    sof = b.find(b"\xff\xc0")
+    assert b[sof + 9] == 4
+    b[sof + 9] = 5
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(b))
+
+
+def test_cmyk_without_app14_is_plain_cmyk():
+    """No Adobe marker → planes as stored (transform None ≡ 0)."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.jpeg import (
+        _cmyk_planes,
+        decode_jpeg,
+        encode_jpeg_cmyk_flat,
+    )
+
+    p = bytearray(encode_jpeg_cmyk_flat(np.array([7, 200], dtype=np.uint8)))
+    app14 = p.find(b"\xff\xee")
+    seglen = int.from_bytes(p[app14 + 2 : app14 + 4], "big")
+    del p[app14 : app14 + 2 + seglen]
+    img = decode_jpeg(bytes(p))
+    px = img.samples.reshape(img.height, img.width, 4)
+    assert tuple(px[0, 0, :]) == _cmyk_planes(7)
+    assert tuple(px[0, 8, :]) == _cmyk_planes(200)
