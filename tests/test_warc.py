@@ -1,0 +1,198 @@
+"""WARC framing units: hand-built record streams pin the version
+line, mandatory headers, Content-Length byte framing, the CRLF CRLF
+terminator, per-record gzip members (Common Crawl profile), and the
+malformed-stream refusals; fuzz pins the crash-free contract like
+mp4/mp3/gif/jpeg."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orionld_to_hive_spark.operators.warc import (
+    _gzip_member,
+    encode_warc,
+    encode_warc_record,
+    parse_warc,
+    parse_warc_meta,
+)
+
+OK = (ValueError, NotImplementedError)
+
+
+def test_plain_multi_record_walk():
+    stream = (
+        encode_warc_record("warcinfo", "<urn:uuid:i>", b"software: test")
+        + encode_warc_record(
+            "response", "<urn:uuid:r1>", b"hello", target_uri="http://a/1"
+        )
+        + encode_warc_record(
+            "response", "<urn:uuid:r2>", b"world!!", target_uri="http://a/2"
+        )
+    )
+    recs = parse_warc(stream)
+    assert [r.rec_type for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1].payload == b"hello" and recs[2].content_length == 7
+    m = parse_warc_meta(stream)
+    assert (m.n_records, m.n_response, m.response_bytes) == (3, 2, 12)
+    assert m.first_uri == "http://a/1" and not m.gzipped
+
+
+def test_payload_with_crlf_crlf_inside_is_framed_by_length():
+    # record splitting MUST be by Content-Length, not by scanning for
+    # the terminator: a payload containing CRLF CRLF (every HTTP
+    # response does) must not end the record early
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>WARC/1.0</html>"
+    stream = encode_warc_record("response", "<u>", body, "http://x") + (
+        encode_warc_record("metadata", "<m>", b"ok")
+    )
+    recs = parse_warc(stream)
+    assert recs[0].payload == body
+    assert recs[1].rec_type == "metadata"
+
+
+def test_gzip_member_profile_roundtrip():
+    m = parse_warc_meta(encode_warc(4, b"gzipped doc"))
+    assert m.gzipped and m.n_records == 2 and m.response_bytes == 11
+    # plain profile for odd ids
+    m2 = parse_warc_meta(encode_warc(5, b"plain doc"))
+    assert not m2.gzipped and m2.n_records == 2
+
+
+def test_warc_1_1_accepted_other_versions_refused():
+    ok = encode_warc_record("response", "<u>", b"x", "u", version=b"WARC/1.1")
+    assert parse_warc(ok)[0].rec_type == "response"
+    bad = encode_warc_record("response", "<u>", b"x", "u", version=b"WARC/0.18")
+    with pytest.raises(ValueError, match="unsupported WARC version"):
+        parse_warc(bad)
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="too short"):
+        parse_warc(b"")
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n")
+    # missing mandatory header
+    s = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="mandatory"):
+        parse_warc(s)
+    # non-numeric length
+    s = (
+        b"WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <u>\r\n"
+        b"WARC-Date: d\r\nContent-Length: ten\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        parse_warc(s)
+    # length overrun
+    base = encode_warc_record("response", "<u>", b"abcdef", "u")
+    with pytest.raises(ValueError, match="overruns|terminator"):
+        parse_warc(base[:-6])
+    # missing terminator
+    broken = base.replace(b"abcdef\r\n\r\n", b"abcdefXXXX")
+    with pytest.raises(ValueError, match="terminator"):
+        parse_warc(broken)
+    # one gzip member holding two records breaks the storage profile
+    two = encode_warc_record("response", "<a>", b"x", "u") + encode_warc_record(
+        "metadata", "<b>", b"y"
+    )
+    with pytest.raises(ValueError, match="more than one record"):
+        parse_warc(_gzip_member(two))
+    # truncated gzip member
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc(encode_warc(0, b"payload")[:-5])
+    # trailing garbage after members
+    with pytest.raises(ValueError, match="trailing bytes"):
+        parse_warc(encode_warc(0, b"p") + b"JUNK")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_warc_random_bytes_never_crash(raw):
+    try:
+        parse_warc(raw)
+    except OK:
+        pass
+
+
+@settings(max_examples=240, deadline=None)
+@given(
+    st.sampled_from([0, 1]),  # gzip and plain base
+    st.integers(min_value=0, max_value=1 << 30),
+    st.binary(min_size=1, max_size=6),
+)
+def test_warc_mutated_valid_payloads_never_crash(base_id, pos, junk):
+    base = encode_warc(base_id, b"fuzz the crawl container")
+    b = bytearray(base)
+    pos %= len(b)
+    b[pos : pos + len(junk)] = junk
+    try:
+        parse_warc(bytes(b))
+    except OK:
+        pass
+    except zlib.error:
+        pytest.fail("zlib.error leaked through the decode boundary")
+
+
+def test_registry_query_closed_forms(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.warc import multimodal_warc_meta
+
+    rows = multimodal_warc_meta(spark, sf_smoke).collect()
+    assert len(rows) == 500
+    for r in rows[:40]:
+        assert r["n_records"] == 2 and r["n_response"] == 1
+        assert r["total_bytes"] == r["response_bytes"] + 14
+        assert r["first_uri"] == f"http://example.com/doc/{r['asset_id']}"
+        assert r["gzipped"] == (r["asset_id"] % 2 == 0)
+
+
+# ------------------------------------------------- HTTP extraction
+
+
+def test_http_split_and_body_framing():
+    from orionld_to_hive_spark.operators.warc import parse_http_response
+
+    body = "héllo wörld".encode("utf-8")
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        + f"Content-Length: {len(body)}".encode() + b"\r\n\r\n" + body
+    )
+    h = parse_http_response(msg)
+    assert h.status == 200
+    assert h.content_type == "text/plain; charset=utf-8"
+    assert h.body == body
+
+
+def test_http_refusals():
+    import pytest
+
+    from orionld_to_hive_spark.operators.warc import parse_http_response
+
+    with pytest.raises(ValueError, match="not terminated"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nX: 1")
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="non-numeric"):
+        parse_http_response(b"HTTP/1.1 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort")
+    with pytest.raises(ValueError, match="Transfer-Encoding"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n"
+        )
+
+
+def test_extraction_roundtrips_text_bit_for_bit(spark, sf_smoke):
+    import pyarrow.parquet as pq
+
+    from orionld_to_hive_spark.operators.warc import warc_text_extraction
+
+    rows = {r["asset_id"]: r for r in warc_text_extraction(spark, sf_smoke).collect()}
+    t = pq.read_table(f"{sf_smoke}/documents.parquet")
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        r = rows[doc_id]
+        assert r["body_text"] == text, doc_id
+        assert r["http_status"] == 200
+        assert r["body_chars"] == len(text)
