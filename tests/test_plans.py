@@ -617,3 +617,33 @@ def test_semdedup_pair_join_is_keyed_not_cartesian(spark, sf_smoke):
     # BroadcastNestedLoopJoin (the crossJoin physical form) carries
     # the K-bounded centroid side, which arrives via LocalTableScan
     assert "Join" in plan
+
+
+def test_triage_queries_are_single_scan_no_shuffle_before_sort(spark, sf_smoke):
+    """The r11 metadata-triage queries (mp3/warc) are one documents
+    scan → Arrow stage → global sort: exactly one exchange (the final
+    orderBy range partitioning), no joins, column-pruned scan."""
+    from orionld_to_hive_spark.operators.mp3 import multimodal_mp3_meta
+    from orionld_to_hive_spark.operators.warc import multimodal_warc_meta
+
+    for fn in (multimodal_mp3_meta, multimodal_warc_meta):
+        df = fn(spark, sf_smoke)
+        plan = formatted(df)
+        assert "Join" not in plan, plan
+        assert count_shuffles(df) <= 1, plan
+        cols = read_schema_columns(df)
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_ivf_multiprobe_centroid_sides_are_broadcast(spark, sf_smoke):
+    """The IVF-multiprobe chain may cross-join only K-bounded centroid
+    frames (broadcast), never the corpus: no CartesianProduct, and the
+    final candidate expansion is a real equi-join on cid."""
+    from orionld_to_hive_spark.operators.similarity import (
+        ann_ivf_multiprobe_topk,
+    )
+
+    df = ann_ivf_multiprobe_topk(spark, sf_smoke)
+    plan = formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
