@@ -135,6 +135,9 @@ SF1_LADDER_QUERIES = (
     "multimodal_gif_frames",
     "semdedup_prune_report",
     "unigram_tokenize_report",
+    # r11: the 4-component CMYK decode — 4/3 the plane work of the
+    # color path, same Arrow-batched codec family
+    "multimodal_jpeg_cmyk_stats",
 )
 HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "tpch_q1_pricing",
@@ -226,6 +229,15 @@ HEADLINE = (
     "multimodal_gif_frames",
     "semdedup_prune_report",
     "unigram_tokenize_report",
+    # round-11: CMYK/Adobe JPEG (the 4-component decode path), MP3
+    # metadata triage (frame-header walk, no codec), and the
+    # IVF-multiprobe ANN operating point (recall ≥ 0.88 at ~25%
+    # fan-out — replaces wide-code LSH, measured out in PLANS.md)
+    "multimodal_jpeg_cmyk_stats",
+    "multimodal_mp3_meta",
+    "multimodal_warc_meta",
+    "warc_text_extraction",
+    "ann_ivf_multiprobe_topk",
 )
 
 
@@ -326,6 +338,10 @@ def run_scale(
 CANARY_QUERIES = ("q1_time_filter", "stats_moments",
                   "skew_join_order_revenue")
 CANARY_REPS = 3
+# Publication runs re-measure (up to this many passes) when the
+# within-run ambient drift exceeds the gate (VERDICT r10 item 7).
+DRIFT_GATE = 1.10
+DRIFT_GATE_ATTEMPTS = 2
 # The references are only meaningful at this scale: a repointed
 # SPARK_GRAFT_SF_DIR run skips the canary rather than publishing a
 # normalized headline against the wrong yardstick.
@@ -370,36 +386,10 @@ def canary_index(probe: dict) -> float | None:
     return round(statistics.geometric_mean(ratios), 4)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
-
-    # Scaling ladder (reference PDF §4 methodology: same queries at
-    # increasing data scales). Smaller scales run fewer reps — they
-    # exist to show the curve, not the headline number.
-    ladder_dirs = [
-        d
-        for d in os.environ.get(
-            "SPARK_GRAFT_SF_LADDER",
-            os.pathsep.join(
-                ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-            ),
-        ).split(os.pathsep)
-        if d and os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(sf_dir)
-    ]
-    # Session-level warmup: run every headline query once, untimed, at
-    # the smallest available scale. Per-query warmup reps (time_query)
-    # don't cover session-wide JVM/JIT/codegen-cache effects, which
-    # otherwise land in whichever scale runs first and invert the
-    # scaling curve (r2 observation: sf0.001 timed slower than sf0.01).
-    warm_dir = min(
-        ladder_dirs + [sf_dir],
-        key=lambda d: _sf_of(d) if isinstance(_sf_of(d), float) else 1e9,
-    )
-    qmap = registry.all_queries()
-    for name in HEADLINE:
-        qmap[name](spark, warm_dir).collect()
-
+def _measure_once(spark, sf_dir, qmap, ladder_dirs):
+    """One full measurement pass (canary bracket + ladders + headline).
+    Split out of main() so the publication drift gate can re-run the
+    whole pass when the host shifted mid-run (VERDICT r10 item 7)."""
     # canary only at the pinned reference scale — normalizing a
     # repointed-sf run against sf0.1 medians would publish a
     # meaningless value_normalized (r10 self-review finding)
@@ -492,6 +482,79 @@ def main() -> None:
             if idx_start and idx_end else None
         ),
     }
+    return dict(ladder=ladder, ladder_detail=ladder_detail,
+                per_query=per_query, detail=detail, total=total,
+                high=high, high_detail=high_detail, high_sf=high_sf,
+                sf1=sf1, sf1_detail=sf1_detail, sf1_sf=sf1_sf,
+                ambient=ambient)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # Scaling ladder (reference PDF §4 methodology: same queries at
+    # increasing data scales). Smaller scales run fewer reps — they
+    # exist to show the curve, not the headline number.
+    ladder_dirs = [
+        d
+        for d in os.environ.get(
+            "SPARK_GRAFT_SF_LADDER",
+            os.pathsep.join(
+                ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+            ),
+        ).split(os.pathsep)
+        if d and os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(sf_dir)
+    ]
+    # Session-level warmup: run every headline query once, untimed, at
+    # the smallest available scale. Per-query warmup reps (time_query)
+    # don't cover session-wide JVM/JIT/codegen-cache effects, which
+    # otherwise land in whichever scale runs first and invert the
+    # scaling curve (r2 observation: sf0.001 timed slower than sf0.01).
+    warm_dir = min(
+        ladder_dirs + [sf_dir],
+        key=lambda d: _sf_of(d) if isinstance(_sf_of(d), float) else 1e9,
+    )
+    qmap = registry.all_queries()
+    for name in HEADLINE:
+        qmap[name](spark, warm_dir).collect()
+
+    # Publication drift gate (VERDICT r10 item 7): a run whose ambient
+    # canary moved >10% start->end measured two different hosts — the
+    # r10 BENCH_DETAIL run drifted 1.19 and was published with only a
+    # flag. Now the pass is RE-RUN (bounded retries) instead; if the
+    # host never settles, the run is still published but carries an
+    # explicit drift_gate failure so no reader mistakes it for clean.
+    publish_env = "--publish" in sys.argv or os.environ.get(
+        "BENCH_PUBLISH", ""
+    ) not in ("", "0")
+    for attempt in range(1, DRIFT_GATE_ATTEMPTS + 1):
+        m = _measure_once(spark, sf_dir, qmap, ladder_dirs)
+        drift = m["ambient"].get("drift_within_run")
+        if not publish_env or drift is None or drift <= DRIFT_GATE:
+            m["ambient"]["drift_gate"] = {
+                "threshold": DRIFT_GATE,
+                "attempt": attempt,
+                "passed": drift is None or drift <= DRIFT_GATE,
+            }
+            break
+        print(
+            f"bench: drift_within_run {drift} > {DRIFT_GATE} "
+            f"(attempt {attempt}/{DRIFT_GATE_ATTEMPTS}) — re-measuring",
+            file=sys.stderr,
+        )
+    else:
+        m["ambient"]["drift_gate"] = {
+            "threshold": DRIFT_GATE,
+            "attempt": DRIFT_GATE_ATTEMPTS,
+            "passed": False,
+        }
+    ladder = m["ladder"]; ladder_detail = m["ladder_detail"]
+    per_query = m["per_query"]; detail = m["detail"]; total = m["total"]
+    high = m["high"]; high_detail = m["high_detail"]; high_sf = m["high_sf"]
+    sf1 = m["sf1"]; sf1_detail = m["sf1_detail"]; sf1_sf = m["sf1_sf"]
+    ambient = m["ambient"]
+
     # headline scale is the third ladder point (BASELINE.md Tables 1-5
     # style 3-point scaling curve) — measured once, reported in both.
     ladder[str(_sf_of(sf_dir))] = total
