@@ -237,6 +237,8 @@ HEADLINE = (
     "multimodal_mp3_meta",
     "multimodal_warc_meta",
     "warc_text_extraction",
+    "webdataset_manifest",
+    "multimodal_flac_meta",
     "ann_ivf_multiprobe_topk",
 )
 

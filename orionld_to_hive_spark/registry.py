@@ -39,6 +39,8 @@ _MODULES = (
     "orionld_to_hive_spark.operators.mp4",
     "orionld_to_hive_spark.operators.mp3",
     "orionld_to_hive_spark.operators.warc",
+    "orionld_to_hive_spark.operators.tar",
+    "orionld_to_hive_spark.operators.flac",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -62,17 +64,19 @@ _MODULES = (
 # hll_sliding_window_ndv, span_dedup_rewrite; the five
 # rows-only-by-design queries (p6_sample_seeded etc.) stay excluded —
 # each has an exact driver-certified sibling.
-# Final r11 prefix math: (a)=6 r11-new + (b)=4 never-graded +
-# (c)=20 r6 tail + (d)=the first 20 of the 50-query r7 block
-# (alphabetical, ann_bruteforce_topk .. gopher_quality_report) = 50;
-# the r7 remainder (graph_label_propagation .. tpch_q5_local_supplier,
-# 30 queries) rotates with the r8 block in r12.
+# Final r11 prefix math: (a)=8 r11-new + (b)=4 never-graded +
+# (c)=20 r6 tail + (d)=the first 18 of the 50-query r7 block
+# (alphabetical, ann_bruteforce_topk .. freq_topk_users) = 50;
+# the r7 remainder (gapfill_hourly_counts .. tpch_q5_local_supplier,
+# 32 queries) rotates with the r8 block in r12.
 _PRIORITY = (
     # (a) new in r11 — added as each lands this round
     "multimodal_jpeg_cmyk_stats",
     "multimodal_mp3_meta",
     "multimodal_warc_meta",
     "warc_text_extraction",
+    "webdataset_manifest",
+    "multimodal_flac_meta",
     "ann_ivf_multiprobe_topk",
     "ann_ivf_recall_report",
     # (b) never driver-graded (r7-era, added after that prefix froze)
@@ -101,7 +105,7 @@ _PRIORITY = (
     "tpch_q9_profit",
     "trailing_hour_stats",
     "u1_union_all",
-    # (d) the r7 block, alphabetical — first 20 fit the 50-slot prefix
+    # (d) the r7 block, alphabetical — first 18 fit the 50-slot prefix
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_multiprobe_topk",
@@ -120,8 +124,6 @@ _PRIORITY = (
     "embedding_quantization_report",
     "ewma_anomaly_events",
     "freq_topk_users",
-    "gapfill_hourly_counts",
-    "gopher_quality_report",
 )
 
 
