@@ -231,10 +231,11 @@ def parse_mp3_meta(payload: bytes) -> Mp3Meta:
 # (version bits, layer bits, bitrate index, rate index, mode bits)
 # cycled by doc_id % 3 — exercises both bitrate tables, both spf
 # rules for Layer III, and three sample-rate tables entries.
+# (version bits, layer bits, bitrate index, rate index, mode bits)
 _SYNTH_CFG = (
-    ("1", 3, 3 - 2, 9, 0, 0),  # MPEG1 L III 128 kbps 44100 stereo
-    ("2", 2, 3 - 2, 8, 0, 3),  # MPEG2 L III  64 kbps 22050 mono
-    ("1", 3, 3 - 1, 12, 2, 1),  # MPEG1 L II 256 kbps 32000 joint
+    (3, 1, 9, 0, 0),  # MPEG1 L III 128 kbps 44100 stereo
+    (2, 1, 8, 0, 3),  # MPEG2 L III  64 kbps 22050 mono
+    (3, 2, 12, 2, 1),  # MPEG1 L II 256 kbps 32000 joint
 )
 
 
@@ -271,19 +272,13 @@ def encode_mp3(doc_id: int, text: bytes) -> bytes:
          (len(text) >> 7) & 0x7F, len(text) & 0x7F]
     )
     out += text
-    vb_ver, vbits, lbits, bidx, ridx, mbits = _cfg_bits(doc_id)
+    vbits, lbits, bidx, ridx, mbits = _SYNTH_CFG[doc_id % 3]
     for k in range(1 + len(text) % 5):
         out += encode_mp3_frame(vbits, lbits, bidx, ridx, mbits,
                                 padding=k % 2, fill=b"\x00")
     if doc_id % 2 == 0:
         out += b"TAG" + bytes(125)
     return bytes(out)
-
-
-def _cfg_bits(doc_id: int):
-    version, vbits_raw, lbits, bidx, ridx, mbits = _SYNTH_CFG[doc_id % 3]
-    vbits = {"1": 3, "2": 2, "2.5": 0}[version]
-    return version, vbits, lbits, bidx, ridx, mbits
 
 
 # --------------------------------------------------------------------------

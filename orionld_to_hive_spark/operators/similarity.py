@@ -744,8 +744,16 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a keyed equi-join on cid — fan-out is P/K of the corpus by
     construction, never a cross join."""
     emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
-    cdf = _kmeans_fit(spark, emb, k=ANN_IVF_K)
-    asg = _assign(emb, cdf).select("vec_id", "vec", "cid")
+    # fast=True routes fit + assignment through the exact numpy/
+    # bucketed twins (provably ≡ the fold path — see _assign_auto);
+    # K=16 ⇒ 4 coarse cells ≤ nprobe, so the production dispatch is
+    # exact here and the oracle is unaffected (measured 3.6 s → see
+    # PLANS.md; the fold cross-join's interpreted lambdas dominated)
+    cdf = _kmeans_fit(spark, emb, k=ANN_IVF_K, fast=True)
+    centroids = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cdf.collect()
+    ]
+    asg = _assign_auto(emb, centroids).select("vec_id", "vec", "cid")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
@@ -1155,10 +1163,11 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KMEANS_K,
     )
     centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in init.collect()]
     for _ in range(KMEANS_ITERS):
+        if fast:
+            centroids = _fast_means(_assign_auto(emb, centroids))
+            continue
         cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
-        assigned = (
-            _assign_auto(emb, centroids) if fast else _assign(emb, cdf)
-        )
+        assigned = _assign(emb, cdf)
         means = (
             assigned
             .select("cid", F.posexplode("vec").alias("i", "x"))
@@ -1176,6 +1185,69 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KMEANS_K,
             (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in means.collect()
         ]
     return spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
+
+
+def _fast_means(assigned: DataFrame) -> list:
+    """Exact-decimal centroid means as ONE Arrow partial pass: each
+    component is rounded to the 1e-6 grid with HALF_UP (bit-identical
+    to Spark's double→DECIMAL(27,6) cast), summed as int64 per
+    (cid, dim) inside each batch, and combined on the driver — the
+    collect is k·d-bounded integers, and (Σ scaled)/1e6 ÷ count
+    reproduces `CAST(SUM(decimal) AS DOUBLE)/COUNT` exactly (the
+    integer total stays ≪ 2^53, so each conversion is the same
+    correctly-rounded double the decimal path produces, in the same
+    order). Replaces three posexplode+shuffle+collect rounds with
+    three single-job passes (measured in PLANS.md r11); the fold
+    path keeps the original decimal aggregation, so the twins pin
+    each other."""
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("c", T.LongType(), False),
+        ]
+    )
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            scaled = (
+                np.sign(V) * np.floor(np.abs(V) * 1e6 + 0.5)
+            ).astype(np.int64)
+            cids = pdf["cid"].to_numpy()
+            out_c, out_i, out_s, out_n = [], [], [], []
+            for c in np.unique(cids):
+                block = scaled[cids == c]
+                out_c.extend([int(c)] * V.shape[1])
+                out_i.extend(range(V.shape[1]))
+                out_s.extend(block.sum(axis=0).tolist())
+                out_n.extend([block.shape[0]] * V.shape[1])
+            yield pd.DataFrame(
+                {
+                    "cid": pd.Series(out_c, dtype="int32"),
+                    "i": pd.Series(out_i, dtype="int32"),
+                    "s": pd.Series(out_s, dtype="int64"),
+                    "c": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+    acc: dict[tuple[int, int], list] = {}
+    for r in assigned.select("cid", "vec").mapInPandas(partials, part_schema).collect():
+        key = (r["cid"], r["i"])
+        if key in acc:
+            acc[key][0] += r["s"]
+            acc[key][1] += r["c"]
+        else:
+            acc[key] = [r["s"], r["c"]]
+    by_cid: dict[int, dict[int, float]] = {}
+    for (cid, i), (s, c) in acc.items():
+        by_cid.setdefault(cid, {})[i] = (s / 1e6) / c
+    return sorted(
+        (cid, [dims[i] for i in sorted(dims)]) for cid, dims in by_cid.items()
+    )
 
 
 def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
