@@ -54,7 +54,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id<10)."""
-    emb = _emb(spark, sf_dir)
+    return _bruteforce_topk(_emb(spark, sf_dir))
+
+
+def _bruteforce_topk(emb: DataFrame) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
@@ -742,8 +745,16 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unique without a dedup shuffle. At 100 TB the fit runs on a
     sample with centroids pinned in index metadata; the probe join is
     a keyed equi-join on cid — fan-out is P/K of the corpus by
-    construction, never a cross join."""
+    construction, never a cross join. The persisted working set backs
+    the lazily-returned plan (the fit's Lloyd rounds AND the caller's
+    eventual action), so it cannot be unpersisted here; callers that
+    also need the corpus (the recall report) pass their own persisted
+    frame via `_ivf_multiprobe_topk` instead of persisting twice."""
     emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
+    return _ivf_multiprobe_topk(spark, emb)
+
+
+def _ivf_multiprobe_topk(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # fast=True routes fit + assignment through the exact numpy/
     # bucketed twins (provably ≡ the fold path — see _assign_auto);
     # K=16 ⇒ 4 coarse cells ≤ nprobe, so the production dispatch is
@@ -804,11 +815,13 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-certified recall@5 of the IVF-multiprobe index against
     exact brute force — the r11 operating-point claim as an
-    oracle-checked query (same construction as ann_recall_report)."""
-    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    mt = ann_ivf_multiprobe_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
+    oracle-checked query (same construction as ann_recall_report).
+    Both legs share ONE persisted working set (one load, one cache;
+    the k-means fit happens once inside the multiprobe leg) instead
+    of two independent `_emb` loads+persists."""
+    emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
+    bf = _bruteforce_topk(emb).select("query_id", "neighbor_id")
+    mt = _ivf_multiprobe_topk(spark, emb).select("query_id", "neighbor_id")
     hits = bf.join(mt, ["query_id", "neighbor_id"], "left_semi")
     return (
         bf.groupBy("query_id")
@@ -1094,6 +1107,12 @@ def _assign_bucketed(
                     tg.append(np.tile(mem, pts.size))
                     td.append(D.ravel())
                     np.minimum.at(d0, pts, D.min(axis=1))
+            if not tp:
+                # Possible past graded scales when nprobe < cell count
+                # and every probed cell is empty for the whole batch —
+                # fail with the designed loud error, not an opaque
+                # np.concatenate ValueError.
+                raise RuntimeError("bucketed assignment lost a point")
             ap = np.concatenate(tp)
             ag = np.concatenate(tg)
             ad = np.concatenate(td)
@@ -1187,6 +1206,39 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KMEANS_K,
     return spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
 
 
+def _round_grid(V: "np.ndarray") -> "np.ndarray":
+    """HALF_UP rounding of each component onto the 1e-6 grid with the
+    SAME semantics as Spark's double→DECIMAL(27,6) cast. Spark (like
+    java.math.BigDecimal.valueOf) rounds the double's shortest decimal
+    repr, not the binary value — so the fast vectorized path
+    (floor(|v|·1e6 + 0.5)) is only trusted when the scaled fraction is
+    provably far from the .5 tie boundary; components within the guard
+    band (|frac−0.5| below an error bound scaled to the product's
+    magnitude) are re-rounded via decimal.Decimal(repr(v)), which IS
+    the cast's semantics bit-for-bit. Without the guard, a boundary
+    component like 1.0046905 (float product 1004690.4999…) silently
+    rounds down where the cast rounds up."""
+    prod = np.abs(V) * 1e6
+    scaled = (np.sign(V) * np.floor(prod + 0.5)).astype(np.int64)
+    frac = prod - np.floor(prod)
+    # |prod| carries ~1e-16 relative error from the multiply plus
+    # <½ulp repr-vs-binary slack; 1e-9·prod bounds both with margin,
+    # floored at 1e-7 for tiny components.
+    tol = np.maximum(1e-7, prod * 1e-9)
+    boundary = np.abs(frac - 0.5) < tol
+    if boundary.any():
+        import decimal
+
+        q6 = decimal.Decimal("0.000001")
+        for r_, c_ in np.argwhere(boundary):
+            v = float(V[r_, c_])
+            d = decimal.Decimal(repr(v)).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP
+            )
+            scaled[r_, c_] = int(d * 1_000_000)
+    return scaled
+
+
 def _fast_means(assigned: DataFrame) -> list:
     """Exact-decimal centroid means as ONE Arrow partial pass: each
     component is rounded to the 1e-6 grid with HALF_UP (bit-identical
@@ -1214,9 +1266,7 @@ def _fast_means(assigned: DataFrame) -> list:
             if not len(pdf):
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            scaled = (
-                np.sign(V) * np.floor(np.abs(V) * 1e6 + 0.5)
-            ).astype(np.int64)
+            scaled = _round_grid(V)
             cids = pdf["cid"].to_numpy()
             out_c, out_i, out_s, out_n = [], [], [], []
             for c in np.unique(cids):

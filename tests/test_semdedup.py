@@ -202,3 +202,70 @@ def test_bucketed_assign_identical_tie_is_fine(spark):
     far = [(10 + i, [5.0 + i] * 64) for i in range(3)]
     rows = _assign_bucketed(emb, [(3, c), (1, list(c))] + far).collect()
     assert rows[0]["cid"] == 1
+
+
+def test_round_grid_matches_spark_decimal_cast(spark):
+    """ADVICE r11 (medium): the fast scaled rounding must match Spark's
+    double→DECIMAL(27,6) HALF_UP cast even when the float product
+    |v|·1e6 lands on the wrong side of the .5 tie boundary. The two
+    published counterexamples (1.0046905 → float product
+    1004690.4999…, -1.2099374999999999 → repr rounds DOWN to
+    -1.209937) plus a sweep of boundary-adjacent values are pinned
+    against the actual Spark cast."""
+    import numpy as np
+
+    from orionld_to_hive_spark.operators.similarity import _round_grid
+
+    vals = [
+        1.0046905,
+        -1.2099374999999999,
+        -1.0046905,
+        1.2099374999999999,
+        0.0000005,
+        -0.0000005,
+        0.1234565,
+        2.5e-7,
+        0.9999995,
+        -0.9999995,
+        123.4567895,
+        0.0,
+        1.0,
+        -0.7071067811865476,
+    ]
+    V = np.array([vals], dtype=np.float64)
+    got = _round_grid(V)[0].tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE").selectExpr(
+        "CAST(CAST(v AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS s"
+    )
+    want = [r["s"] for r in df.collect()]
+    assert got == want, list(zip(vals, got, want))
+
+
+def test_bucketed_assign_empty_probe_raises_loud(spark, monkeypatch):
+    """ADVICE r11 (low): when nprobe < cell count and every cell probed
+    within the cap is empty (stale coarse centers), the failure must be
+    the designed loud RuntimeError, not an opaque np.concatenate
+    ValueError. Force the geometry by patching the coarse quantizer to
+    put ALL centroids in cell 1 while cell 0's stale center sits on top
+    of the data (lowest lower bound), then probe with nprobe=1."""
+    import numpy as np
+    import pytest
+
+    from orionld_to_hive_spark.operators import similarity
+
+    def fake_coarse(C):
+        nC = 2
+        # cell 0: empty, center at the data point (lb = 0, probed
+        # first); cell 1: every centroid, center far away
+        G = np.stack([np.full(C.shape[1], 0.25), C.mean(axis=0)])
+        radii = np.zeros(nC)
+        members = [np.array([], dtype=np.int64), np.arange(len(C))]
+        return G, radii, members
+
+    monkeypatch.setattr(similarity, "_coarse_cells", fake_coarse)
+    emb = spark.createDataFrame(
+        [(7, [0.25] * 64)], "vec_id LONG, vec ARRAY<DOUBLE>"
+    )
+    cents = [(i, [5.0 + i] * 64) for i in range(6)]
+    with pytest.raises(Exception, match="lost a point"):
+        similarity._assign_bucketed(emb, cents, nprobe=1).collect()
