@@ -69,14 +69,54 @@ def _octal(field: bytes, what: str) -> int:
         raise ValueError(f"non-octal {what} field {field!r}") from e
 
 
-def parse_tar(payload: bytes) -> list[TarMember]:
-    """Walk a ustar archive into its regular-file members by header
-    arithmetic. Verifies every header checksum; payload bytes are
-    never read (offset+size returned instead)."""
+def _parse_pax_records(body: bytes) -> dict[str, str]:
+    """PAX extended-header records, per POSIX.1-2001: each record is
+    `"%d %s=%s\\n" % (length, key, value)` where length counts the
+    WHOLE record including the length digits, the space, and the
+    trailing newline. Malformed framing refuses loudly."""
+    recs: dict[str, str] = {}
+    i = 0
+    n = len(body)
+    while i < n:
+        sp = body.find(b" ", i, i + 20)
+        if sp < 0:
+            raise ValueError("PAX record without a length field")
+        try:
+            ln = int(body[i:sp])
+        except ValueError as e:
+            raise ValueError("non-decimal PAX record length") from e
+        if ln <= sp - i + 2 or i + ln > n:
+            raise ValueError(f"PAX record length {ln} out of bounds")
+        rec = body[i : i + ln]
+        if rec[-1:] != b"\n":
+            raise ValueError("PAX record does not end with newline")
+        key, eq, val = rec[sp - i + 1 : -1].partition(b"=")
+        if not eq:
+            raise ValueError("PAX record without '='")
+        recs[key.decode("utf-8")] = val.decode("utf-8")
+        i += ln
+    return recs
+
+
+def _walk(payload: bytes, tolerant: bool) -> tuple[list[TarMember], int, set]:
+    """Shared header-arithmetic walk. strict (tolerant=False) is the
+    WebDataset audit profile: regular files only, anything else —
+    including metadata extension headers — refuses loudly. tolerant
+    consumes PAX `x`/`g` extension headers (applying `path`/`size`
+    overrides) and GNU `L` long-name members, still checksum-verifying
+    EVERY header including the extensions; non-regular DATA members
+    (links, dirs, FIFOs) stay refused in both modes. Returns
+    (members, n_ext_headers, ext_kinds⊆{'pax','gnu'})."""
     members: list[TarMember] = []
     pos = 0
     n = len(payload)
     saw_end = False
+    n_ext = 0
+    kinds: set[str] = set()
+    next_name: str | None = None
+    next_size: int | None = None
+    global_name: str | None = None
+    global_size: int | None = None
     while pos + _BLOCK <= n:
         hdr = payload[pos : pos + _BLOCK]
         if hdr == b"\0" * _BLOCK:
@@ -100,26 +140,90 @@ def parse_tar(payload: bytes) -> list[TarMember]:
         if magic not in (b"ustar\0", b"ustar "):
             raise ValueError(f"unsupported tar magic {magic!r}")
         typeflag = hdr[156:157]
+        size = _octal(hdr[124:136], "size")
+        data_start = pos + _BLOCK
+        padded = (size + _BLOCK - 1) // _BLOCK * _BLOCK
+        if data_start + padded > n:
+            raise ValueError("member overruns archive")
+        if tolerant and typeflag in (b"x", b"g", b"L"):
+            body = payload[data_start : data_start + size]
+            if typeflag == b"L":
+                # GNU long name: payload = full name + NUL, applies
+                # to the NEXT member
+                nm = body.rstrip(b"\0").decode("utf-8")
+                if not nm:
+                    raise ValueError("empty GNU long-name payload")
+                next_name = nm
+                kinds.add("gnu")
+            else:
+                recs = _parse_pax_records(body)
+                if typeflag == b"x":
+                    if "path" in recs:
+                        next_name = recs["path"]
+                    if "size" in recs:
+                        next_size = int(recs["size"])
+                    kinds.add("pax")
+                else:  # 'g': defaults for all subsequent members
+                    if "path" in recs:
+                        global_name = recs["path"]
+                    if "size" in recs:
+                        global_size = int(recs["size"])
+                    kinds.add("pax")
+            n_ext += 1
+            pos = data_start + padded
+            continue
         if typeflag not in (b"0", b"\0"):
             raise ValueError(
                 f"non-regular member (typeflag {typeflag!r}) in a "
                 "WebDataset shard"
             )
-        name = hdr[:100].split(b"\0", 1)[0].decode("utf-8")
+        if next_name is not None:
+            name = next_name
+        elif global_name is not None:
+            name = global_name
+        else:
+            name = hdr[:100].split(b"\0", 1)[0].decode("utf-8")
+        real = next_size if next_size is not None else global_size
+        if real is not None:
+            if real < 0:
+                raise ValueError("negative PAX size override")
+            # a PAX size override re-frames the payload; recompute
+            padded = (real + _BLOCK - 1) // _BLOCK * _BLOCK
+            if data_start + padded > n:
+                raise ValueError("member overruns archive")
+            size = real
         if not name:
             raise ValueError("empty member name")
-        size = _octal(hdr[124:136], "size")
-        data_start = pos + _BLOCK
-        padded = (size + _BLOCK - 1) // _BLOCK * _BLOCK
-        if data_start + padded > n:
-            raise ValueError(f"member {name!r} overruns archive")
         members.append(TarMember(name, size, data_start))
+        next_name = None
+        next_size = None
         pos = data_start + padded
     if not saw_end:
         raise ValueError("archive ends without the two zero blocks")
+    if next_name is not None or next_size is not None:
+        raise ValueError("extension header without a following member")
     if not members:
         raise ValueError("no members in archive")
-    return members
+    return members, n_ext, kinds
+
+
+def parse_tar(payload: bytes) -> list[TarMember]:
+    """Walk a ustar archive into its regular-file members by header
+    arithmetic. Verifies every header checksum; payload bytes are
+    never read (offset+size returned instead). Strict audit profile —
+    see `parse_tar_tolerant` for real-world PAX/GNU shards."""
+    return _walk(payload, tolerant=False)[0]
+
+
+def parse_tar_tolerant(payload: bytes) -> tuple[list[TarMember], int, set]:
+    """Real-world walk (VERDICT r11 item 2): GNU tar (the CLI default)
+    and Python `tarfile` (PAX is its default format since 3.8) emit
+    `x`/`g` PAX extension headers and GNU `L` long-name members even
+    when every payload is a plain file — sample keys >100 chars force
+    them. Consumes those, applies `path`/`size` overrides, and still
+    checksum-verifies every header. Returns (members, n_ext_headers,
+    ext_kinds)."""
+    return _walk(payload, tolerant=True)
 
 
 def member_bytes(payload: bytes, m: TarMember) -> bytes:
@@ -163,6 +267,42 @@ def _add(tf: tarfile.TarFile, name: str, data: bytes) -> None:
     tf.addfile(info, io.BytesIO(data))
 
 
+class WdsMetaTol(NamedTuple):
+    n_members: int
+    n_samples: int
+    total_bytes: int
+    txt_bytes: int
+    complete: bool
+    n_ext: int  # PAX x/g + GNU L headers consumed
+    ext_kind: str  # ','-joined sorted kinds seen ('gnu', 'pax', or '')
+
+
+def parse_webdataset_meta_tolerant(payload: bytes) -> WdsMetaTol:
+    """WebDataset audit over a real-world shard: same sample grouping
+    as `parse_webdataset_meta` but through the PAX/GNU-tolerant walk,
+    reporting how many extension headers were consumed and of which
+    dialect."""
+    members, n_ext, kinds = parse_tar_tolerant(payload)
+    samples: dict[str, set[str]] = {}
+    txt = 0
+    for m in members:
+        base, dot, ext = m.name.partition(".")
+        if not dot:
+            raise ValueError(f"member {m.name!r} has no extension")
+        samples.setdefault(base, set()).add(ext)
+        if ext == "txt":
+            txt += m.size
+    return WdsMetaTol(
+        n_members=len(members),
+        n_samples=len(samples),
+        total_bytes=sum(m.size for m in members),
+        txt_bytes=txt,
+        complete=all({"txt", "cls"} <= exts for exts in samples.values()),
+        n_ext=n_ext,
+        ext_kind=",".join(sorted(kinds)),
+    )
+
+
 def encode_webdataset(doc_id: int, text: bytes) -> bytes:
     """1-sample shard: {id}.txt (the text) + {id}.cls (one label
     byte) + {id}.json sidecar for even doc_ids."""
@@ -172,6 +312,27 @@ def encode_webdataset(doc_id: int, text: bytes) -> bytes:
         _add(tf, f"{key}.txt", text)
         _add(tf, f"{key}.cls", str(doc_id % 10).encode())
         if doc_id % 2 == 0:
+            _add(tf, f"{key}.json", f'{{"id": {doc_id}}}'.encode())
+    return bio.getvalue()
+
+
+_LONGKEY_PAD = "k" * 92  # 8-digit id + 92 = a 100-char sample key
+
+
+def encode_webdataset_longkey(doc_id: int, text: bytes) -> bytes:
+    """Real-world shard fixture: the 100-char sample key pushes every
+    member name past the 100-byte ustar field, so the writer MUST emit
+    extension headers — PAX `x` records for even doc_ids (tarfile's
+    default format since py3.8), GNU `L` long-name members for odd
+    ones (GNU tar's CLI default). Members: {key}.txt + {key}.cls, plus
+    a {key}.json sidecar when doc_id % 3 == 0."""
+    fmt = tarfile.PAX_FORMAT if doc_id % 2 == 0 else tarfile.GNU_FORMAT
+    key = f"{doc_id:08d}{_LONGKEY_PAD}"
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=fmt) as tf:
+        _add(tf, f"{key}.txt", text)
+        _add(tf, f"{key}.cls", str(doc_id % 10).encode())
+        if doc_id % 3 == 0:
             _add(tf, f"{key}.json", f'{{"id": {doc_id}}}'.encode())
     return bio.getvalue()
 
@@ -242,10 +403,85 @@ ORDER BY asset_id
 """
 
 
+WDS_TOL_SCHEMA = T.StructType(
+    WDS_SCHEMA.fields
+    + [
+        T.StructField("n_ext", T.IntegerType(), True),
+        T.StructField("ext_kind", T.StringType(), True),
+    ]
+)
+
+
+def webdataset_manifest_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → REAL-WORLD WebDataset shards (PAX for even ids, GNU
+    long-name for odd — see encode_webdataset_longkey) → tolerant
+    shard audit. Every field is a closed form of the document row:
+    both writers emit exactly one extension header per member (the
+    long name is the only field that doesn't fit ustar), so n_ext ==
+    n_members and ext_kind is decided by doc_id parity — the oracle
+    checks the walker consumed every PAX record / L-member it was
+    owed, with member accounting identical to the strict query."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nm, ns, tb, xb, cp, ne, ek = [], [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                m = parse_webdataset_meta_tolerant(
+                    encode_webdataset_longkey(int(doc_id), data)
+                )
+                ids.append(int(doc_id))
+                nm.append(m.n_members)
+                ns.append(m.n_samples)
+                tb.append(m.total_bytes)
+                xb.append(m.txt_bytes)
+                cp.append(m.complete)
+                ne.append(m.n_ext)
+                ek.append(m.ext_kind)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "n_members": pd.Series(nm, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "total_bytes": pd.Series(tb, dtype="int64"),
+                    "txt_bytes": pd.Series(xb, dtype="int64"),
+                    "complete": pd.Series(cp, dtype="bool"),
+                    "n_ext": pd.Series(ne, dtype="int32"),
+                    "ext_kind": pd.Series(ek, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(run, WDS_TOL_SCHEMA).orderBy("asset_id")
+
+
+# closed forms: members = .txt + .cls (+ .json when id%3==0); one
+# extension header per member in both dialects; json body '{"id": N}'
+WDS_TOL_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_members,
+       1 AS n_samples,
+       CAST(octet_length(encode(text)) + 1
+            + CASE WHEN doc_id % 3 = 0
+                   THEN 8 + length(CAST(doc_id AS VARCHAR))
+                   ELSE 0 END AS BIGINT) AS total_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+       TRUE AS complete,
+       CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_ext,
+       CASE WHEN doc_id % 2 = 0 THEN 'pax' ELSE 'gnu' END AS ext_kind
+FROM documents
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "webdataset_manifest": webdataset_manifest,
+    "webdataset_manifest_tolerant": webdataset_manifest_tolerant,
 }
 
 ORACLES = {
     "webdataset_manifest": WDS_SQL,
+    "webdataset_manifest_tolerant": WDS_TOL_SQL,
 }

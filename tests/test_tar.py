@@ -139,3 +139,148 @@ def test_registry_query_closed_forms(spark, sf_smoke):
             8 + len(str(r["asset_id"])) if r["asset_id"] % 2 == 0 else 0
         )
         assert r["total_bytes"] == r["txt_bytes"] + 1 + extra
+
+
+# --------------------------------------------------------------------------
+# tolerant mode (r12): PAX x/g + GNU L — VERDICT r11 item 2
+
+
+def _shard_fmt(members: list[tuple[str, bytes]], fmt, **kw) -> bytes:
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=fmt, **kw) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return bio.getvalue()
+
+
+LONG = "key_" + "x" * 120  # >100 chars: forces PAX path / GNU L
+
+
+def test_tolerant_pax_long_names_match_stdlib():
+    from orionld_to_hive_spark.operators.tar import parse_tar_tolerant
+
+    blob = _shard_fmt(
+        [(f"{LONG}.txt", b"alpha"), (f"{LONG}.cls", b"3"), ("short.txt", b"s")],
+        tarfile.PAX_FORMAT,
+    )
+    members, n_ext, kinds = parse_tar_tolerant(blob)
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, m.size) for m in members] == [
+        (i.name, i.size) for i in tf.getmembers()
+    ]
+    # one x header per long-named member, none for the short one
+    assert n_ext == 2 and kinds == {"pax"}
+    for m in members:
+        assert member_bytes(blob, m) == tf.extractfile(m.name).read()
+    # strict mode refuses the same shard loudly
+    with pytest.raises(ValueError, match="non-regular"):
+        parse_tar(blob)
+
+
+def test_tolerant_gnu_long_names_match_stdlib():
+    from orionld_to_hive_spark.operators.tar import parse_tar_tolerant
+
+    blob = _shard_fmt(
+        [(f"{LONG}.txt", b"x" * 513), (f"{LONG}.cls", b"")],
+        tarfile.GNU_FORMAT,
+    )
+    members, n_ext, kinds = parse_tar_tolerant(blob)
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, m.size) for m in members] == [
+        (i.name, i.size) for i in tf.getmembers()
+    ]
+    assert n_ext == 2 and kinds == {"gnu"}
+    for m in members:
+        assert member_bytes(blob, m) == tf.extractfile(m.name).read()
+    with pytest.raises(ValueError, match="non-regular"):
+        parse_tar(blob)
+
+
+def test_tolerant_pax_global_header():
+    from orionld_to_hive_spark.operators.tar import parse_tar_tolerant
+
+    blob = _shard_fmt(
+        [("a.txt", b"alpha"), ("a.cls", b"1")],
+        tarfile.PAX_FORMAT,
+        pax_headers={"comment": "global metadata"},
+    )
+    members, n_ext, kinds = parse_tar_tolerant(blob)
+    assert [m.name for m in members] == ["a.txt", "a.cls"]
+    assert n_ext == 1 and kinds == {"pax"}  # the one g header
+
+
+def test_tolerant_still_checksum_verifies_extension_headers():
+    from orionld_to_hive_spark.operators.tar import parse_tar_tolerant
+
+    blob = _shard_fmt([(f"{LONG}.txt", b"alpha")], tarfile.GNU_FORMAT)
+    b = bytearray(blob)
+    b[40] ^= 0x5A  # corrupt the L header itself (first header block)
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar_tolerant(bytes(b))
+
+
+def test_tolerant_refuses_dirs_and_dangling_extensions():
+    from orionld_to_hive_spark.operators.tar import parse_tar_tolerant
+
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("d")
+        info.type = tarfile.DIRTYPE
+        tf.addfile(info)
+    with pytest.raises(ValueError, match="non-regular"):
+        parse_tar_tolerant(bio.getvalue())
+    # an x header with no member after it: build PAX shard, drop the
+    # member header + end blocks after the extension header
+    blob = _shard_fmt([(f"{LONG}.txt", b"")], tarfile.PAX_FORMAT)
+    # layout: [x hdr][x body ...][member hdr][end][end]; keep x hdr +
+    # its body then append clean end blocks
+    from orionld_to_hive_spark.operators.tar import parse_tar as _pt  # noqa
+    xsize = int(blob[124:136].split(b"\0")[0] or b"0", 8)
+    xlen = 512 + (xsize + 511) // 512 * 512
+    with pytest.raises(ValueError, match="without a following member|no members"):
+        parse_tar_tolerant(blob[:xlen] + b"\0" * 1024)
+
+
+def test_longkey_encoder_closed_forms():
+    from orionld_to_hive_spark.operators.tar import (
+        encode_webdataset_longkey,
+        parse_webdataset_meta_tolerant,
+    )
+
+    for doc_id, text in [(0, b"even and mod3"), (1, b"odd"), (3, b"odd mod3"),
+                         (4, b"even"), (6, b""), (7, b"x" * 600)]:
+        m = parse_webdataset_meta_tolerant(
+            encode_webdataset_longkey(doc_id, text)
+        )
+        want_members = 2 + (doc_id % 3 == 0)
+        assert m.n_members == want_members
+        assert m.n_samples == 1 and m.complete
+        assert m.txt_bytes == len(text)
+        assert m.n_ext == want_members
+        assert m.ext_kind == ("pax" if doc_id % 2 == 0 else "gnu")
+        extra = 8 + len(str(doc_id)) if doc_id % 3 == 0 else 0
+        assert m.total_bytes == len(text) + 1 + extra
+
+
+@settings(max_examples=240, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1 << 30),
+    st.binary(min_size=1, max_size=6),
+)
+def test_tolerant_mutated_payloads_never_crash(pos, junk):
+    from orionld_to_hive_spark.operators.tar import (
+        encode_webdataset_longkey,
+        parse_webdataset_meta_tolerant,
+    )
+
+    base = encode_webdataset_longkey(3, b"fuzz the tolerant walker")
+    b = bytearray(base)
+    pos %= len(b)
+    b[pos : pos + len(junk)] = junk
+    try:
+        parse_webdataset_meta_tolerant(bytes(b))
+    except OK:
+        pass
