@@ -298,6 +298,106 @@ def encode_warc_http(doc_id: int, text: bytes) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# charset-aware body decode (VERDICT r11 item 3): real Common Crawl
+# responses are a charset zoo (latin-1, windows-1252, shift-jis, …);
+# production extraction reads the Content-Type charset parameter and
+# falls back declared → utf-8 → latin-1, flagging which fired.
+# latin-1 is the terminal fallback because every byte sequence decodes
+# under it (ISO-8859-1 maps all 256 bytes), so extraction never raises
+# on charset grounds — only on genuinely undecodable framing.
+
+
+def charset_of(content_type: str | None) -> str | None:
+    """The `charset=` parameter of a Content-Type value, quote-stripped
+    but otherwise verbatim (callers normalize for codec lookup)."""
+    if not content_type:
+        return None
+    for param in content_type.split(";")[1:]:
+        name, eq, val = param.strip().partition("=")
+        if eq and name.strip().lower() == "charset":
+            return val.strip().strip('"').strip("'") or None
+    return None
+
+
+def decode_http_body(
+    body: bytes, content_type: str | None
+) -> tuple[str, str | None, str]:
+    """(text, declared_charset, fired) where fired ∈ {'declared',
+    'utf-8', 'latin-1'}: the declared charset is tried first (unknown
+    names and decode failures fall through, never raise), then utf-8,
+    then latin-1 — which cannot fail."""
+    declared = charset_of(content_type)
+    if declared:
+        try:
+            return body.decode(declared), declared, "declared"
+        except (LookupError, UnicodeDecodeError, ValueError, TypeError):
+            pass
+    try:
+        return body.decode("utf-8"), declared, "utf-8"
+    except UnicodeDecodeError:
+        return body.decode("latin-1"), declared, "latin-1"
+
+
+def _ascii_only(text: str) -> str:
+    """Printable-ASCII projection — encodes identically in utf-8,
+    latin-1, and windows-1252, which is what lets the mixed-charset
+    fixture keep a closed-form oracle (DuckDB computes the same
+    projection with regexp_replace(text, '[^ -~]', '', 'g'))."""
+    return "".join(ch for ch in text if " " <= ch <= "~")
+
+
+def encode_warc_http_charset(doc_id: int, text: str) -> bytes:
+    """Mixed-charset fixture, branch by doc_id % 6 — each branch's
+    decoded text is a closed form of the source row:
+      0: charset=utf-8, body = utf-8(text)            → declared
+      1: charset="windows-1252", ascii+'€' (0x80)     → declared
+      2: no charset param, body = utf-8(text)         → utf-8 fallback
+      3: charset=ISO-8859-1 (alias, uppercase),
+         ascii+'é' (0xE9)                             → declared
+      4: no charset param, ascii bytes + raw 0xE9
+         (invalid utf-8)                              → latin-1 fallback
+      5: charset=x-unknown (no such codec),
+         body = utf-8(text)                           → utf-8 fallback
+    The 0x80/0xE9 markers are deliberately NOT valid one-byte utf-8,
+    so the oracle distinguishes a real cp1252/latin-1 decode from a
+    silent wrong-codec path. Same per-record gzip profile for even
+    doc_ids as encode_warc."""
+    a = _ascii_only(text)
+    case = doc_id % 6
+    if case == 0:
+        ct, body = "text/plain; charset=utf-8", text.encode("utf-8")
+    elif case == 1:
+        ct, body = 'text/html; charset="windows-1252"', (a + "€").encode("cp1252")
+    elif case == 2:
+        ct, body = "text/html", text.encode("utf-8")
+    elif case == 3:
+        ct, body = "text/plain; charset=ISO-8859-1", (a + "é").encode("latin-1")
+    elif case == 4:
+        ct, body = "text/html", a.encode("ascii") + b"\xe9"
+    else:
+        ct, body = "text/plain; charset=x-unknown", text.encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        + f"Content-Type: {ct}".encode()
+        + _CRLF
+        + f"Content-Length: {len(body)}".encode()
+        + _CRLF + _CRLF + body
+    )
+    resp = encode_warc_record(
+        "response",
+        f"<urn:uuid:doc-{doc_id}>",
+        http,
+        target_uri=f"http://example.com/doc/{doc_id}",
+    )
+    meta = encode_warc_record(
+        "metadata", f"<urn:uuid:meta-{doc_id}>", _META_PAYLOAD
+    )
+    if doc_id % 2 == 0:
+        return _gzip_member(resp) + _gzip_member(meta)
+    return resp + meta
+
+
+# --------------------------------------------------------------------------
 # Spark query
 
 WARC_META_SCHEMA = T.StructType(
@@ -428,12 +528,104 @@ ORDER BY asset_id
 """
 
 
+WARC_CHARSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("declared", T.StringType(), True),
+        T.StructField("fired", T.StringType(), True),
+        T.StructField("body_bytes", T.LongType(), True),
+        T.StructField("body_chars", T.IntegerType(), True),
+        T.StructField("body_text", T.StringType(), True),
+    ]
+)
+
+
+def warc_text_extraction_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware .warc.gz → text chain (VERDICT r11 item 3): the
+    container walk + HTTP split of warc_text_extraction, then the
+    declared → utf-8 → latin-1 decode chain over a SIX-way charset zoo
+    (see encode_warc_http_charset) — quoted/uppercase/alias charset
+    tokens, a cp1252 euro byte, a bare latin-1 byte that breaks utf-8,
+    and an unknown codec name. Decoded text, byte/char counts, the
+    declared token, and WHICH decoder fired are all closed forms the
+    oracle computes from `documents` with string SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, dcl, fr, nbs, ncs, txts = [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                recs = parse_warc(
+                    encode_warc_http_charset(int(doc_id), text or "")
+                )
+                resp = next(r for r in recs if r.rec_type == "response")
+                h = parse_http_response(resp.payload)
+                body_text, declared, fired = decode_http_body(
+                    h.body, h.content_type
+                )
+                ids.append(int(doc_id))
+                dcl.append(declared)
+                fr.append(fired)
+                nbs.append(len(h.body))
+                ncs.append(len(body_text))
+                txts.append(body_text)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "declared": dcl,
+                    "fired": fr,
+                    "body_bytes": pd.Series(nbs, dtype="int64"),
+                    "body_chars": pd.Series(ncs, dtype="int32"),
+                    "body_text": txts,
+                }
+            )
+
+    return docs.mapInPandas(run, WARC_CHARSET_SCHEMA).orderBy("asset_id")
+
+
+# branch map mirrors encode_warc_http_charset; `a` is the printable-
+# ASCII projection, which encodes identically under every charset in
+# the fixture, so marker-byte branches are length(a)+1 in BOTH bytes
+# and chars
+WARC_CHARSET_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[^ -~]', '', 'g') AS a
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE doc_id % 6 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'windows-1252'
+                       WHEN 3 THEN 'ISO-8859-1'
+                       WHEN 5 THEN 'x-unknown' END AS declared,
+       CASE doc_id % 6 WHEN 0 THEN 'declared'
+                       WHEN 1 THEN 'declared'
+                       WHEN 2 THEN 'utf-8'
+                       WHEN 3 THEN 'declared'
+                       WHEN 4 THEN 'latin-1'
+                       ELSE 'utf-8' END AS fired,
+       CAST(CASE WHEN doc_id % 6 IN (1, 3, 4) THEN length(a) + 1
+                 ELSE octet_length(encode(text)) END AS BIGINT)
+         AS body_bytes,
+       CAST(CASE WHEN doc_id % 6 IN (1, 3, 4) THEN length(a) + 1
+                 ELSE length(text) END AS INTEGER) AS body_chars,
+       CASE doc_id % 6 WHEN 1 THEN a || '€'
+                       WHEN 3 THEN a || 'é'
+                       WHEN 4 THEN a || 'é'
+                       ELSE text END AS body_text
+FROM base
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_warc_meta": multimodal_warc_meta,
     "warc_text_extraction": warc_text_extraction,
+    "warc_text_extraction_charset": warc_text_extraction_charset,
 }
 
 ORACLES = {
     "multimodal_warc_meta": MULTIMODAL_WARC_SQL,
     "warc_text_extraction": WARC_EXTRACT_SQL,
+    "warc_text_extraction_charset": WARC_CHARSET_SQL,
 }

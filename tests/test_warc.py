@@ -196,3 +196,92 @@ def test_extraction_roundtrips_text_bit_for_bit(spark, sf_smoke):
         assert r["body_text"] == text, doc_id
         assert r["http_status"] == 200
         assert r["body_chars"] == len(text)
+
+
+# --------------------------------------------------------------------------
+# charset-aware decode (r12): declared → utf-8 → latin-1 — VERDICT item 3
+
+
+def test_charset_of_parsing():
+    from orionld_to_hive_spark.operators.warc import charset_of
+
+    assert charset_of("text/plain; charset=utf-8") == "utf-8"
+    assert charset_of('text/html; charset="windows-1252"') == "windows-1252"
+    assert charset_of("text/html; CHARSET=ISO-8859-1") == "ISO-8859-1"
+    assert charset_of("text/html;charset='shift_jis'") == "shift_jis"
+    assert charset_of("text/html; boundary=x; charset=utf-8") == "utf-8"
+    assert charset_of("text/html") is None
+    assert charset_of("text/html; charset=") is None
+    assert charset_of(None) is None
+
+
+def test_decode_chain_declared_utf8_latin1():
+    from orionld_to_hive_spark.operators.warc import decode_http_body
+
+    # declared fires, including a non-utf-8 byte
+    t, d, f = decode_http_body(b"caf\xe9", "text/plain; charset=ISO-8859-1")
+    assert (t, d, f) == ("café", "ISO-8859-1", "declared")
+    # cp1252 euro at 0x80 — proves the right codec ran (latin-1 would
+    # give U+0080, utf-8 would fail)
+    t, d, f = decode_http_body(b"\x80", 'x; charset="windows-1252"')
+    assert (t, f) == ("€", "declared")
+    # shift-jis (the zoo beyond latin scripts)
+    t, d, f = decode_http_body("日本語".encode("shift_jis"),
+                               "text/html; charset=shift_jis")
+    assert (t, f) == ("日本語", "declared")
+    # no declared charset, valid utf-8 → utf-8 fallback
+    t, d, f = decode_http_body("naïve".encode("utf-8"), "text/html")
+    assert (t, d, f) == ("naïve", None, "utf-8")
+    # no declared, invalid utf-8 → latin-1 terminal fallback
+    t, d, f = decode_http_body(b"a\xe9b", "text/html")
+    assert (t, f) == ("aéb", "latin-1")
+    # unknown declared codec falls through, not raises
+    t, d, f = decode_http_body(b"ok", "text/html; charset=x-unknown")
+    assert (t, d, f) == ("ok", "x-unknown", "utf-8")
+    # declared codec that FAILS on the bytes falls through too
+    t, d, f = decode_http_body(b"\xff\xfe\xff", "text/html; charset=utf-8")
+    assert f == "latin-1" and d == "utf-8"
+    # non-text codec names must not raise (bytes.decode refuses them)
+    t, d, f = decode_http_body(b"ok", "text/html; charset=base64")
+    assert f == "utf-8"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=64), st.text(max_size=24))
+def test_decode_chain_never_raises(body, charset):
+    from orionld_to_hive_spark.operators.warc import decode_http_body
+
+    text, declared, fired = decode_http_body(
+        body, f"text/html; charset={charset}" if charset else "text/html"
+    )
+    assert isinstance(text, str)
+    assert fired in ("declared", "utf-8", "latin-1")
+    # the terminal fallback means SOME decode always succeeds
+    if fired == "latin-1":
+        assert len(text) == len(body)
+
+
+def test_charset_fixture_branches():
+    from orionld_to_hive_spark.operators.warc import (
+        decode_http_body,
+        encode_warc_http_charset,
+        parse_http_response,
+        parse_warc,
+    )
+
+    src = "héllo = wörld ~ plain"
+    ascii_part = "".join(ch for ch in src if " " <= ch <= "~")
+    want = {
+        0: (src, "declared"),
+        1: (ascii_part + "€", "declared"),
+        2: (src, "utf-8"),
+        3: (ascii_part + "é", "declared"),
+        4: (ascii_part + "é", "latin-1"),
+        5: (src, "utf-8"),
+    }
+    for doc_id in range(6):
+        recs = parse_warc(encode_warc_http_charset(doc_id, src))
+        resp = next(r for r in recs if r.rec_type == "response")
+        h = parse_http_response(resp.payload)
+        text, declared, fired = decode_http_body(h.body, h.content_type)
+        assert (text, fired) == want[doc_id], doc_id
