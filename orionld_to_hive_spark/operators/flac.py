@@ -51,18 +51,18 @@ class FlacMeta(NamedTuple):
     audio_offset: int  # first byte past the metadata blocks
 
 
-def parse_flac_meta(payload: bytes) -> FlacMeta:
-    """Metadata-only pass: magic + block walk + STREAMINFO fields.
-    The frame bitstream past the last metadata block is not decoded
-    (codec = honest refusal; this is the triage pass)."""
+def _walk_blocks(payload: bytes) -> tuple[list[tuple[int, int, int]], int]:
+    """Shared metadata-block walk: validates the magic, block order
+    (STREAMINFO first, exactly 34 bytes, no duplicates), type-127
+    refusal, and bounds. Returns ([(btype, body_start, length), ...],
+    audio_offset) — body BYTES are not read here; each consumer slices
+    only the blocks it interprets."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC magic)")
     pos = 4
     n = len(payload)
     first = True
-    streaminfo = None
-    n_blocks = 0
-    has_vorbis = False
+    blocks: list[tuple[int, int, int]] = []
     while True:
         if pos + 4 > n:
             raise ValueError("truncated metadata block header")
@@ -80,16 +80,25 @@ def parse_flac_meta(payload: bytes) -> FlacMeta:
                 raise ValueError("first metadata block is not STREAMINFO")
             if length != 34:
                 raise ValueError(f"STREAMINFO length {length} != 34")
-            streaminfo = payload[body : body + 34]
             first = False
         elif btype == 0:
             raise ValueError("duplicate STREAMINFO block")
-        if btype == 4:
-            has_vorbis = True
-        n_blocks += 1
+        blocks.append((btype, body, length))
         pos = body + length
         if last:
             break
+    return blocks, pos
+
+
+def parse_flac_meta(payload: bytes) -> FlacMeta:
+    """Metadata-only pass: magic + block walk + STREAMINFO fields.
+    The frame bitstream past the last metadata block is not decoded
+    (codec = honest refusal; this is the triage pass)."""
+    blocks, pos = _walk_blocks(payload)
+    n_blocks = len(blocks)
+    has_vorbis = any(b[0] == 4 for b in blocks)
+    si_start = blocks[0][1]
+    streaminfo = payload[si_start : si_start + 34]
     packed = int.from_bytes(streaminfo[10:18], "big")
     sample_rate = packed >> 44
     channels = ((packed >> 41) & 0x7) + 1
@@ -110,6 +119,87 @@ def parse_flac_meta(payload: bytes) -> FlacMeta:
 
 
 # --------------------------------------------------------------------------
+# VORBIS_COMMENT field extraction (VERDICT r11 item 7): artist/title/
+# language tags drive audio-curation decisions, and they live in the
+# metadata region the walker already sees. Layout per the public
+# Vorbis I spec (as embedded by RFC 9639): LITTLE-endian u32 lengths
+# (inside an otherwise big-endian container — the classic gotcha),
+# vendor string, then length-prefixed "FIELD=value" records; field
+# names are ASCII 0x20–0x7D excluding '=', case-insensitive.
+
+
+class FlacVorbis(NamedTuple):
+    vendor: str
+    n_comments: int
+    fields: tuple  # ((KEY_UPPER, value), ...) in stream order
+
+
+def parse_vorbis_comment(body: bytes) -> FlacVorbis:
+    n = len(body)
+
+    def u32(off: int) -> tuple[int, int]:
+        if off + 4 > n:
+            raise ValueError("truncated VORBIS_COMMENT length field")
+        return int.from_bytes(body[off : off + 4], "little"), off + 4
+
+    vlen, off = u32(0)
+    if off + vlen > n:
+        raise ValueError("VORBIS_COMMENT vendor string overruns block")
+    vendor = body[off : off + vlen].decode("utf-8")
+    off += vlen
+    ncom, off = u32(off)
+    fields = []
+    for _ in range(ncom):
+        clen, off = u32(off)
+        if off + clen > n:
+            raise ValueError("VORBIS comment record overruns block")
+        rec = body[off : off + clen].decode("utf-8")
+        off += clen
+        key, eq, val = rec.partition("=")
+        if not eq:
+            raise ValueError(f"VORBIS comment without '=' ({rec[:30]!r})")
+        if not key or any(not ("\x20" <= c <= "\x7d") or c == "=" for c in key):
+            raise ValueError(f"invalid VORBIS field name {key[:30]!r}")
+        fields.append((key.upper(), val))
+    if off != n:
+        raise ValueError("trailing bytes in VORBIS_COMMENT block")
+    return FlacVorbis(vendor=vendor, n_comments=ncom, fields=tuple(fields))
+
+
+def parse_flac_vorbis(payload: bytes) -> FlacVorbis:
+    """The VORBIS_COMMENT block of a FLAC stream, through the same
+    validated block walk as the triage pass. Exactly one block of
+    type 4 is required (the spec allows at most one)."""
+    blocks, _ = _walk_blocks(payload)
+    vc = [(s, ln) for (t, s, ln) in blocks if t == 4]
+    if not vc:
+        raise ValueError("no VORBIS_COMMENT block")
+    if len(vc) > 1:
+        raise ValueError("multiple VORBIS_COMMENT blocks")
+    s, ln = vc[0]
+    return parse_vorbis_comment(payload[s : s + ln])
+
+
+def first_field(v: FlacVorbis, key: str) -> str | None:
+    """First occurrence of a (repeatable) field, spec-normalized key."""
+    k = key.upper()
+    for fk, fv in v.fields:
+        if fk == k:
+            return fv
+    return None
+
+
+def encode_vorbis_block(vendor: str, comments: list[tuple[str, str]]) -> bytes:
+    vb = vendor.encode("utf-8")
+    out = len(vb).to_bytes(4, "little") + vb
+    out += len(comments).to_bytes(4, "little")
+    for k, v in comments:
+        rec = f"{k}={v}".encode("utf-8")
+        out += len(rec).to_bytes(4, "little") + rec
+    return out
+
+
+# --------------------------------------------------------------------------
 # encoder (synth fixture + tests)
 
 _SYNTH_RATES = (44100, 22050, 8000)
@@ -117,10 +207,12 @@ _SYNTH_RATES = (44100, 22050, 8000)
 
 def encode_flac_meta(sample_rate: int, channels: int, bits: int,
                      total_samples: int, padding: int = 0,
-                     vorbis: bool = False, frames: bytes = b"") -> bytes:
+                     vorbis: bool = False, frames: bytes = b"",
+                     vorbis_body: bytes | None = None) -> bytes:
     """Minimal valid FLAC prefix: STREAMINFO (+ optional PADDING and
     VORBIS_COMMENT blocks) + opaque `frames` bytes the walker must
-    never touch."""
+    never touch. `vorbis_body` overrides the canned empty comment
+    block with real tagged fields (see encode_vorbis_block)."""
     packed = (
         (sample_rate << 44)
         | ((channels - 1) << 41)
@@ -137,7 +229,9 @@ def encode_flac_meta(sample_rate: int, channels: int, bits: int,
     blocks = [(0, si)]
     if padding:
         blocks.append((1, bytes(padding)))
-    if vorbis:
+    if vorbis_body is not None:
+        blocks.append((4, vorbis_body))
+    elif vorbis:
         vend = b"\x04\x00\x00\x00synt\x00\x00\x00\x00"
         blocks.append((4, vend))
     out = bytearray(b"fLaC")
@@ -243,10 +337,113 @@ ORDER BY asset_id
 """
 
 
+_VORBIS_VENDOR = "synth-flac 1.0"
+_VORBIS_LANGS = ("en", "de", "fr")  # doc_id % 4 == 3 → no LANGUAGE tag
+
+
+def _synth_vorbis_fields(doc_id: int, text: str) -> list[tuple[str, str]]:
+    """Closed-form tag set: ARTIST cycles over 50 names (key case
+    alternates to exercise the spec's case-insensitive field names),
+    TITLE is the first 24 printable-ASCII chars of the text (may
+    legally contain '=' — the length prefix, not the separator, frames
+    the value), LANGUAGE cycles en/de/fr and is ABSENT every 4th doc,
+    GENRE cycles 5 values."""
+    a = "".join(ch for ch in text if " " <= ch <= "~")
+    fields = [
+        ("ARTIST" if doc_id % 2 == 0 else "Artist", f"artist-{doc_id % 50}"),
+        ("TITLE", a[:24]),
+    ]
+    if doc_id % 4 != 3:
+        fields.append(("LANGUAGE", _VORBIS_LANGS[doc_id % 4]))
+    fields.append(("GENRE", f"g{doc_id % 5}"))
+    return fields
+
+
+FLAC_VORBIS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("vendor", T.StringType(), True),
+        T.StructField("n_comments", T.IntegerType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+        T.StructField("genre", T.StringType(), True),
+    ]
+)
+
+
+def multimodal_flac_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → FLAC files with real VORBIS_COMMENT blocks (see
+    _synth_vorbis_fields) → tag extraction. The little-endian length
+    framing, case-insensitive field names, '='-in-value tolerance, and
+    the absent-tag NULL path are all on the oracle path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vnd, ncs, art, ttl, lng, gnr = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = (text or "").encode("utf-8")
+                blob = encode_flac_meta(
+                    sample_rate=_SYNTH_RATES[d % 3],
+                    channels=1 + d % 2,
+                    bits=16,
+                    total_samples=len(data) * 100,
+                    padding=1 + d % 7,
+                    vorbis_body=encode_vorbis_block(
+                        _VORBIS_VENDOR, _synth_vorbis_fields(d, text or "")
+                    ),
+                    frames=data,
+                )
+                v = parse_flac_vorbis(blob)
+                ids.append(d)
+                vnd.append(v.vendor)
+                ncs.append(v.n_comments)
+                art.append(first_field(v, "artist"))
+                ttl.append(first_field(v, "title"))
+                lng.append(first_field(v, "language"))
+                gnr.append(first_field(v, "genre"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "vendor": vnd,
+                    "n_comments": pd.Series(ncs, dtype="int32"),
+                    "artist": art,
+                    "title": ttl,
+                    "language": lng,
+                    "genre": gnr,
+                }
+            )
+
+    return docs.mapInPandas(run, FLAC_VORBIS_SCHEMA).orderBy("asset_id")
+
+
+FLAC_VORBIS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       '{_VORBIS_VENDOR}' AS vendor,
+       CAST(3 + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INTEGER)
+         AS n_comments,
+       'artist-' || (doc_id % 50) AS artist,
+       left(a, 24) AS title,
+       CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                       WHEN 2 THEN 'fr' END AS language,
+       'g' || (doc_id % 5) AS genre
+FROM base
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_flac_meta": multimodal_flac_meta,
+    "multimodal_flac_vorbis": multimodal_flac_vorbis,
 }
 
 ORACLES = {
     "multimodal_flac_meta": MULTIMODAL_FLAC_SQL,
+    "multimodal_flac_vorbis": FLAC_VORBIS_SQL,
 }

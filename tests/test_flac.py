@@ -102,3 +102,107 @@ def test_registry_query_closed_forms(spark, sf_smoke):
         assert r["channels"] == 1 + r["asset_id"] % 2
         assert r["duration_ms"] == r["total_samples"] * 1000 // rate
         assert r["has_vorbis_comment"] == (cfg == 0)
+
+
+# --------------------------------------------------------------------------
+# VORBIS_COMMENT extraction (r12) — VERDICT item 7
+
+
+def _vc(fields, vendor="v 1.0"):
+    from orionld_to_hive_spark.operators.flac import (
+        encode_flac_meta,
+        encode_vorbis_block,
+    )
+
+    return encode_flac_meta(
+        44100, 2, 16, 1000,
+        vorbis_body=encode_vorbis_block(vendor, fields),
+    )
+
+
+def test_vorbis_roundtrip_and_field_semantics():
+    from orionld_to_hive_spark.operators.flac import (
+        first_field,
+        parse_flac_vorbis,
+    )
+
+    v = parse_flac_vorbis(
+        _vc([("Artist", "Ensemble Müller"), ("TITLE", "a=b=c"),
+             ("artist", "second"), ("GENRE", "")], vendor="libFLAC ünit")
+    )
+    assert v.vendor == "libFLAC ünit"
+    assert v.n_comments == 4
+    # case-insensitive keys, normalized upper
+    assert v.fields[0][0] == "ARTIST"
+    # repeatable fields: first occurrence wins
+    assert first_field(v, "ARTIST") == "Ensemble Müller"
+    # '=' inside the VALUE is legal (length-framed, first '=' splits)
+    assert first_field(v, "title") == "a=b=c"
+    # empty value is legal
+    assert first_field(v, "genre") == ""
+    assert first_field(v, "language") is None
+
+
+def test_vorbis_refusals():
+    import pytest
+
+    from orionld_to_hive_spark.operators.flac import (
+        encode_flac_meta,
+        parse_flac_vorbis,
+        parse_vorbis_comment,
+    )
+
+    # no block at all
+    with pytest.raises(ValueError, match="no VORBIS_COMMENT"):
+        parse_flac_vorbis(encode_flac_meta(44100, 2, 16, 10))
+    # record without '='
+    bad = (b"\x01\x00\x00\x00v" + b"\x01\x00\x00\x00"
+           + b"\x05\x00\x00\x00noeq!")
+    with pytest.raises(ValueError, match="without '='"):
+        parse_vorbis_comment(bad)
+    # field name outside 0x20-0x7D
+    bad = (b"\x00\x00\x00\x00" + b"\x01\x00\x00\x00"
+           + b"\x04\x00\x00\x00\x19a=b")
+    with pytest.raises(ValueError, match="field name"):
+        parse_vorbis_comment(bad)
+    # vendor length overrun
+    with pytest.raises(ValueError, match="vendor"):
+        parse_vorbis_comment(b"\xff\x00\x00\x00vv")
+    # trailing bytes after the last record
+    with pytest.raises(ValueError, match="trailing"):
+        parse_vorbis_comment(b"\x00\x00\x00\x00\x00\x00\x00\x00junk")
+    # comment-count claims more records than exist (length field lies)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        parse_vorbis_comment(b"\x00\x00\x00\x00\x02\x00\x00\x00"
+                             + b"\x03\x00\x00\x00a=b")
+
+
+def test_vorbis_little_endian_lengths_are_read_le():
+    from orionld_to_hive_spark.operators.flac import parse_vorbis_comment
+
+    # vendor length 4 stored LE: 04 00 00 00 — a BE reader would read
+    # 0x04000000 and overrun loudly; the LE reader must succeed
+    v = parse_vorbis_comment(b"\x04\x00\x00\x00abcd\x00\x00\x00\x00")
+    assert v.vendor == "abcd" and v.n_comments == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1 << 30),
+    st.binary(min_size=1, max_size=6),
+)
+def test_vorbis_mutated_payloads_never_crash(pos, junk):
+    from orionld_to_hive_spark.operators.flac import (
+        first_field,
+        parse_flac_vorbis,
+    )
+
+    base = _vc([("ARTIST", "fuzz"), ("TITLE", "mutate the tags")])
+    b = bytearray(base)
+    pos %= len(b)
+    b[pos : pos + len(junk)] = junk
+    try:
+        v = parse_flac_vorbis(bytes(b))
+        first_field(v, "artist")
+    except (OK + (UnicodeDecodeError,)):
+        pass
