@@ -210,10 +210,19 @@ def _build_huff(
 
 
 def _huff_decode(r: _BitReader, table) -> int:
+    # Hot path: operates on the reader's accumulator directly instead
+    # of peek()/skip() — the method-call overhead is ~35% of entropy
+    # decode time at this call volume (measured, PLANS.md r12); the
+    # semantics are exactly peek(_LUT_BITS) + skip(hit[1]).
     lut, slow = table
-    hit = lut[r.peek(_LUT_BITS)]
+    if r._nbits < _LUT_BITS:
+        r._ensure(_LUT_BITS)
+    nb = r._nbits
+    hit = lut[(r._acc >> (nb - _LUT_BITS)) & 0xFF]
     if hit is not None:
-        r.skip(hit[1])
+        nb -= hit[1]
+        r._nbits = nb
+        r._acc &= (1 << nb) - 1
         return hit[0]
     code = r.read_bits(_LUT_BITS)
     for length in range(_LUT_BITS + 1, 17):
@@ -421,14 +430,25 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
         ]
 
     n_mcus = mcus_x * mcus_y
-    n_blocks = n_mcus * sum(ch * cv for _, ch, cv, _, _ in layout)
+    # Per-MCU schedule resolved ONCE: table/quant lookups and the
+    # ch×cv sub-block expansion were previously re-done per MCU (4
+    # dict lookups + nested loops per block at full call volume);
+    # quant values pre-cast to Python ints so the hot loop never pays
+    # numpy scalar conversion (measured with the scatter change below:
+    # 1.6× on the 4-plane CMYK decode, PLANS.md r12).
+    per_mcu = []  # (cid, dc_table, ac_table, q_ints) per block in MCU
+    for (cid, tq, td, ta), ch, cv, _pw, _ph in layout:
+        q = [int(x) for x in qt[tq]]
+        for _ in range(ch * cv):
+            per_mcu.append((cid, huff[(0, td)], huff[(1, ta)], q))
+    blocks_per_mcu = len(per_mcu)
+    n_blocks = n_mcus * blocks_per_mcu
     # coefficients in TRANSMISSION (zigzag) order, dequantized at
     # write time; the IDCT runs ONCE, batched over every block of the
     # scan — per-block numpy work (alloc + two 8×8 matmuls) dominates
     # a python-loop decoder, batching it is a measured ~2× on the
     # registry corpus
     coefs = np.zeros((n_blocks, 64), dtype=np.float64)
-    places: list[tuple[int, int, int]] = []  # (cid, y0, x0) per block
     r = _BitReader(payload, data_start)
     pred = {key[0]: 0 for key, *_ in layout}
     rst_n = 0
@@ -442,30 +462,30 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
             rst_n += 1
             for k in pred:
                 pred[k] = 0
-        my, mx = divmod(m, mcus_x)
-        for (cid, tq, td, ta), ch, cv, pw, ph in layout:
-            q = qt[tq]
-            for byi in range(cv):
-                for bxi in range(ch):
-                    _decode_block(
-                        r, huff[(0, td)], huff[(1, ta)], q, pred, cid,
-                        coefs[bi],
-                    )
-                    places.append(
-                        (cid, (my * cv + byi) * 8, (mx * ch + bxi) * 8)
-                    )
-                    bi += 1
+        for cid, dct, act, q in per_mcu:
+            _decode_block(r, dct, act, q, pred, cid, coefs[bi])
+            bi += 1
     blocks = np.zeros((n_blocks, 64), dtype=np.float64)
     blocks[:, ZIGZAG] = coefs
     spatial = _IDCT_M.T @ blocks.reshape(n_blocks, 8, 8) @ _IDCT_M
-    planes = {
-        key[0]: np.zeros((ph, pw), dtype=np.float64)
-        for key, ch, cv, pw, ph in layout
-    }
-    for b, (cid, y0, x0) in enumerate(places):
-        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
-    for cid, plane in planes.items():
-        scan_out[cid] = plane
+    # Vectorized tile scatter: block bi = m·B + off(+j) sits at plane
+    # tile (my·cv + byi, mx·ch + bxi) — a pure reshape/transpose, no
+    # per-block Python assignment (the old loop was ~30% of scan time
+    # on 4-plane frames).
+    off = 0
+    for (cid, _tq, _td, _ta), ch, cv, pw, ph in layout:
+        nb = ch * cv
+        idx = (
+            np.arange(n_mcus)[:, None] * blocks_per_mcu
+            + off
+            + np.arange(nb)[None, :]
+        ).ravel()
+        tiles = spatial[idx].reshape(mcus_y, mcus_x, cv, ch, 8, 8)
+        scan_out[cid] = (
+            tiles.transpose(0, 2, 4, 1, 3, 5).reshape(cv * 8 * mcus_y,
+                                                      ch * 8 * mcus_x)
+        )[:ph, :pw]
+        off += nb
     return _skip_to_marker(payload, r.pos)
 
 
@@ -486,11 +506,20 @@ def _skip_to_marker(payload: bytes, p: int) -> int:
 
 def _decode_block(r, dc_table, ac_table, q, pred, cid, coef) -> None:
     """Entropy-decode one block into `coef` (a view of the scan's
-    coefficient matrix, transmission order, dequantized)."""
+    coefficient matrix, transmission order, dequantized). Inlined
+    read_bits+EXTEND on the receive path (spec F.2.2.1 RECEIVE then
+    EXTEND) — same hot-path rationale as _huff_decode. `q` is a list
+    of Python ints (pre-cast by the scan scheduler)."""
     t = _huff_decode(r, dc_table)
-    diff = _extend(r.read_bits(t), t)
-    pred[cid] += diff
-    coef[0] = pred[cid] * int(q[0])
+    if t:
+        if r._nbits < t:
+            r._ensure(t)
+        nb = r._nbits - t
+        v = r._acc >> nb
+        r._nbits = nb
+        r._acc &= (1 << nb) - 1
+        pred[cid] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    coef[0] = pred[cid] * q[0]
     k = 1
     while k < 64:
         rs = _huff_decode(r, ac_table)
@@ -501,7 +530,13 @@ def _decode_block(r, dc_table, ac_table, q, pred, cid, coef) -> None:
                 continue
             break  # EOB
         k += rr
-        coef[k] = _extend(r.read_bits(s), s) * int(q[k])
+        if r._nbits < s:
+            r._ensure(s)
+        nb = r._nbits - s
+        v = r._acc >> nb
+        r._nbits = nb
+        r._acc &= (1 << nb) - 1
+        coef[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) * q[k]
         k += 1
 
 
