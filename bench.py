@@ -240,6 +240,13 @@ HEADLINE = (
     "webdataset_manifest",
     "multimodal_flac_meta",
     "ann_ivf_multiprobe_topk",
+    # round-12: the crawl-container walkers hardened for real-world
+    # inputs — PAX/GNU-tolerant WebDataset audit, charset-aware WARC
+    # text extraction (declared → utf-8 → latin-1), and FLAC
+    # VORBIS_COMMENT tag extraction
+    "webdataset_manifest_tolerant",
+    "warc_text_extraction_charset",
+    "multimodal_flac_vorbis",
 )
 
 
@@ -339,7 +346,18 @@ def run_scale(
 # re-pinned, or the yardstick moves with the weather it measures.
 CANARY_QUERIES = ("q1_time_filter", "stats_moments",
                   "skew_join_order_revenue")
-CANARY_REPS = 3
+# r12 protocol change (VERDICT r11 item 5, after two consecutive
+# rounds published under drifty ambient): (a) the bracket is LONGER
+# (5 reps, median — the index itself was a 3-sample median of ~0.1 s
+# queries, noisy at exactly the 10% the gate tests); (b) a MID
+# bracket lands right after the headline phase, and the publication
+# gate + value_normalized key on the START↔MID pair that actually
+# brackets the headline — a host shift during the sf0.3/sf1.0
+# ladders (the longest phase, AFTER the headline is already measured)
+# no longer forces a 50-minute re-run or poisons the headline
+# normalization. drift_within_run (start↔end) is still published as
+# the whole-run weather signal.
+CANARY_REPS = 5
 # Publication runs re-measure (up to this many passes) when the
 # within-run ambient drift exceeds the gate (VERDICT r10 item 7).
 DRIFT_GATE = 1.10
@@ -409,6 +427,10 @@ def _measure_once(spark, sf_dir, qmap, ladder_dirs):
         spark, sf_dir, REPS, high_reps=True, engine_split=True
     )
     total = round(sum(per_query.values()), 4)
+    # MID ambient bracket: closes the (start → headline) window the
+    # publication gate and value_normalized key on (r12 protocol
+    # change — see CANARY_REPS comment)
+    canary_mid = run_canary(spark, sf_dir, qmap) if canary_on else {}
 
     # High-end ladder point (VERDICT r4 item 7): the expensive
     # headliners only, at a generated 3× replica of sf0.1 (see
@@ -464,18 +486,34 @@ def _measure_once(spark, sf_dir, qmap, ladder_dirs):
     # first draft bracketed only the headline section)
     canary_end = run_canary(spark, sf_dir, qmap) if canary_on else {}
     idx_start, idx_end = canary_index(canary_start), canary_index(canary_end)
+    idx_mid = canary_index(canary_mid)
     ambient = {
         "queries": list(CANARY_QUERIES),
         "ref": CANARY_REF,
         "canary_sf": CANARY_REF_SF if canary_on else None,
         "start": canary_start,
+        "mid": canary_mid,
         "end": canary_end,
         "index_start": idx_start,
+        "index_mid": idx_mid,
         "index_end": idx_end,
-        # the headline number to divide raw times by
+        # whole-run average (kept for cross-round continuity)
         "ambient_index": (
             round((idx_start + idx_end) / 2, 4)
             if idx_start and idx_end else None
+        ),
+        # the bracket that actually surrounds the headline phase —
+        # value_normalized divides by THIS (r12 protocol change)
+        "headline_ambient_index": (
+            round((idx_start + idx_mid) / 2, 4)
+            if idx_start and idx_mid else None
+        ),
+        # the publication gate keys on this pair (r12): a shift during
+        # the post-headline sf0.3/sf1.0 ladders doesn't invalidate the
+        # already-measured headline
+        "drift_headline": (
+            round(max(idx_start, idx_mid) / min(idx_start, idx_mid), 4)
+            if idx_start and idx_mid else None
         ),
         # >~1.2 means the host shifted DURING the run — treat even
         # normalized numbers with suspicion that round
@@ -532,7 +570,11 @@ def main() -> None:
     ) not in ("", "0")
     for attempt in range(1, DRIFT_GATE_ATTEMPTS + 1):
         m = _measure_once(spark, sf_dir, qmap, ladder_dirs)
-        drift = m["ambient"].get("drift_within_run")
+        # r12: gate on the bracket surrounding the headline phase
+        # (start↔mid); fall back to start↔end when no mid bracket ran
+        drift = m["ambient"].get("drift_headline") or m["ambient"].get(
+            "drift_within_run"
+        )
         if not publish_env or drift is None or drift <= DRIFT_GATE:
             m["ambient"]["drift_gate"] = {
                 "threshold": DRIFT_GATE,
@@ -540,11 +582,19 @@ def main() -> None:
                 "passed": drift is None or drift <= DRIFT_GATE,
             }
             break
-        print(
-            f"bench: drift_within_run {drift} > {DRIFT_GATE} "
-            f"(attempt {attempt}/{DRIFT_GATE_ATTEMPTS}) — re-measuring",
-            file=sys.stderr,
-        )
+        if attempt < DRIFT_GATE_ATTEMPTS:
+            print(
+                f"bench: drift_within_run {drift} > {DRIFT_GATE} "
+                f"(attempt {attempt}/{DRIFT_GATE_ATTEMPTS}) — re-measuring",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"bench: drift_within_run {drift} > {DRIFT_GATE} on the "
+                f"final attempt {attempt}/{DRIFT_GATE_ATTEMPTS} — "
+                "publishing with drift_gate.passed=false",
+                file=sys.stderr,
+            )
     else:
         m["ambient"]["drift_gate"] = {
             "threshold": DRIFT_GATE,
@@ -696,9 +746,13 @@ def main() -> None:
         "parity_total": parity_total,
         "ladder": ladder,
         "ambient_index": ambient["ambient_index"],
+        # normalized by the bracket that surrounds the headline phase
+        # (r12 protocol change); falls back to the whole-run index
         "value_normalized": (
-            round(total / ambient["ambient_index"], 4)
-            if ambient["ambient_index"]
+            round(total / (ambient.get("headline_ambient_index")
+                           or ambient["ambient_index"]), 4)
+            if (ambient.get("headline_ambient_index")
+                or ambient["ambient_index"])
             else None
         ),
     }
