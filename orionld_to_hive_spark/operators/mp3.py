@@ -371,10 +371,214 @@ ORDER BY asset_id
 """
 
 
+# --------------------------------------------------------------------------
+# ID3v2 text-frame extraction (r12): the tag-parity move FLAC got in
+# multimodal_flac_vorbis, for the dominant lossy format — title/
+# artist/album/language drive the same audio-curation decisions.
+# Hand-rolled from the public id3v2.3.0 / id3v2.4.0 informal specs:
+#
+#   - header: "ID3" major rev flags + SYNCSAFE size; major 3 and 4
+#     accepted; unsynchronisation (flag 0x80) and extended headers
+#     (0x40) refuse loudly (rare, and silently mis-skipping them
+#     corrupts every later frame boundary).
+#   - frames: id[4, A-Z0-9] + size (v2.3: plain big-endian u32;
+#     v2.4: SYNCSAFE — the version split is the classic parser bug
+#     and is on the oracle path via doc_id parity) + 2 flag bytes.
+#   - text frames (T???): first byte is the encoding — 0 latin-1,
+#     1 utf-16 with BOM (v2.3+v2.4), 2 utf-16be, 3 utf-8 (v2.4
+#     only); value is NUL-terminated (terminator optional).
+#   - padding: a zero byte where a frame id should start ends the
+#     frame area.
+
+
+class Id3Tag(NamedTuple):
+    version: int  # major: 3 or 4
+    n_frames: int
+    fields: tuple  # ((frame_id, text_or_None), ...) in tag order
+
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3v2(payload: bytes) -> Id3Tag:
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    major, flags = payload[3], payload[5]
+    if major not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{major}")
+    if flags & 0x80:
+        raise ValueError("ID3v2 unsynchronisation not supported")
+    if flags & 0x40:
+        raise ValueError("ID3v2 extended header not supported")
+    end = 10 + _syncsafe(payload[6:10])
+    if end > len(payload):
+        raise ValueError("ID3v2 size overruns payload")
+    pos = 10
+    fields = []
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid[0] == 0:
+            break  # padding
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A for c in fid):
+            raise ValueError(f"invalid ID3v2 frame id {fid!r}")
+        raw = payload[pos + 4 : pos + 8]
+        fsz = int.from_bytes(raw, "big") if major == 3 else _syncsafe(raw)
+        body = payload[pos + 10 : pos + 10 + fsz]
+        if pos + 10 + fsz > end:
+            raise ValueError(f"frame {fid.decode()} overruns tag")
+        text = None
+        if fid[0:1] == b"T" and fid != b"TXXX":
+            if not body:
+                raise ValueError(f"empty text frame {fid.decode()}")
+            enc = body[0]
+            legal = (0, 1) if major == 3 else (0, 1, 2, 3)
+            if enc not in legal:
+                raise ValueError(
+                    f"text encoding {enc} illegal in ID3v2.{major}"
+                )
+            text = body[1:].decode(_ID3_ENCODINGS[enc]).rstrip("\x00")
+        fields.append((fid.decode("latin-1"), text))
+        pos += 10 + fsz
+    return Id3Tag(version=major, n_frames=len(fields), fields=tuple(fields))
+
+
+def id3_first(tag: Id3Tag, frame_id: str) -> str | None:
+    for fid, val in tag.fields:
+        if fid == frame_id:
+            return val
+    return None
+
+
+def _id3_frame(major: int, fid: bytes, enc: int, value: str) -> bytes:
+    body = bytes([enc]) + value.encode(_ID3_ENCODINGS[enc])
+    size = (
+        len(body).to_bytes(4, "big")
+        if major == 3
+        else bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        )
+    )
+    return fid + size + b"\x00\x00" + body
+
+
+_ID3_LANGS = ("eng", "deu", "fra")
+
+
+def encode_mp3_tagged(doc_id: int, text: str) -> bytes:
+    """Closed-form tagged fixture: ID3v2.3 for even doc_ids (plain
+    frame sizes), ID3v2.4 for odd (syncsafe frame sizes); text
+    encodings cycle latin-1 / utf-16-BOM / utf-8 (utf-8 only under
+    v2.4, per spec); TLAN absent every 5th doc; 7 padding bytes end
+    the frame area; the tag is followed by real CBR audio frames so
+    the blob is also a valid parse_mp3_meta stream."""
+    major = 3 if doc_id % 2 == 0 else 4
+    if major == 3:
+        enc = 0 if doc_id % 4 == 0 else 1
+    else:
+        enc = 3 if doc_id % 4 == 1 else 1
+    a = "".join(ch for ch in text if " " <= ch <= "~")
+    frames = bytearray()
+    frames += _id3_frame(major, b"TIT2", enc, a[:24])
+    frames += _id3_frame(major, b"TPE1", enc, f"artist-{doc_id % 50}")
+    frames += _id3_frame(major, b"TALB", enc, f"album {doc_id % 10}")
+    if doc_id % 5 != 4:
+        frames += _id3_frame(major, b"TLAN", enc,
+                             _ID3_LANGS[doc_id % 3])
+    frames += bytes(7)  # padding
+    size = len(frames)
+    out = bytearray()
+    out += b"ID3" + bytes([major, 0, 0])
+    out += bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    out += frames
+    vbits, lbits, bidx, ridx, mbits = _SYNTH_CFG[doc_id % 3]
+    for k in range(1 + len(text.encode("utf-8")) % 5):
+        out += encode_mp3_frame(vbits, lbits, bidx, ridx, mbits,
+                                padding=k % 2, fill=b"\x00")
+    return bytes(out)
+
+
+MP3_ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("id3_version", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+    ]
+)
+
+
+def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → tagged MP3s (see encode_mp3_tagged) → ID3v2 text
+    frame extraction. The v2.3-plain vs v2.4-syncsafe frame-size
+    split, three text encodings, padding stop, and absent-frame NULL
+    are all on the oracle path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ver, nfr, tit, art, alb, lng = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                tag = parse_id3v2(encode_mp3_tagged(d, text or ""))
+                ids.append(d)
+                ver.append(tag.version)
+                nfr.append(tag.n_frames)
+                tit.append(id3_first(tag, "TIT2"))
+                art.append(id3_first(tag, "TPE1"))
+                alb.append(id3_first(tag, "TALB"))
+                lng.append(id3_first(tag, "TLAN"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "id3_version": pd.Series(ver, dtype="int32"),
+                    "n_frames": pd.Series(nfr, dtype="int32"),
+                    "title": tit,
+                    "artist": art,
+                    "album": alb,
+                    "language": lng,
+                }
+            )
+
+    return docs.mapInPandas(run, MP3_ID3_SCHEMA).orderBy("asset_id")
+
+
+MP3_ID3_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+         AS id3_version,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 3 ELSE 4 END AS INTEGER)
+         AS n_frames,
+       left(a, 24) AS title,
+       'artist-' || (doc_id % 50) AS artist,
+       'album ' || (doc_id % 10) AS album,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CASE doc_id % 3 WHEN 0 THEN 'eng'
+                                 WHEN 1 THEN 'deu'
+                                 ELSE 'fra' END END AS language
+FROM base
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_mp3_meta": multimodal_mp3_meta,
+    "multimodal_mp3_id3": multimodal_mp3_id3,
 }
 
 ORACLES = {
     "multimodal_mp3_meta": MULTIMODAL_MP3_SQL,
+    "multimodal_mp3_id3": MP3_ID3_SQL,
 }

@@ -157,3 +157,126 @@ def test_registry_query_matches_closed_forms(spark, sf_smoke):
         spf = {0: 1152, 1: 576, 2: 1152}[cfg]
         rate = {0: 44100, 1: 22050, 2: 32000}[cfg]
         assert r["duration_ms"] == r["n_frames"] * spf * 1000 // rate
+
+
+# --------------------------------------------------------------------------
+# ID3v2 text-frame extraction (r12)
+
+
+def test_id3_v23_vs_v24_frame_size_split():
+    """v2.3 frame sizes are plain big-endian; v2.4 are syncsafe. A
+    body >127 bytes encodes differently under the two — a parser that
+    uses one rule for both misplaces every later frame."""
+    from orionld_to_hive_spark.operators.mp3 import (
+        encode_mp3_tagged,
+        id3_first,
+        parse_id3v2,
+    )
+
+    long_title = "x" * 200  # frame body 201 bytes: 0xC9 vs syncsafe 0x0149
+    t3 = parse_id3v2(encode_mp3_tagged(2, long_title))
+    t4 = parse_id3v2(encode_mp3_tagged(3, long_title))
+    assert t3.version == 3 and t4.version == 4
+    assert id3_first(t3, "TIT2") == long_title[:24]
+    assert id3_first(t4, "TIT2") == long_title[:24]
+    # artist (the frame AFTER the title) parses in both — proves the
+    # size rule placed the next boundary right
+    assert id3_first(t3, "TPE1") == "artist-2"
+    assert id3_first(t4, "TPE1") == "artist-3"
+
+
+def test_id3_encodings_roundtrip():
+    from orionld_to_hive_spark.operators.mp3 import (
+        _id3_frame,
+        id3_first,
+        parse_id3v2,
+    )
+
+    def tag(major, frames):
+        body = b"".join(frames) + bytes(4)
+        size = len(body)
+        return (b"ID3" + bytes([major, 0, 0])
+                + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                         (size >> 7) & 0x7F, size & 0x7F]) + body)
+
+    # latin-1, utf-16 BOM in v2.3; utf-8 and utf-16be in v2.4
+    t = parse_id3v2(tag(3, [_id3_frame(3, b"TIT2", 0, "caf\xe9"),
+                            _id3_frame(3, b"TPE1", 1, "uni – code")]))
+    assert id3_first(t, "TIT2") == "caf\xe9"
+    assert id3_first(t, "TPE1") == "uni – code"
+    t = parse_id3v2(tag(4, [_id3_frame(4, b"TIT2", 3, "utf8 é–"),
+                            _id3_frame(4, b"TPE1", 2, "be –")]))
+    assert id3_first(t, "TIT2") == "utf8 é–"
+    assert id3_first(t, "TPE1") == "be –"
+    # utf-8 is illegal in v2.3
+    import pytest
+
+    with pytest.raises(ValueError, match="illegal in ID3v2.3"):
+        parse_id3v2(tag(3, [_id3_frame(4, b"TIT2", 3, "x")]))
+
+
+def test_id3_refusals_and_padding():
+    import pytest
+
+    from orionld_to_hive_spark.operators.mp3 import (
+        encode_mp3_tagged,
+        parse_id3v2,
+    )
+
+    good = bytearray(encode_mp3_tagged(4, "hello world"))
+    # unsynchronisation flag refused
+    b = bytearray(good)
+    b[5] |= 0x80
+    with pytest.raises(ValueError, match="unsynchronisation"):
+        parse_id3v2(bytes(b))
+    # extended header refused
+    b = bytearray(good)
+    b[5] |= 0x40
+    with pytest.raises(ValueError, match="extended header"):
+        parse_id3v2(bytes(b))
+    # unsupported major version
+    b = bytearray(good)
+    b[3] = 2
+    with pytest.raises(ValueError, match="unsupported ID3v2"):
+        parse_id3v2(bytes(b))
+    # padding ends the frame area: n_frames stays 4 (TLAN present for
+    # doc 4? doc_id=4 -> 4%5==4 so TLAN ABSENT, 3 frames)
+    t = parse_id3v2(encode_mp3_tagged(4, "hello"))
+    assert t.n_frames == 3
+    t = parse_id3v2(encode_mp3_tagged(6, "hello"))
+    assert t.n_frames == 4
+
+
+def test_tagged_blob_still_walks_as_audio():
+    """The tagged fixture is also a valid parse_mp3_meta stream — the
+    triage walker skips the REAL frame tag by syncsafe size."""
+    from orionld_to_hive_spark.operators.mp3 import (
+        encode_mp3_tagged,
+        parse_mp3_meta,
+    )
+
+    m = parse_mp3_meta(encode_mp3_tagged(5, "some document text"))
+    assert m.n_frames == 1 + len("some document text") % 5
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1 << 30),
+    st.binary(min_size=1, max_size=6),
+)
+def test_id3_mutated_payloads_never_crash(pos, junk):
+    from orionld_to_hive_spark.operators.mp3 import (
+        encode_mp3_tagged,
+        id3_first,
+        parse_id3v2,
+    )
+
+    base = encode_mp3_tagged(7, "fuzz the tag parser")
+    b = bytearray(base)
+    pos %= len(b)
+    b[pos : pos + len(junk)] = junk
+    try:
+        t = parse_id3v2(bytes(b))
+        id3_first(t, "TIT2")
+    except (ValueError, UnicodeDecodeError):
+        pass
