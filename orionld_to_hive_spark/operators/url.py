@@ -1,0 +1,205 @@
+"""URL normalization + domain rollup — crawl curation, pure built-ins.
+
+Beyond-reference capability: URL-keyed curation is a first-class
+stage of every crawl pipeline — exact-URL dedup needs a CANONICAL
+form (scheme/host case, default ports, fragments, and tracking
+parameters all vary across captures of the same page), and corpus
+budgeting/blocklisting happens per registered domain. Unlike the
+byte-walker families, this operator is deliberately 100% JVM-side:
+every rule is `lower`/`regexp_extract`/`regexp_replace`/`concat`
+built-ins, so the whole chain stays inside whole-stage codegen — no
+Python in the hot path at any scale (the plan gate asserts it).
+
+Normalization contract (each rule RE2-safe — no lookaheads — so the
+DuckDB oracle implements the same spec independently):
+
+  1. fragment removed (`#...` — applied first so later rules never
+     see it);
+  2. scheme and authority lowercased, path/query case PRESERVED
+     (`/Doc` stays `/Doc` — full-string lower() is the classic bug);
+  3. default ports stripped (http:80, https:443); other ports kept;
+  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) with
+     separator repair: mid-query `&t=v` drops, leading `?t=v&` keeps
+     `?`, a query that was ONLY tracking loses its `?`;
+  5. registered domain = last two dot-labels of the host (documented
+     simplification of the public-suffix list — multi-label suffixes
+     like .co.uk need the PSL snapshot, out of scope).
+
+Oracle strategy: differential — DuckDB implements the same contract
+with its own regex engine over the same synthesized raw URLs, so
+Spark's Java-regex pipeline and DuckDB's RE2 pipeline must agree
+byte-for-byte on every row.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+_TRACK = "(utm_[a-z]+|fbclid|gclid)"
+_PREFIX_RE = "^[^:]+://[^/?]*"
+
+
+def _raw_url(doc_id_col):
+    """Six URL shapes exercising every rule: mixed-case scheme/host/
+    path, default and non-default ports, www, leading/mid/trailing
+    tracking params, fragments."""
+    k = doc_id_col
+    return (
+        F.when(k % 6 == 0, F.concat(F.lit("https://Example.COM:443/Doc/"),
+                                    k, F.lit("?utm_source=feed&x="),
+                                    k % 9, F.lit("#top")))
+        .when(k % 6 == 1, F.concat(F.lit("http://WWW.News-Site.org:80/a/"),
+                                   k, F.lit("/")))
+        .when(k % 6 == 2, F.concat(F.lit("https://blog.example.net/post/"),
+                                   k, F.lit("?gclid=abc&y="), k % 5,
+                                   F.lit("&utm_medium=m")))
+        .when(k % 6 == 3, F.concat(F.lit("HTTP://sub.domain.Example.com/p"),
+                                   k, F.lit("?z=1")))
+        .when(k % 6 == 4, F.concat(F.lit("https://example.org:8443/"), k))
+        .otherwise(F.concat(F.lit("http://example.com/doc/"), k,
+                            F.lit("?fbclid=xx")))
+    )
+
+
+def _normalize(raw):
+    # 1. fragment
+    n = F.regexp_replace(raw, "#.*$", "")
+    # 2. lowercase the scheme://authority prefix only
+    pref = F.regexp_extract(n, _PREFIX_RE, 0)
+    n = F.concat(F.lower(pref), F.substring(n, F.length(pref) + 1,
+                                            F.lit(1_000_000)))
+    # 3. default ports (the captured [/?]-or-end char is restored)
+    n = F.regexp_replace(n, "^(http://[^/?:]+):80([/?]|$)", "$1$2")
+    n = F.regexp_replace(n, "^(https://[^/?:]+):443([/?]|$)", "$1$2")
+    # 4. tracking params: mid-query, then leading (twice — two leading
+    # trackers in a row re-expose one), then only-tracker
+    n = F.regexp_replace(n, "&" + _TRACK + "=[^&]*", "")
+    n = F.regexp_replace(n, r"\?" + _TRACK + "=[^&]*&", "?")
+    n = F.regexp_replace(n, r"\?" + _TRACK + "=[^&]*&", "?")
+    n = F.regexp_replace(n, r"\?" + _TRACK + "=[^&]*$", "")
+    return n
+
+
+def url_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document raw → canonical URL, host, and registered domain.
+    Every expression is a JVM built-in (see module contract)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    raw = _raw_url(k)
+    norm = _normalize(raw)
+    host = F.lower(F.regexp_extract(raw, "^[^:]+://([^/?:]+)", 1))
+    return (
+        docs.select(
+            k.alias("asset_id"),
+            raw.alias("raw_url"),
+            norm.alias("norm_url"),
+            host.alias("host"),
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias(
+                "registered_domain"
+            ),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus budgeting rollup: documents and distinct paths per
+    registered domain — the aggregation a blocklist/budget pass runs.
+    One map-side-combined shuffle on the domain key."""
+    rep = url_normalize_report(spark, sf_dir)
+    path = F.regexp_extract(F.col("norm_url"),
+                            "^[^:]+://[^/?]*([^?]*)", 1)
+    return (
+        rep.select("registered_domain", path.alias("path"))
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
+# DuckDB implements the SAME normalization contract with its own
+# regex engine — a true differential, not a closed form.
+_URL_CTE = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'https://Example.COM:443/Doc/' || doc_id
+                       || '?utm_source=feed&x=' || (doc_id % 9) || '#top'
+           WHEN 1 THEN 'http://WWW.News-Site.org:80/a/' || doc_id || '/'
+           WHEN 2 THEN 'https://blog.example.net/post/' || doc_id
+                       || '?gclid=abc&y=' || (doc_id % 5) || '&utm_medium=m'
+           WHEN 3 THEN 'HTTP://sub.domain.Example.com/p' || doc_id || '?z=1'
+           WHEN 4 THEN 'https://example.org:8443/' || doc_id
+           ELSE 'http://example.com/doc/' || doc_id || '?fbclid=xx'
+         END AS raw_url
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(raw_url, '#.*$', '') AS n
+  FROM raw
+),
+s2 AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(n, '^[^:]+://[^/?]*'))
+           || substr(n, length(regexp_extract(n, '^[^:]+://[^/?]*')) + 1)
+           AS n
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           regexp_replace(n, '^(http://[^/?:]+):80([/?]|$)', '\\1\\2'),
+           '^(https://[^/?:]+):443([/?]|$)', '\\1\\2') AS n
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(n, '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+               '\\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?'),
+             '\\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?'),
+           '\\?(utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS n
+  FROM s3
+),
+urls AS (
+  SELECT doc_id, raw_url, n AS norm_url,
+         lower(regexp_extract(raw_url, '^[^:]+://([^/?:]+)', 1)) AS host
+  FROM s4
+)
+"""
+
+URL_NORMALIZE_SQL = _URL_CTE + """
+SELECT doc_id AS asset_id, raw_url, norm_url, host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain
+FROM urls
+ORDER BY asset_id
+"""
+
+DOMAIN_ROLLUP_SQL = _URL_CTE + """
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT regexp_extract(norm_url,
+                   '^[^:]+://[^/?]*([^?]*)', 1)) AS BIGINT) AS n_paths
+FROM urls
+GROUP BY 1
+ORDER BY registered_domain
+"""
+
+
+QUERIES = {
+    "url_normalize_report": url_normalize_report,
+    "domain_rollup": domain_rollup,
+}
+
+ORACLES = {
+    "url_normalize_report": URL_NORMALIZE_SQL,
+    "domain_rollup": DOMAIN_ROLLUP_SQL,
+}
