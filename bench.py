@@ -247,6 +247,13 @@ HEADLINE = (
     "webdataset_manifest_tolerant",
     "warc_text_extraction_charset",
     "multimodal_flac_vorbis",
+    # round-12 continuation: HTML→text (the crawl stage between WARC
+    # and dedup; warc_html_extraction is the full container→text
+    # chain), ID3v2 tag extraction, EXIF/TIFF IFD walk
+    "html_text_extraction",
+    "warc_html_extraction",
+    "multimodal_mp3_id3",
+    "multimodal_exif_meta",
 )
 
 

@@ -41,6 +41,9 @@ _MODULES = (
     "orionld_to_hive_spark.operators.warc",
     "orionld_to_hive_spark.operators.tar",
     "orionld_to_hive_spark.operators.flac",
+    "orionld_to_hive_spark.operators.html",
+    "orionld_to_hive_spark.operators.exif",
+    "orionld_to_hive_spark.operators.url",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -67,15 +70,21 @@ _MODULES = (
 # ndv_approx_users_per_type, hll_mergeable_rollup,
 # quantile_approx_value) stay excluded — each has an exact
 # driver-certified sibling.
-# r12 prefix math: (a)=3 r12-new + (b)=32 r7 remainder + (c)=the
-# first 15 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
-# .. equidepth_bins_value) = 50; the r8 remainder (35) rotates in r13
+# r12 prefix math: (a)=9 r12-new + (b)=32 r7 remainder + (c)=the
+# first 9 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
+# .. dedup_clusters_ngram) = 50; the r8 remainder (41) rotates in r13
 # with the r9 block.
 _PRIORITY = (
     # (a) new in r12 — added as each lands this round
     "webdataset_manifest_tolerant",
     "warc_text_extraction_charset",
     "multimodal_flac_vorbis",
+    "html_text_extraction",
+    "warc_html_extraction",
+    "multimodal_mp3_id3",
+    "multimodal_exif_meta",
+    "url_normalize_report",
+    "domain_rollup",
     # (b) the r7 remainder, alphabetical (newest rows r7)
     "gapfill_hourly_counts",
     "gopher_quality_report",
@@ -109,7 +118,7 @@ _PRIORITY = (
     "text_normalize",
     "tpch_q18_large_orders",
     "tpch_q5_local_supplier",
-    # (c) the r8 block, alphabetical — first 15 fit the 50-slot prefix
+    # (c) the r8 block, alphabetical — first 9 fit the 50-slot prefix
     "acctbal_vs_global_avg",
     "bpe_token_accounting",
     "bpe_tokenize_report",
@@ -119,12 +128,6 @@ _PRIORITY = (
     "cross_source_overlap",
     "customers_not_in_urgent",
     "dedup_clusters_ngram",
-    "dedup_incremental_batch",
-    "dedup_keep_best",
-    "dedup_survivors",
-    "doc_chunks",
-    "dwell_time_profile",
-    "equidepth_bins_value",
 )
 
 
