@@ -41,6 +41,8 @@ _MODULES = (
     "orionld_to_hive_spark.operators.warc",
     "orionld_to_hive_spark.operators.tar",
     "orionld_to_hive_spark.operators.flac",
+    "orionld_to_hive_spark.operators.zip",
+    "orionld_to_hive_spark.operators.webp",
     "orionld_to_hive_spark.operators.html",
     "orionld_to_hive_spark.operators.exif",
     "orionld_to_hive_spark.operators.url",
