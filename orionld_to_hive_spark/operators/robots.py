@@ -1,0 +1,339 @@
+"""robots.txt parsing + allow/deny evaluation — RFC 9309, JVM-side.
+
+Beyond-reference capability (the reference ships no crawl logic): the
+FIRST gate of every production crawl/training-data pipeline is the
+robots exclusion protocol — parse each host's robots.txt, select the
+group whose user-agent token matches the crawler, and evaluate every
+candidate URL path against the group's Allow/Disallow rules with the
+RFC's longest-match-wins, allow-breaks-ties precedence.
+
+Two implementations, pinning each other:
+
+  - `parse_robots` / `select_rules` / `robots_allowed`: a
+    spec-complete single-node reference (wildcard `*`, end-anchor
+    `$`, most-specific user-agent selection, longest-octet-match
+    precedence) used by the units, including the RFC 9309 §2.2.2 /
+    §5 style examples.
+  - `robots_gate_report`: the DISTRIBUTED evaluator. The robots.txt
+    TEXT is synthesized per document with pure JVM built-ins, then
+    parsed with built-ins only — split/posexplode into lines,
+    regexp_extract key/value, a lag-window group segmentation
+    (consecutive User-agent lines open one group), group selection
+    by agent token, LIKE-translated pattern matching, and a
+    row_number window for the longest-match/allow-ties precedence.
+    No Python runs per row: the whole evaluation is Catalyst-visible
+    and shuffles only on the (doc, path) precedence window.
+
+100 TB posture: robots evaluation is a broadcast-shaped problem —
+rules-per-host is tiny while URLs-per-host is huge; expressing the
+match as relational joins + windows (instead of a per-row UDF that
+re-parses the file) lets AQE pick broadcast or shuffle per skew, and
+the parse itself is amortized once per host row, not once per URL.
+
+Oracle strategy: DuckDB rebuilds the same closed-form rule and path
+sets from `documents` and runs an INDEPENDENT longest-match
+implementation (correlated UNION/LIKE/row_number SQL) — a genuine
+differential test of the precedence semantics, while the Spark side
+additionally round-trips through real robots.txt text parsing.
+"""
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+
+class RobotsGroup(NamedTuple):
+    agents: list[str]  # lowercased user-agent product tokens
+    rules: list[tuple[str, str]]  # (kind 'allow'|'disallow', pattern)
+
+
+def parse_robots(text: str) -> list[RobotsGroup]:
+    """Line-oriented parse per RFC 9309 §2.2: `key: value` records,
+    `#` comments, keys case-insensitive; consecutive User-agent lines
+    open ONE group; Allow/Disallow before any User-agent line are
+    ignored (no group to attach to); empty patterns are no-ops."""
+    groups: list[RobotsGroup] = []
+    open_agents: list[str] | None = None  # collecting consecutive UA lines
+    current: RobotsGroup | None = None
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if open_agents is None:
+                open_agents = []
+                current = None
+            open_agents.append(value.lower())
+            continue
+        if key in ("allow", "disallow"):
+            if open_agents is not None:
+                current = RobotsGroup(open_agents, [])
+                groups.append(current)
+                open_agents = None
+            if current is not None and value:
+                current.rules.append((key, value))
+        # sitemap / crawl-delay / unknown keys: ignored (they do not
+        # close a group per the RFC's record grammar)
+    if open_agents is not None:  # trailing agent-only group, no rules
+        groups.append(RobotsGroup(open_agents, []))
+    return groups
+
+
+def select_rules(groups: list[RobotsGroup], ua: str) -> list[tuple[str, str]]:
+    """Most-specific user-agent selection: the group whose agent token
+    is the LONGEST case-insensitive prefix of the product token wins;
+    `*` groups apply only when no named group matches. All groups
+    sharing the winning token are merged (RFC 9309 §2.2.1)."""
+    ua = ua.lower()
+    best_len = -1
+    for g in groups:
+        for a in g.agents:
+            if a != "*" and ua.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    rules: list[tuple[str, str]] = []
+    if best_len >= 0:
+        winners = {
+            a for g in groups for a in g.agents
+            if a != "*" and ua.startswith(a) and len(a) == best_len
+        }
+        for g in groups:
+            if winners & set(g.agents):
+                rules.extend(g.rules)
+    else:
+        for g in groups:
+            if "*" in g.agents:
+                rules.extend(g.rules)
+    return rules
+
+
+def _match(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path matching: the pattern must match a prefix
+    of the path; `*` matches any run of octets; a trailing `$` anchors
+    the pattern at the end of the path."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(seg) for seg in pattern.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
+
+
+def robots_allowed(rules: list[tuple[str, str]], path: str) -> tuple[bool, str | None]:
+    """Longest-octet match wins; allow breaks ties (then pattern order,
+    for determinism); no match → allowed. Returns (allowed, pattern)."""
+    best: tuple[int, str, str] | None = None  # (-len, kind, pattern)
+    for kind, pattern in rules:
+        if _match(pattern, path):
+            key = (-len(pattern), kind, pattern)  # 'allow' < 'disallow'
+            if best is None or key < best:
+                best = key
+    if best is None:
+        return True, None
+    return best[1] == "allow", best[2]
+
+
+# --------------------------------------------------------------------------
+# Distributed evaluator
+
+_UA = "gptbot"
+
+
+def _robots_text() -> F.Column:
+    """Synthesize the per-document robots.txt with JVM built-ins:
+    even doc_ids get a gptbot-specific group ABOVE the `*` group (the
+    selected group must then exclude the `*` rules); concat_ws skips
+    the NULL lines of the odd-id branch."""
+    d = F.col("doc_id")
+    a = (d % 5).cast("string")
+    b = (d % 7).cast("string")
+    c = (d % 3).cast("string")
+    even = (d % 2) == 0
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("# synthetic robots for doc "), d.cast("string")),
+        F.when(even, F.lit("User-agent: gptbot")),
+        F.when(even, F.concat(F.lit("Disallow: /private-"), a, F.lit("/"))),
+        F.when(even, F.concat(F.lit("Allow: /private-"), a, F.lit("/pub"))),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /tmp-"), b),
+        F.concat(F.lit("Allow: /tmp-"), b, F.lit("/keep")),
+        F.lit("Disallow: /data/*.bin"),
+        F.concat(F.lit("Disallow: /exact-"), c, F.lit("$")),
+    )
+
+
+def _paths() -> F.Column:
+    d = F.col("doc_id")
+    a = (d % 5).cast("string")
+    b = (d % 7).cast("string")
+    c = (d % 3).cast("string")
+    return F.array(
+        F.concat(F.lit("/tmp-"), b, F.lit("/keep/x")),
+        F.concat(F.lit("/tmp-"), b, F.lit("/old")),
+        F.concat(F.lit("/data/f"), (d % 4).cast("string"), F.lit(".bin")),
+        F.concat(F.lit("/private-"), a, F.lit("/pub/x")),
+        F.concat(F.lit("/private-"), a, F.lit("/secret")),
+        F.concat(F.lit("/exact-"), c),
+    )
+
+
+def robots_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → per-doc robots.txt text → built-in-only parse →
+    group selection for UA 'gptbot' → longest-match evaluation of six
+    candidate paths. Columns: asset_id, path, allowed, rule (the
+    matched pattern, NULL when no rule matched)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _robots_text().alias("robots_txt"),
+        _paths().alias("cand"),
+    )
+
+    # ---- parse: lines → (key, value) records with positions
+    lines = base.select(
+        "asset_id",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("pos", "line"),
+    ).select(
+        "asset_id",
+        "pos",
+        F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+    ).where(F.col("line").contains(":")).select(
+        "asset_id",
+        "pos",
+        F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract(F.col("line"), r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    # ---- group segmentation: consecutive user-agent lines open ONE group
+    w = Window.partitionBy("asset_id").orderBy("pos")
+    seg = lines.withColumn(
+        "group_start",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("group_start").over(w))
+
+    agents = (
+        seg.where(F.col("key") == "user-agent")
+        .select("asset_id", "group_id", F.lower(F.col("value")).alias("agent"))
+    )
+    rules = (
+        seg.where(F.col("key") != "user-agent")
+        .where(F.col("value") != "")
+        .select("asset_id", "group_id", F.col("key").alias("kind"),
+                F.col("value").alias("pattern"))
+    )
+
+    # ---- group selection for UA 'gptbot': named token beats '*'
+    chosen = agents.groupBy("asset_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("agent") == _UA, F.col("group_id"))),
+            F.min(F.when(F.col("agent") == "*", F.col("group_id"))),
+        ).alias("group_id")
+    )
+    active = rules.join(chosen, ["asset_id", "group_id"])
+
+    # ---- candidate paths
+    paths = base.select("asset_id", F.explode("cand").alias("path"))
+
+    # ---- LIKE-translated RFC matching: '*' → '%', trailing '$' anchors
+    hits = paths.join(active, "asset_id").where(
+        F.expr(
+            "path LIKE (CASE WHEN pattern LIKE '%$' "
+            "THEN translate(substring(pattern, 1, length(pattern) - 1), '*', '%') "
+            "ELSE translate(pattern, '*', '%') || '%' END)"
+        )
+    )
+
+    # ---- precedence: longest pattern, allow breaks ties, then pattern
+    prec = Window.partitionBy("asset_id", "path").orderBy(
+        F.length("pattern").desc(), F.col("kind").asc(), F.col("pattern").asc()
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(prec))
+        .where(F.col("rn") == 1)
+        .select("asset_id", "path", "kind", F.col("pattern").alias("rule"))
+    )
+    out = (
+        paths.join(best, ["asset_id", "path"], "left")
+        .select(
+            "asset_id",
+            "path",
+            F.coalesce(F.col("kind") == "allow", F.lit(True)).alias("allowed"),
+            "rule",
+        )
+        .orderBy("asset_id", "path")
+    )
+    return out
+
+
+# The oracle rebuilds rules + paths from the same closed forms and
+# runs an independent longest-match (LIKE + row_number). Rule sets:
+# even ids → the gptbot group ONLY; odd ids → the '*' group ONLY.
+ROBOTS_SQL = """
+WITH rules AS (
+    SELECT doc_id, 'disallow' AS kind,
+           '/private-' || (doc_id % 5) || '/' AS pattern
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'allow', '/private-' || (doc_id % 5) || '/pub'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'disallow', '/tmp-' || (doc_id % 7)
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'allow', '/tmp-' || (doc_id % 7) || '/keep'
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'disallow', '/data/*.bin'
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'disallow', '/exact-' || (doc_id % 3) || '$'
+    FROM documents WHERE doc_id % 2 = 1
+),
+paths AS (
+    SELECT doc_id, unnest([
+        '/tmp-' || (doc_id % 7) || '/keep/x',
+        '/tmp-' || (doc_id % 7) || '/old',
+        '/data/f' || (doc_id % 4) || '.bin',
+        '/private-' || (doc_id % 5) || '/pub/x',
+        '/private-' || (doc_id % 5) || '/secret',
+        '/exact-' || (doc_id % 3)
+    ]) AS path
+    FROM documents
+),
+hits AS (
+    SELECT p.doc_id, p.path, r.kind, r.pattern,
+           row_number() OVER (
+               PARTITION BY p.doc_id, p.path
+               ORDER BY length(r.pattern) DESC, r.kind ASC, r.pattern ASC
+           ) AS rn
+    FROM paths p
+    JOIN rules r ON r.doc_id = p.doc_id
+     AND p.path LIKE (CASE WHEN r.pattern LIKE '%$'
+                           THEN replace(rtrim(r.pattern, '$'), '*', '%')
+                           ELSE replace(r.pattern, '*', '%') || '%' END)
+)
+SELECT p.doc_id AS asset_id,
+       p.path AS path,
+       COALESCE(h.kind = 'allow', TRUE) AS allowed,
+       h.pattern AS rule
+FROM paths p
+LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+  ON h.doc_id = p.doc_id AND h.path = p.path
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {"robots_gate_report": robots_gate_report}
+
+ORACLES = {"robots_gate_report": ROBOTS_SQL}

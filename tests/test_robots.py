@@ -1,0 +1,152 @@
+"""robots.txt units: RFC 9309 matching semantics on the Python
+reference (wildcards, $-anchor, longest-match, allow-ties, group
+selection), parser grammar edge cases, a distributed-vs-reference
+pinning run, and property fuzz."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orionld_to_hive_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+    robots_gate_report,
+    select_rules,
+)
+
+
+def _eval(text: str, ua: str, path: str):
+    return robots_allowed(select_rules(parse_robots(text), ua), path)
+
+
+RFC_EXAMPLE = """
+User-agent: *
+Disallow: /private/
+Allow: /private/public
+Disallow: /*.gif$
+Disallow: /tmp
+"""
+
+
+def test_longest_match_allow_wins():
+    allowed, rule = _eval(RFC_EXAMPLE, "anybot", "/private/public/page")
+    assert allowed and rule == "/private/public"
+    allowed, rule = _eval(RFC_EXAMPLE, "anybot", "/private/secret")
+    assert not allowed and rule == "/private/"
+
+
+def test_wildcard_and_anchor():
+    assert not _eval(RFC_EXAMPLE, "x", "/images/cat.gif")[0]
+    # $ prevents matching when the path continues
+    assert _eval(RFC_EXAMPLE, "x", "/images/cat.gif.html")[0]
+    assert not _eval(RFC_EXAMPLE, "x", "/tmp-anything")[0]  # prefix rule
+
+
+def test_no_match_is_allowed():
+    allowed, rule = _eval(RFC_EXAMPLE, "x", "/public/index")
+    assert allowed and rule is None
+
+
+def test_allow_breaks_equal_length_tie():
+    text = "User-agent: *\nDisallow: /abc\nAllow: /ab*\n"
+    # '/abc' and '/ab*' are both length 4 and both match '/abc'
+    allowed, rule = _eval(text, "x", "/abc")
+    assert allowed and rule == "/ab*"
+
+
+def test_group_selection_specific_beats_star():
+    text = (
+        "User-agent: gptbot\nDisallow: /g/\n\n"
+        "User-agent: *\nDisallow: /s/\n"
+    )
+    assert not _eval(text, "gptbot", "/g/x")[0]
+    assert _eval(text, "gptbot", "/s/x")[0]  # star group NOT merged in
+    assert not _eval(text, "otherbot", "/s/x")[0]
+
+
+def test_longest_agent_token_wins_and_merges():
+    text = (
+        "User-agent: foo\nDisallow: /short/\n\n"
+        "User-agent: foobar\nDisallow: /long/\n\n"
+        "User-agent: foobar\nDisallow: /long2/\n"
+    )
+    rules = select_rules(parse_robots(text), "FooBar-crawler/1.0")
+    assert ("disallow", "/long/") in rules
+    assert ("disallow", "/long2/") in rules  # same-token groups merge
+    assert ("disallow", "/short/") not in rules
+
+
+def test_consecutive_ua_lines_open_one_group():
+    text = "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+    groups = parse_robots(text)
+    assert len(groups) == 1 and groups[0].agents == ["a", "b"]
+    assert not _eval(text, "b", "/x/1")[0]
+
+
+def test_grammar_edges():
+    text = (
+        "Disallow: /orphan   # no group yet: ignored\n"
+        "User-agent: *\n"
+        "Sitemap: https://example.com/s.xml\n"  # non-rule key: no-op
+        "disallow: /CaseKey\n"  # keys are case-insensitive
+        "Disallow:\n"  # empty pattern: no-op
+        "not a record line\n"
+    )
+    groups = parse_robots(text)
+    assert len(groups) == 1
+    assert groups[0].rules == [("disallow", "/CaseKey")]
+    assert _eval(text, "x", "/orphan")[0]
+
+
+def test_distributed_matches_reference(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = robots_gate_report(spark, sf).collect()
+    assert rows, "no rows from the distributed evaluator"
+    # Rebuild each doc's robots text + paths exactly as the query does
+    # and pin every verdict against the spec-complete reference.
+    for r in rows[:600]:
+        d = r.asset_id
+        a, b, c = d % 5, d % 7, d % 3
+        if d % 2 == 0:
+            text = (
+                f"User-agent: gptbot\nDisallow: /private-{a}/\n"
+                f"Allow: /private-{a}/pub\n"
+            )
+        else:
+            text = ""
+        text += (
+            f"User-agent: *\nDisallow: /tmp-{b}\nAllow: /tmp-{b}/keep\n"
+            f"Disallow: /data/*.bin\nDisallow: /exact-{c}$\n"
+        )
+        allowed, rule = _eval(text, "gptbot", r.path)
+        assert (allowed, rule) == (r.allowed, r.rule), (d, r.path)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.text(alphabet="/ab*$", min_size=1, max_size=8),
+        ),
+        max_size=6,
+    ),
+    st.text(alphabet="/ab", max_size=10),
+)
+def test_precedence_properties(rules, path):
+    allowed, rule = robots_allowed(rules, path)
+    if rule is None:
+        assert allowed
+    else:
+        # the reported rule is a real, matching rule of the winning kind
+        kinds = [k for k, p in rules if p == rule]
+        assert ("allow" if allowed else "disallow") in kinds
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="Uuserangt-:/ab*$#\n ", max_size=200))
+def test_parse_never_crashes(text):
+    groups = parse_robots(text)
+    for g in groups:
+        robots_allowed(g.rules, "/a/b")
