@@ -254,6 +254,13 @@ HEADLINE = (
     "warc_html_extraction",
     "multimodal_mp3_id3",
     "multimodal_exif_meta",
+    # round-12 continuation: ZIP audit (CRC-verified central-directory
+    # walk), WebP/PDF structural triage, and the robots.txt gate (pure
+    # JVM parse + longest-match windows)
+    "zip_manifest",
+    "multimodal_webp_meta",
+    "multimodal_pdf_meta",
+    "robots_gate_report",
 )
 
 

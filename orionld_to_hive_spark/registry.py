@@ -43,9 +43,11 @@ _MODULES = (
     "orionld_to_hive_spark.operators.flac",
     "orionld_to_hive_spark.operators.zip",
     "orionld_to_hive_spark.operators.webp",
+    "orionld_to_hive_spark.operators.pdf",
     "orionld_to_hive_spark.operators.html",
     "orionld_to_hive_spark.operators.exif",
     "orionld_to_hive_spark.operators.url",
+    "orionld_to_hive_spark.operators.robots",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -72,12 +74,16 @@ _MODULES = (
 # ndv_approx_users_per_type, hll_mergeable_rollup,
 # quantile_approx_value) stay excluded — each has an exact
 # driver-certified sibling.
-# r12 prefix math: (a)=9 r12-new + (b)=32 r7 remainder + (c)=the
-# first 9 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
-# .. dedup_clusters_ngram) = 50; the r8 remainder (41) rotates in r13
+# r12 prefix math: (a)=13 r12-new + (b)=32 r7 remainder + (c)=the
+# first 5 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
+# .. cohort_retention) = 50; the r8 remainder (45) rotates in r13
 # with the r9 block.
 _PRIORITY = (
     # (a) new in r12 — added as each lands this round
+    "zip_manifest",
+    "multimodal_webp_meta",
+    "multimodal_pdf_meta",
+    "robots_gate_report",
     "webdataset_manifest_tolerant",
     "warc_text_extraction_charset",
     "multimodal_flac_vorbis",
@@ -120,16 +126,12 @@ _PRIORITY = (
     "text_normalize",
     "tpch_q18_large_orders",
     "tpch_q5_local_supplier",
-    # (c) the r8 block, alphabetical — first 9 fit the 50-slot prefix
+    # (c) the r8 block, alphabetical — first 5 fit the 50-slot prefix
     "acctbal_vs_global_avg",
     "bpe_token_accounting",
     "bpe_tokenize_report",
     "budget_select_report",
     "cohort_retention",
-    "conditional_agg_per_type",
-    "cross_source_overlap",
-    "customers_not_in_urgent",
-    "dedup_clusters_ngram",
 )
 
 
