@@ -261,6 +261,11 @@ HEADLINE = (
     "multimodal_webp_meta",
     "multimodal_pdf_meta",
     "robots_gate_report",
+    # round-12 continuation: MIME/EML bit-exact extraction, the JVM
+    # XPath sitemap surface, Ogg page walk with real CRC verification
+    "eml_text_extraction",
+    "sitemap_url_extract",
+    "multimodal_ogg_meta",
 )
 
 

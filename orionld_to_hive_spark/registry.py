@@ -44,10 +44,13 @@ _MODULES = (
     "orionld_to_hive_spark.operators.zip",
     "orionld_to_hive_spark.operators.webp",
     "orionld_to_hive_spark.operators.pdf",
+    "orionld_to_hive_spark.operators.mime",
+    "orionld_to_hive_spark.operators.ogg",
     "orionld_to_hive_spark.operators.html",
     "orionld_to_hive_spark.operators.exif",
     "orionld_to_hive_spark.operators.url",
     "orionld_to_hive_spark.operators.robots",
+    "orionld_to_hive_spark.operators.sitemap",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -74,12 +77,15 @@ _MODULES = (
 # ndv_approx_users_per_type, hll_mergeable_rollup,
 # quantile_approx_value) stay excluded — each has an exact
 # driver-certified sibling.
-# r12 prefix math: (a)=13 r12-new + (b)=32 r7 remainder + (c)=the
-# first 5 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
-# .. cohort_retention) = 50; the r8 remainder (45) rotates in r13
+# r12 prefix math: (a)=16 r12-new + (b)=32 r7 remainder + (c)=the
+# first 2 of the 50-query r8 block (alphabetical, acctbal_vs_global_avg
+# + bpe_token_accounting) = 50; the r8 remainder (48) rotates in r13
 # with the r9 block.
 _PRIORITY = (
     # (a) new in r12 — added as each lands this round
+    "eml_text_extraction",
+    "sitemap_url_extract",
+    "multimodal_ogg_meta",
     "zip_manifest",
     "multimodal_webp_meta",
     "multimodal_pdf_meta",
@@ -126,12 +132,9 @@ _PRIORITY = (
     "text_normalize",
     "tpch_q18_large_orders",
     "tpch_q5_local_supplier",
-    # (c) the r8 block, alphabetical — first 5 fit the 50-slot prefix
+    # (c) the r8 block, alphabetical — first 2 fit the 50-slot prefix
     "acctbal_vs_global_avg",
     "bpe_token_accounting",
-    "bpe_tokenize_report",
-    "budget_select_report",
-    "cohort_retention",
 )
 
 
