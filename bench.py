@@ -266,6 +266,7 @@ HEADLINE = (
     "eml_text_extraction",
     "sitemap_url_extract",
     "multimodal_ogg_meta",
+    "parquet_footer_audit",
 )
 
 
