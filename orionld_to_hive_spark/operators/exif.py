@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 
@@ -313,7 +313,7 @@ def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIFF byte orders via doc_id parity, inline AND out-of-line
     values, a private Exif sub-IFD) → segment scan + IFD walk. Every
     reported field is a closed form of the document row."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

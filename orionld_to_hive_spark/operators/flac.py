@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 
 class FlacMeta(NamedTuple):
@@ -262,7 +262,7 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → synthetic FLAC prefixes (fields derived from the
     row, the text bytes appended as the opaque frame region the
     walker must skip past metadata and never read) → triage."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -377,7 +377,7 @@ def multimodal_flac_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
     _synth_vorbis_fields) → tag extraction. The little-endian length
     framing, case-insensitive field names, '='-in-value tolerance, and
     the absent-tag NULL path are all on the oracle path."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

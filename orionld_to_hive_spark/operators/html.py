@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 # Block-level elements (WHATWG flow content that breaks lines) plus
 # the document-structure elements; everything else is inline.
@@ -225,7 +225,7 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted-'>' attribute, charref decode, comment/script/style
     removal, and block/inline separation are all on the oracle path
     for every document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -262,7 +262,7 @@ def warc_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _HEX = b"0123456789ABCDEFabcdef"
 _B64_ALPHABET = set(b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/=\r\n")
@@ -308,7 +308,7 @@ def eml_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode. body_text must equal the source text BIT-FOR-BIT, so the
     boundary framing, header unfolding, and QP/base64 decode are all
     on the oracle path for every graded row."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

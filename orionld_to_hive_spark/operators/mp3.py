@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 # Bitrate tables in kbps, indexed [1..14]; index 0 = "free format"
 # (refused — length not derivable from the header), 15 = invalid.
@@ -304,7 +304,7 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → synthetic MP3s (see encode_mp3) → metadata triage.
     Every output field is a closed form of the document row, so the
     DuckDB oracle reproduces the table with CASE arithmetic only."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -521,7 +521,7 @@ def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame extraction. The v2.3-plain vs v2.4-syncsafe frame-size
     split, three text encodings, padding stop, and absent-frame NULL
     are all on the oracle path."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import (
+    load_docs_spread,
+    load_table,
+)
 
 # Schema for a multimodal asset table: opaque payload + typed metadata.
 ASSET_SCHEMA = T.StructType(
@@ -605,7 +608,7 @@ def wav_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
     import wave
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -707,7 +710,7 @@ def wav_mulaw_assets_from_documents(
 ) -> DataFrame:
     import struct
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1375,7 +1378,7 @@ PNG_STATS_SCHEMA = T.StructType(
 
 
 def png_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1451,7 +1454,7 @@ def palette_png_assets_from_documents(
     """Paletted twin of png_assets_from_documents: each document's
     utf-8 bytes become color-type-3 indices (byte % 4 into
     PNG_PALETTE)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1502,7 +1505,7 @@ def multimodal_png_palette4_stats(
     (channel sum 51·idx, max 17·idx, dark = idx < 2), so a bit-unpack
     slip — wrong nibble order, pad bits leaking into samples, a filter
     applied after unpacking instead of before — breaks the hash."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1722,7 +1725,7 @@ def multimodal_png_alpha_stats(
     map, so a decoder that drops, defaults, or mis-maps alpha breaks
     the hash. Same Arrow-batched partition-local shape as the other
     decode ops."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def synth_and_stats(
         it: Iterator[pd.DataFrame],
@@ -1837,7 +1840,7 @@ PHASH_HAMMING_MAX = 3
 
 
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
     codes = (
         docs.select(
             "doc_id",

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _MAGIC = b"OggS"
 
@@ -296,7 +296,7 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → Ogg fixtures (see encode_ogg) → page walk with full
     CRC verification → codec triage. Every column is a closed form of
     the document row."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

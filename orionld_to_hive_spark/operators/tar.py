@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _BLOCK = 512
 
@@ -357,7 +357,7 @@ def webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit. Every field is a closed form of the document row; the
     walker's checksum verification and 512-block arithmetic are on
     the oracle path for every member."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -421,7 +421,7 @@ def webdataset_manifest_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members and ext_kind is decided by doc_id parity — the oracle
     checks the walker consumed every PAX record / L-member it was
     owed, with member accounting identical to the strict query."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

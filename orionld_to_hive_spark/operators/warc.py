@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _CRLF = b"\r\n"
 _MANDATORY = ("warc-type", "warc-record-id", "warc-date", "content-length")
@@ -419,7 +419,7 @@ def multimodal_warc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the even-doc_id assets additionally roundtrip real gzip members
     (zlib inflate + CRC verified inside the decoder), so the oracle
     certifies the full Common Crawl storage profile path."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -471,7 +471,7 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     text must equal the source document bit-for-bit (the oracle
     selects it directly), so every layer — gzip CRC, WARC framing,
     HTTP split, charset decode — is on the oracle path."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -549,7 +549,7 @@ def warc_text_extraction_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an unknown codec name. Decoded text, byte/char counts, the
     declared token, and WHICH decoder fired are all closed forms the
     oracle computes from `documents` with string SQL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 
 class WebpMeta(NamedTuple):
@@ -237,7 +237,7 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed forms of doc_id, filler sized by the text) → triage. The
     RIFF walk, frame-tag arithmetic, VP8L bit unpack, and VP8X flag
     decode are all on the oracle path for every graded row."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -57,7 +57,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread
 
 _EOCD_SIG = b"PK\x05\x06"
 _CDH_SIG = b"PK\x01\x02"
@@ -291,7 +291,7 @@ def zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EOCD framing, CD walk, local-header cross-check, deflate
     inflation, and CRC-32 verification are all on the oracle path for
     every member of every archive."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

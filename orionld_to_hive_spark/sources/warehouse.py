@@ -63,6 +63,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load_table_cached(spark, cache, sf_dir, name)
 
 
+def load_docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """`documents` projected to `cols` and round-robin-spread across
+    the session's cores — the input stage for every CPU-bound Python
+    walker/codec (`mapInPandas` fixture-synthesis + parse queries).
+
+    Why: the local corpus arrives as ONE parquet split, which pins a
+    whole Python stage to a single worker (the jpeg codec measured
+    22 s → 2.8 s at sf0.1 from this exchange alone; the r12 audit
+    found every non-codec walker query paying the same single-task
+    tax). On a real cluster the input already has file-split
+    parallelism and the tiny round-robin exchange (the projected
+    doc_id+text columns) is noise next to the per-row Python work —
+    while HERE it buys the full defaultParallelism fan-out."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(*(cols or ("doc_id", "text")))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def clear_table_cache(spark: SparkSession, sf_dir: str | None = None) -> int:
     """Invalidate load_table's per-session plan memo (all entries, or
     only those under `sf_dir`). The cache is safe ONLY because warehouse
