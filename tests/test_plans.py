@@ -647,3 +647,44 @@ def test_ivf_multiprobe_centroid_sides_are_broadcast(spark, sf_smoke):
     plan = formatted(df)
     assert "CartesianProduct" not in plan, plan
     assert has_broadcast_join(df), plan
+
+
+def test_robots_gate_plan_is_jvm_only_with_window_group_limit(spark, sf_smoke):
+    # The distributed robots evaluator must stay entirely JVM-side
+    # (no Python eval nodes) and take the WindowGroupLimit path for
+    # its top-1 precedence window (streaming top-1, not a full sort
+    # materialization), with the corpus-side joins broadcast.
+    from orionld_to_hive_spark.operators.robots import robots_gate_report
+
+    df = robots_gate_report(spark, sf_smoke)
+    plan = executed_plan(df)
+    assert "PythonEval" not in plan and "ArrowEval" not in plan
+    assert "WindowGroupLimit" in plan
+    df.collect()
+    assert has_broadcast_join(df)
+
+
+def test_sitemap_plan_is_jvm_only(spark, sf_smoke):
+    # XML synthesis + XPath extraction both run inside the JVM: the
+    # plan must contain zero Python evaluation nodes and read only
+    # doc_id from the scan.
+    from orionld_to_hive_spark.operators.sitemap import sitemap_url_extract
+
+    df = sitemap_url_extract(spark, sf_smoke)
+    plan = executed_plan(df)
+    assert "PythonEval" not in plan and "ArrowEval" not in plan
+    assert read_schema_columns(df) == ["doc_id"]
+
+
+def test_walker_stages_are_core_spread(spark, sf_smoke):
+    # Every Python walker query must fan its mapInPandas stage out
+    # across defaultParallelism (the single-split corpus would pin it
+    # to one task otherwise): the plan carries a round-robin exchange
+    # below the Python node.
+    from orionld_to_hive_spark.operators.pdf import multimodal_pdf_meta
+    from orionld_to_hive_spark.operators.zip import zip_manifest
+
+    for q in (multimodal_pdf_meta, zip_manifest):
+        plan = executed_plan(q(spark, sf_smoke))
+        assert "MapInPandas" in plan, plan[:500]
+        assert "roundrobin" in plan.lower(), plan[:500]
