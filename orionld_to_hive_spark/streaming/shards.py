@@ -1,4 +1,4 @@
-"""Streaming shard audit — incremental WebDataset/WARC manifest maintenance.
+"""Streaming shard audit — incremental WebDataset/WARC/ZIP manifest maintenance.
 
 Completes the crawl-container family's streaming twin (VERDICT r11
 item 6): shards and WARC segments arrive INCREMENTALLY in production
@@ -51,6 +51,7 @@ from orionld_to_hive_spark.operators.tar import (
     parse_webdataset_meta_tolerant,
 )
 from orionld_to_hive_spark.operators.warc import parse_warc_meta
+from orionld_to_hive_spark.operators.zip import ZIP_SCHEMA, parse_zip_meta
 
 WARC_AUDIT_SCHEMA = T.StructType(
     [
@@ -115,9 +116,34 @@ def _warc_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _zip_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    out: dict[str, list] = {f.name: [] for f in ZIP_SCHEMA.fields}
+    for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+        m = parse_zip_meta(bytes(payload))
+        out["asset_id"].append(int(asset_id))
+        out["n_entries"].append(m.n_entries)
+        out["n_stored"].append(m.n_stored)
+        out["n_deflated"].append(m.n_deflated)
+        out["total_bytes"].append(m.total_bytes)
+        out["txt_bytes"].append(m.txt_bytes)
+        out["crc_checked"].append(m.crc_checked)
+    return pd.DataFrame(
+        {
+            "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+            "n_entries": pd.Series(out["n_entries"], dtype="int32"),
+            "n_stored": pd.Series(out["n_stored"], dtype="int32"),
+            "n_deflated": pd.Series(out["n_deflated"], dtype="int32"),
+            "total_bytes": pd.Series(out["total_bytes"], dtype="int64"),
+            "txt_bytes": pd.Series(out["txt_bytes"], dtype="int64"),
+            "crc_checked": pd.Series(out["crc_checked"], dtype="int32"),
+        }
+    )
+
+
 _KINDS: dict[str, tuple[T.StructType, Callable[[pd.DataFrame], pd.DataFrame]]] = {
     "webdataset": (WDS_TOL_SCHEMA, _wds_rows),
     "warc": (WARC_AUDIT_SCHEMA, _warc_rows),
+    "zip": (ZIP_SCHEMA, _zip_rows),
 }
 
 

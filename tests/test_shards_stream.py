@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.operators.tar import encode_webdataset_longkey
 from orionld_to_hive_spark.operators.warc import encode_warc
+from orionld_to_hive_spark.operators.zip import encode_zip_sample
 from orionld_to_hive_spark.sources.warehouse import load_table
 from orionld_to_hive_spark.streaming.shards import (
     StreamingShardAudit,
@@ -28,7 +29,11 @@ def _assets(spark, sf_smoke, kind, limit=120):
         .limit(limit)
         .collect()
     )
-    enc = encode_webdataset_longkey if kind == "webdataset" else encode_warc
+    enc = {
+        "webdataset": encode_webdataset_longkey,
+        "warc": encode_warc,
+        "zip": encode_zip_sample,
+    }[kind]
     rows = [
         (int(r["doc_id"]), bytearray(enc(int(r["doc_id"]),
                                          (r["text"] or "").encode("utf-8"))))
@@ -51,7 +56,7 @@ def _key(rows):
     return sorted(tuple(r) for r in rows)
 
 
-@pytest.mark.parametrize("kind", ["webdataset", "warc"])
+@pytest.mark.parametrize("kind", ["webdataset", "warc", "zip"])
 def test_stream_manifest_equals_batch_walk(spark, sf_smoke, tmp_path, kind):
     assets = _assets(spark, sf_smoke, kind)
     aud = StreamingShardAudit(str(tmp_path / "store"), kind=kind)
@@ -107,4 +112,4 @@ def test_redelivered_shard_supersedes(spark, sf_smoke, tmp_path):
 
 def test_unknown_kind_refused(tmp_path):
     with pytest.raises(ValueError, match="unknown shard kind"):
-        StreamingShardAudit(str(tmp_path), kind="zip")
+        StreamingShardAudit(str(tmp_path), kind="7z")
