@@ -145,6 +145,14 @@ HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "having_large_orders",
     "tpch_q21_waiting_suppliers",
     "rollup_pricing",
+    # r12: the byte-proportional walker headliners (post core-spread,
+    # ~1 s at sf0.1 is mostly fixed fan-out overhead — the sf0.3 point
+    # shows whether the per-byte walk scales linearly under it)
+    "multimodal_pdf_meta",
+    "eml_text_extraction",
+    "zip_manifest",
+    "multimodal_ogg_meta",
+    "robots_gate_report",
 )
 
 # Headline set: the four reference-parity queries plus one representative
