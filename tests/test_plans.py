@@ -621,8 +621,10 @@ def test_semdedup_pair_join_is_keyed_not_cartesian(spark, sf_smoke):
 
 def test_triage_queries_are_single_scan_no_shuffle_before_sort(spark, sf_smoke):
     """The r11 metadata-triage queries (mp3/warc) are one documents
-    scan → Arrow stage → global sort: exactly one exchange (the final
-    orderBy range partitioning), no joins, column-pruned scan."""
+    scan → core-spread round-robin exchange (r12: the single-split
+    corpus would otherwise pin the Arrow stage to one task) → Arrow
+    stage → global sort: exactly two exchanges, no joins, column-
+    pruned scan."""
     from orionld_to_hive_spark.operators.mp3 import multimodal_mp3_meta
     from orionld_to_hive_spark.operators.warc import multimodal_warc_meta
 
@@ -630,7 +632,8 @@ def test_triage_queries_are_single_scan_no_shuffle_before_sort(spark, sf_smoke):
         df = fn(spark, sf_smoke)
         plan = formatted(df)
         assert "Join" not in plan, plan
-        assert count_shuffles(df) <= 1, plan
+        assert count_shuffles(df) <= 2, plan
+        assert "roundrobin" in executed_plan(df).lower(), plan
         cols = read_schema_columns(df)
         assert set(cols) <= {"doc_id", "text"}, cols
 
