@@ -275,6 +275,7 @@ HEADLINE = (
     "sitemap_url_extract",
     "multimodal_ogg_meta",
     "parquet_footer_audit",
+    "zstd_frame_meta",
 )
 
 

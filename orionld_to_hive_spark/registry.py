@@ -47,6 +47,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.mime",
     "orionld_to_hive_spark.operators.ogg",
     "orionld_to_hive_spark.operators.parquet_meta",
+    "orionld_to_hive_spark.operators.zstd",
     "orionld_to_hive_spark.operators.html",
     "orionld_to_hive_spark.operators.exif",
     "orionld_to_hive_spark.operators.url",
@@ -78,11 +79,11 @@ _MODULES = (
 # ndv_approx_users_per_type, hll_mergeable_rollup,
 # quantile_approx_value) stay excluded — each has an exact
 # driver-certified sibling.
-# r12 prefix math: (a)=17 r12-new + (b)=32 r7 remainder + (c)=the
-# first 1 of the 50-query r8 block (acctbal_vs_global_avg) = 50; the
-# r8 remainder (49) rotates in r13 with the r9 block.
+# r12 prefix math: (a)=18 r12-new + (b)=32 r7 remainder = 50; the
+# whole r8 block (50) rotates in r13 with the r9 block.
 _PRIORITY = (
     # (a) new in r12 — added as each lands this round
+    "zstd_frame_meta",
     "parquet_footer_audit",
     "eml_text_extraction",
     "sitemap_url_extract",
@@ -133,8 +134,6 @@ _PRIORITY = (
     "text_normalize",
     "tpch_q18_large_orders",
     "tpch_q5_local_supplier",
-    # (c) the r8 block, alphabetical — first 1 fits the 50-slot prefix
-    "acctbal_vs_global_avg",
 )
 
 
