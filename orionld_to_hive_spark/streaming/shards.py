@@ -1,4 +1,4 @@
-"""Streaming shard audit — incremental WebDataset/WARC/ZIP manifest maintenance.
+"""Streaming shard audit — incremental WebDataset/WARC/ZIP/zstd manifest maintenance.
 
 Completes the crawl-container family's streaming twin (VERDICT r11
 item 6): shards and WARC segments arrive INCREMENTALLY in production
@@ -52,6 +52,7 @@ from orionld_to_hive_spark.operators.tar import (
 )
 from orionld_to_hive_spark.operators.warc import parse_warc_meta
 from orionld_to_hive_spark.operators.zip import ZIP_SCHEMA, parse_zip_meta
+from orionld_to_hive_spark.operators.zstd import ZSTD_SCHEMA, parse_zstd_meta
 
 WARC_AUDIT_SCHEMA = T.StructType(
     [
@@ -140,10 +141,40 @@ def _zip_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# zstd audit rows reuse the batch query's schema minus the text echo
+ZSTD_AUDIT_SCHEMA = T.StructType([f for f in ZSTD_SCHEMA.fields
+                                  if f.name != "body_text"])
+
+
+def _zstd_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    out: dict[str, list] = {f.name: [] for f in ZSTD_AUDIT_SCHEMA.fields}
+    for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+        m = parse_zstd_meta(bytes(payload))
+        out["asset_id"].append(int(asset_id))
+        out["n_frames"].append(m.n_frames)
+        out["n_skippable"].append(m.n_skippable)
+        out["n_blocks"].append(m.n_blocks)
+        out["content_bytes"].append(m.content_bytes)
+        out["declared_bytes"].append(m.declared_bytes)
+        out["checksum_frames"].append(m.checksum_frames)
+    return pd.DataFrame(
+        {
+            "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+            "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+            "n_skippable": pd.Series(out["n_skippable"], dtype="int32"),
+            "n_blocks": pd.Series(out["n_blocks"], dtype="int32"),
+            "content_bytes": pd.Series(out["content_bytes"], dtype="int64"),
+            "declared_bytes": pd.Series(out["declared_bytes"], dtype="int64"),
+            "checksum_frames": pd.Series(out["checksum_frames"], dtype="int32"),
+        }
+    )
+
+
 _KINDS: dict[str, tuple[T.StructType, Callable[[pd.DataFrame], pd.DataFrame]]] = {
     "webdataset": (WDS_TOL_SCHEMA, _wds_rows),
     "warc": (WARC_AUDIT_SCHEMA, _warc_rows),
     "zip": (ZIP_SCHEMA, _zip_rows),
+    "zstd": (ZSTD_AUDIT_SCHEMA, _zstd_rows),
 }
 
 

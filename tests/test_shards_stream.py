@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from orionld_to_hive_spark.operators.tar import encode_webdataset_longkey
 from orionld_to_hive_spark.operators.warc import encode_warc
 from orionld_to_hive_spark.operators.zip import encode_zip_sample
+from orionld_to_hive_spark.operators.zstd import encode_zstd
 from orionld_to_hive_spark.sources.warehouse import load_table
 from orionld_to_hive_spark.streaming.shards import (
     StreamingShardAudit,
@@ -33,6 +34,7 @@ def _assets(spark, sf_smoke, kind, limit=120):
         "webdataset": encode_webdataset_longkey,
         "warc": encode_warc,
         "zip": encode_zip_sample,
+        "zstd": encode_zstd,
     }[kind]
     rows = [
         (int(r["doc_id"]), bytearray(enc(int(r["doc_id"]),
@@ -56,7 +58,7 @@ def _key(rows):
     return sorted(tuple(r) for r in rows)
 
 
-@pytest.mark.parametrize("kind", ["webdataset", "warc", "zip"])
+@pytest.mark.parametrize("kind", ["webdataset", "warc", "zip", "zstd"])
 def test_stream_manifest_equals_batch_walk(spark, sf_smoke, tmp_path, kind):
     assets = _assets(spark, sf_smoke, kind)
     aud = StreamingShardAudit(str(tmp_path / "store"), kind=kind)
