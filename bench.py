@@ -276,6 +276,7 @@ HEADLINE = (
     "multimodal_ogg_meta",
     "parquet_footer_audit",
     "zstd_frame_meta",
+    "crawl_frontier_schedule",
 )
 
 

@@ -1,0 +1,132 @@
+"""Crawl-frontier scheduling — discovery → robots gate → politeness slots.
+
+Beyond-reference capability: the third stage of the crawl-planning
+story this repo now tells end-to-end — `sitemap.py` discovers URLs
+(JVM XPath), `robots.py` evaluates exclusion rules (LIKE-translated
+longest-match), and this operator turns the surviving URLs into a
+fetch schedule: per-HOST politeness slots (one fetch per host per
+delay window — the invariant every polite crawler enforces) assigned
+by rank over crawl priority.
+
+Spark-first design: the whole pipeline is one relational plan —
+the sitemap XML parse (built-in XPath), path extraction
+(regexp_extract), the robots gate as an anti-join against a
+closed-form per-doc rule frame matched with the SAME LIKE translation
+`robots.py` uses, and the politeness assignment as a row_number
+window PARTITIONED BY HOST. The host partition is the real scale
+story: a frontier shards by host so each host's queue is one
+partition's sequential scan, and skewed hosts are exactly the skewed
+keys AQE's skew-join/salting machinery exists for.
+
+Oracle strategy: DuckDB rebuilds the URL grid and rule outcomes as
+closed forms (the blocked i-slots fall out of the fixture arithmetic)
+and runs an independent row_number over the same (host, priority,
+loc) order — so the XPath parse, LIKE gate, and window rank must all
+agree with an engine that derives the schedule from arithmetic alone.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.operators.sitemap import _sitemap_xml
+from orionld_to_hive_spark.sources.warehouse import load_table
+
+_POLITENESS_MS = 500  # one fetch per host per half-second
+
+
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URLs → robots gate → per-host politeness schedule.
+    Columns: host, loc, priority, slot (1-based rank in the host's
+    queue), fetch_offset_ms ((slot-1) × 500)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    xml = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _sitemap_xml().alias("xml"),
+    )
+    urls = (
+        xml.select(
+            "asset_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
+                    F.expr("xpath(xml, '/urlset/url/priority/text()')").alias("prios"),
+                )
+            ).alias("u"),
+        )
+        .select(
+            "asset_id",
+            F.col("u.locs").alias("loc"),
+            F.col("u.prios").alias("priority"),
+        )
+        .withColumn("host", F.regexp_extract("loc", r"^https://([^/]+)/", 1))
+        .withColumn("path", F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1))
+    )
+
+    # robots gate: per-doc closed-form rules (a literal-prefix disallow
+    # on the i=2 slot and a $-anchored one on i=4), matched by the SAME
+    # LIKE translation robots.py uses, removed via anti-join.
+    d = F.col("doc_id")
+    rules = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), d.cast("string"), F.lit("/2")),
+                F.concat(F.lit("/p/"), d.cast("string"), F.lit("/4$")),
+            )
+        ).alias("pattern"),
+    )
+    allowed = urls.join(
+        rules,
+        (urls.asset_id == rules.asset_id)
+        & F.expr(
+            "path LIKE (CASE WHEN pattern LIKE '%$' "
+            "THEN translate(substring(pattern, 1, length(pattern) - 1), '*', '%') "
+            "ELSE translate(pattern, '*', '%') || '%' END)"
+        ),
+        "left_anti",
+    )
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("loc").asc()
+    )
+    return (
+        allowed.withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "fetch_offset_ms",
+            ((F.col("slot") - 1) * _POLITENESS_MS).cast("long"),
+        )
+        .select("host", "loc", "priority", "slot", "fetch_offset_ms")
+        .orderBy("host", "slot")
+    )
+
+
+# closed forms: the grid minus i=2 and i=4 (the two rule outcomes);
+# rank over the identical (host, priority desc, loc) order.
+FRONTIER_SQL = """
+WITH urls AS (
+    SELECT 'ex-' || (doc_id % 10) || '.example.com' AS host,
+           'https://ex-' || (doc_id % 10) || '.example.com/p/' || doc_id
+               || '/' || i AS loc,
+           '0.' || ((doc_id + i) % 10) AS priority
+    FROM documents, unnest(range(0, doc_id % 5 + 1)) AS t(i)
+    WHERE i <> 2 AND i <> 4
+),
+ranked AS (
+    SELECT host, loc, priority,
+           CAST(row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, loc ASC
+           ) AS INTEGER) AS slot
+    FROM urls
+)
+SELECT host, loc, priority, slot,
+       CAST((slot - 1) * 500 AS BIGINT) AS fetch_offset_ms
+FROM ranked
+ORDER BY host, slot
+"""
+
+
+QUERIES = {"crawl_frontier_schedule": crawl_frontier_schedule}
+
+ORACLES = {"crawl_frontier_schedule": FRONTIER_SQL}

@@ -53,6 +53,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.url",
     "orionld_to_hive_spark.operators.robots",
     "orionld_to_hive_spark.operators.sitemap",
+    "orionld_to_hive_spark.operators.frontier",
     "orionld_to_hive_spark.operators.temporal",
     "orionld_to_hive_spark.operators.sketches",
     "orionld_to_hive_spark.operators.parity",
@@ -79,10 +80,13 @@ _MODULES = (
 # ndv_approx_users_per_type, hll_mergeable_rollup,
 # quantile_approx_value) stay excluded — each has an exact
 # driver-certified sibling.
-# r12 prefix math: (a)=18 r12-new + (b)=32 r7 remainder = 50; the
-# whole r8 block (50) rotates in r13 with the r9 block.
+# r12 prefix math: (a)=19 r12-new + (b)=31 of the 32-query r7
+# remainder = 50; tpch_q5_local_supplier (the remainder's alphabetical
+# tail, in-repo oracle green) yields its slot to the new query and
+# rotates in r13 with the whole r8 block (50) and the r9 block.
 _PRIORITY = (
     # (a) new in r12 — added as each lands this round
+    "crawl_frontier_schedule",
     "zstd_frame_meta",
     "parquet_footer_audit",
     "eml_text_extraction",
@@ -133,7 +137,6 @@ _PRIORITY = (
     "text_lang_id",
     "text_normalize",
     "tpch_q18_large_orders",
-    "tpch_q5_local_supplier",
 )
 
 
