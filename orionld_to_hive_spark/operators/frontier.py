@@ -45,20 +45,26 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         _sitemap_xml().alias("xml"),
     )
+    # one xpath call = one XML parse (the sitemap.py optimization):
+    # '/urlset/url/*' text nodes are (loc, lastmod, priority) triples
     urls = (
         xml.select(
             "asset_id",
+            F.expr("xpath(xml, '/urlset/url/*/text()')").alias("vals"),
+        )
+        .select(
+            "asset_id",
             F.explode(
-                F.arrays_zip(
-                    F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
-                    F.expr("xpath(xml, '/urlset/url/priority/text()')").alias("prios"),
+                F.expr(
+                    "transform(sequence(0, size(vals) div 3 - 1), i -> "
+                    "struct(vals[i*3] AS loc, vals[i*3+2] AS priority))"
                 )
             ).alias("u"),
         )
         .select(
             "asset_id",
-            F.col("u.locs").alias("loc"),
-            F.col("u.prios").alias("priority"),
+            F.col("u.loc").alias("loc"),
+            F.col("u.priority").alias("priority"),
         )
         .withColumn("host", F.regexp_extract("loc", r"^https://([^/]+)/", 1))
         .withColumn("path", F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1))

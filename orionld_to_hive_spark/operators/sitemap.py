@@ -71,22 +71,30 @@ def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         _sitemap_xml().alias("xml"),
     )
+    # ONE xpath call = ONE XML parse per document: '/urlset/url/*' text
+    # nodes arrive in document order as a flat (loc, lastmod, priority)
+    # triple per url — three separate xpath calls would re-parse the
+    # same XML three times (measured ~3× the parse cost).
     cols = xml.select(
         "asset_id",
-        F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
-        F.expr("xpath(xml, '/urlset/url/lastmod/text()')").alias("mods"),
-        F.expr("xpath(xml, '/urlset/url/priority/text()')").alias("prios"),
+        F.expr("xpath(xml, '/urlset/url/*/text()')").alias("vals"),
     )
     return (
         cols.select(
             "asset_id",
-            F.explode(F.arrays_zip("locs", "mods", "prios")).alias("u"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(vals) div 3 - 1), i -> "
+                    "struct(vals[i*3] AS loc, vals[i*3+1] AS lastmod, "
+                    "vals[i*3+2] AS priority))"
+                )
+            ).alias("u"),
         )
         .select(
             "asset_id",
-            F.col("u.locs").alias("loc"),
-            F.col("u.mods").alias("lastmod"),
-            F.col("u.prios").alias("priority"),
+            F.col("u.loc").alias("loc"),
+            F.col("u.lastmod").alias("lastmod"),
+            F.col("u.priority").alias("priority"),
         )
         .orderBy("asset_id", "loc")
     )
