@@ -762,19 +762,25 @@ def main() -> None:
     # The driver tail-captures stdout and parses the LAST line as JSON —
     # keep it SMALL. r6 lesson: widening the high-ladder dicts pushed
     # the line past the driver's tail window and BENCH_r06.json came
-    # back `parsed: None` (truncated mid-key). Everything beyond the
-    # contract fields (metric/value/unit/queries/sf) plus the tiny
-    # parity_total/ladder roll-ups lives ONLY in BENCH_DETAIL.json now;
-    # the high/sf1 ladders are under high_ladder_detail/sf1_ladder_detail
-    # there, keyed by the directory actually measured.
+    # back `parsed: None`. r12 lesson (VERDICT r12 What's-wrong #1): the
+    # 77-entry `queries` map alone blew past the window even after the
+    # `ladder` pop — the guard must bound the line HARD, not pop one key
+    # and hope. Strategy: parity four always present in `queries`; the
+    # remaining headliners are added only while the encoded line stays
+    # under LINE_BUDGET. Full per-query map lives in BENCH_DETAIL.json.
+    LINE_BUDGET = 1800
+    parity_q = ("q1_time_filter", "q2_hourly_avg",
+                "q3_union_cube", "q4_join_hourly")
     summary = {
         "metric": "sum_of_mean_latencies_headline",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "queries": {k: round(per_query[k], 3) for k in parity_q
+                    if k in per_query},
         "sf": _sf_of(sf_dir),
         "parity_total": parity_total,
-        "ladder": ladder,
+        "n_queries": len(per_query),
+        "queries_truncated": True,  # flipped below if everything fits
         "ambient_index": ambient["ambient_index"],
         # normalized by the bracket that surrounds the headline phase
         # (r12 protocol change); falls back to the whole-run index
@@ -787,9 +793,23 @@ def main() -> None:
         ),
     }
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 2000:  # stay inside the observed tail window
-        summary.pop("ladder", None)
+    # Greedily admit the remaining queries (slowest first — the ones a
+    # reader wants) while the line stays inside the budget.
+    rest = sorted(
+        (k for k in per_query if k not in summary["queries"]),
+        key=lambda k: -per_query[k],
+    )
+    for k in rest:
+        summary["queries"][k] = round(per_query[k], 3)
+        candidate = json.dumps(summary, separators=(",", ":"))
+        if len(candidate) > LINE_BUDGET:
+            del summary["queries"][k]
+            break
+        line = candidate
+    if len(summary["queries"]) == len(per_query):
+        summary["queries_truncated"] = False
         line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 2000, "bench summary line exceeded tail window"
     sys.stdout.flush()
     print(line, flush=True)
 
