@@ -67,13 +67,13 @@ def test_refusals():
     with pytest.raises(ValueError, match="no startxref"):
         parse_pdf_meta(b"%PDF-1.4\n%%EOF\n")
 
-    b = bytearray(base)  # startxref → object ⇒ xref-stream refusal
+    b = bytearray(base)  # startxref → a NON-XRef object: since r13
+    # xref streams parse, the failure is now "not /Type /XRef"
     sx = bytes(b).rindex(b"startxref")
     end = bytes(b).index(b"\n", sx + 10)
-    off = bytes(b)[b.index(b"1 0 obj") : b.index(b"1 0 obj")]  # noqa: F841
     new = str(bytes(b).index(b"1 0 obj")).rjust(end - sx - 10)
     b[sx + 10 : end] = new.encode()
-    with pytest.raises(NotImplementedError, match="cross-reference streams"):
+    with pytest.raises(ValueError, match="not /Type /XRef"):
         parse_pdf_meta(bytes(b))
 
     raw = base.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R", 1)
