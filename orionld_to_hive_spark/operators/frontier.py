@@ -66,6 +66,9 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u.loc").alias("loc"),
             F.col("u.priority").alias("priority"),
         )
+        # guard the sequence(0, -1) empty-vals artifact (ADVICE r12;
+        # see sitemap.py — real rows always carry a loc)
+        .filter(F.col("loc").isNotNull())
         .withColumn("host", F.regexp_extract("loc", r"^https://([^/]+)/", 1))
         .withColumn("path", F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1))
     )
@@ -133,6 +136,200 @@ ORDER BY host, slot
 """
 
 
-QUERIES = {"crawl_frontier_schedule": crawl_frontier_schedule}
+def frontier_from_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier fed by TWO-LEVEL discovery (sitemap.org
+    `<sitemapindex>` → child sitemaps, `sitemap._nested_urls`) — the
+    format real sites actually publish. The robots gate here is
+    host-keyed (as real robots.txt is): every host disallows
+    `/p/*/1$`, matched with the same LIKE translation `robots.py`
+    uses, anti-joined against a 10-row broadcastable rule frame.
+    Columns: host, loc, priority, slot, fetch_offset_ms."""
+    from orionld_to_hive_spark.operators.sitemap import _nested_urls
 
-ORACLES = {"crawl_frontier_schedule": FRONTIER_SQL}
+    urls = (
+        _nested_urls(spark, sf_dir)
+        .withColumn("host", F.regexp_extract("loc", r"^https://([^/]+)/", 1))
+        .withColumn("path", F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1))
+    )
+    # the per-host rule frame comes from the host universe, not from a
+    # second run of the two-level XML discovery lineage
+    rules = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("ex-"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        .distinct()
+        .select("host", F.lit("/p/*/1$").alias("pattern"))
+    )
+    allowed = urls.join(
+        F.broadcast(rules),
+        (urls.host == rules.host)
+        & F.expr(
+            "path LIKE (CASE WHEN pattern LIKE '%$' "
+            "THEN translate(substring(pattern, 1, length(pattern) - 1), '*', '%') "
+            "ELSE translate(pattern, '*', '%') || '%' END)"
+        ),
+        "left_anti",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("loc").asc()
+    )
+    return (
+        allowed.withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "fetch_offset_ms",
+            ((F.col("slot") - 1) * _POLITENESS_MS).cast("long"),
+        )
+        .select("host", "loc", "priority", "slot", "fetch_offset_ms")
+        .orderBy("host", "slot")
+    )
+
+
+# closed forms: the two-level grid minus u=1 (the host rule's only
+# match — u is the path's last segment); identical rank order.
+FRONTIER_NESTED_SQL = """
+WITH urls AS (
+    SELECT 'ex-' || (doc_id % 10) || '.example.com' AS host,
+           'https://ex-' || (doc_id % 10) || '.example.com/p/' || doc_id
+               || '/' || s || '/' || u AS loc,
+           '0.' || ((doc_id + s + u) % 10) AS priority
+    FROM documents,
+         unnest(range(0, doc_id % 3 + 1)) AS ts(s),
+         unnest(range(0, (doc_id + s) % 4 + 1)) AS tu(u)
+    WHERE u <> 1
+),
+ranked AS (
+    SELECT host, loc, priority,
+           CAST(row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, loc ASC
+           ) AS INTEGER) AS slot
+    FROM urls
+)
+SELECT host, loc, priority, slot,
+       CAST((slot - 1) * 500 AS BIGINT) AS fetch_offset_ms
+FROM ranked
+ORDER BY host, slot
+"""
+
+
+def frontier_crawl_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness schedule honoring each host's `Crawl-delay`
+    directive (the de-facto extension Bing/Yandex honor) instead of a
+    fixed slot width: the delay is regexp-extracted from the host's
+    robots text, aggregated per host, and the fetch offset becomes
+    (slot-1) × delay × 1000 ms. Columns: host, loc, priority, slot,
+    crawl_delay_s, fetch_offset_ms."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    robots = docs.select(
+        d.alias("asset_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("User-agent: *"),
+            F.concat(F.lit("Crawl-delay: "),
+                     (1 + (d % 10) % 4).cast("string")),
+            F.concat(F.lit("Disallow: /p/"), d.cast("string"), F.lit("/2")),
+        ).alias("robots_txt"),
+        F.concat(F.lit("ex-"), (d % 10).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+    )
+    delays = (
+        robots.select(
+            "host",
+            F.regexp_extract(
+                "robots_txt", r"(?i)crawl-delay\s*:\s*(\d+)", 1
+            ).cast("int").alias("crawl_delay_s"),
+        )
+        .groupBy("host")
+        .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
+    )
+
+    xml = docs.select(
+        F.col("doc_id").alias("asset_id"), _sitemap_xml().alias("xml")
+    )
+    urls = (
+        xml.select(
+            "asset_id",
+            F.expr("xpath(xml, '/urlset/url/*/text()')").alias("vals"),
+        )
+        .select(
+            "asset_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(vals) div 3 - 1), i -> "
+                    "struct(vals[i*3] AS loc, vals[i*3+2] AS priority))"
+                )
+            ).alias("u"),
+        )
+        .select("asset_id", F.col("u.loc").alias("loc"),
+                F.col("u.priority").alias("priority"))
+        .filter(F.col("loc").isNotNull())
+        .withColumn("host", F.regexp_extract("loc", r"^https://([^/]+)/", 1))
+        .withColumn("path", F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1))
+    )
+    rules = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit("/p/"), d.cast("string"), F.lit("/2")).alias("pattern"),
+    )
+    allowed = urls.join(
+        rules,
+        (urls.asset_id == rules.asset_id)
+        & F.expr("path LIKE translate(pattern, '*', '%') || '%'"),
+        "left_anti",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("loc").asc()
+    )
+    return (
+        allowed.withColumn("slot", F.row_number().over(w))
+        .join(F.broadcast(delays), "host")
+        .withColumn(
+            "fetch_offset_ms",
+            ((F.col("slot") - 1) * F.col("crawl_delay_s") * 1000).cast("long"),
+        )
+        .select("host", "loc", "priority", "slot", "crawl_delay_s",
+                "fetch_offset_ms")
+        .orderBy("host", "slot")
+    )
+
+
+# closed forms: grid minus i=2; per-host delay = 1 + (host digit)%4
+# (every doc on a host agrees, so the max-aggregate is the constant).
+FRONTIER_DELAY_SQL = """
+WITH urls AS (
+    SELECT 'ex-' || (doc_id % 10) || '.example.com' AS host,
+           'https://ex-' || (doc_id % 10) || '.example.com/p/' || doc_id
+               || '/' || i AS loc,
+           '0.' || ((doc_id + i) % 10) AS priority,
+           CAST(1 + (doc_id % 10) % 4 AS INTEGER) AS crawl_delay_s
+    FROM documents, unnest(range(0, doc_id % 5 + 1)) AS t(i)
+    WHERE i <> 2
+),
+ranked AS (
+    SELECT host, loc, priority, crawl_delay_s,
+           CAST(row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, loc ASC
+           ) AS INTEGER) AS slot
+    FROM urls
+)
+SELECT host, loc, priority, slot, crawl_delay_s,
+       CAST((slot - 1) * crawl_delay_s * 1000 AS BIGINT) AS fetch_offset_ms
+FROM ranked
+ORDER BY host, slot
+"""
+
+
+QUERIES = {
+    "crawl_frontier_schedule": crawl_frontier_schedule,
+    "frontier_from_sitemap_index": frontier_from_sitemap_index,
+    "frontier_crawl_delay_schedule": frontier_crawl_delay_schedule,
+}
+
+ORACLES = {
+    "crawl_frontier_schedule": FRONTIER_SQL,
+    "frontier_from_sitemap_index": FRONTIER_NESTED_SQL,
+    "frontier_crawl_delay_schedule": FRONTIER_DELAY_SQL,
+}

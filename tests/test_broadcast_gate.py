@@ -86,6 +86,10 @@ ALLOWED = {
     ("tpch2.py", "total_df"), ("tpch2.py", "avg_pos"),
     # streaming/joins.py: static room-config dim
     ("joins.py", "room_dim"),
+    # frontier.py: host-keyed robots rule / crawl-delay frames — the
+    # fixture host universe is 10 rows (distinct over ex-0..ex-9), and
+    # in production rules-per-host is host-metadata-sized, not sf
+    ("frontier.py", "rules"), ("frontier.py", "delays"),
 }
 
 # Names allowed in any module: the functions alias itself (walking the
