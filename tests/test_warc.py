@@ -178,9 +178,19 @@ def test_http_refusals():
         parse_http_response(b"HTTP/1.1 OK\r\n\r\n")
     with pytest.raises(ValueError, match="Content-Length"):
         parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort")
-    with pytest.raises(ValueError, match="Transfer-Encoding"):
+    # chunked now DECODES (r13); only non-chunked codings refuse
+    h = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n"
+    )
+    assert h.chunked and h.body == b"" and h.n_chunks == 0
+    with pytest.raises(ValueError, match="not supported"):
         parse_http_response(
-            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx"
+        )
+    with pytest.raises(ValueError, match="both Transfer-Encoding"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Length: 5\r\n\r\n0\r\n\r\n"
         )
 
 
@@ -285,3 +295,137 @@ def test_charset_fixture_branches():
         h = parse_http_response(resp.payload)
         text, declared, fired = decode_http_body(h.body, h.content_type)
         assert (text, fired) == want[doc_id], doc_id
+
+
+def test_content_encoding_fixture_branches():
+    from orionld_to_hive_spark.operators.warc import (
+        decode_http_body_ce,
+        encode_warc_http_ce,
+        parse_http_response,
+        parse_warc,
+    )
+
+    src = "héllo = wörld ~ plain"
+    ascii_part = "".join(ch for ch in src if " " <= ch <= "~")
+    want = {
+        0: (src, "identity", "declared"),
+        1: (src, "gzip", "utf-8"),
+        2: (src, "deflate", "declared"),
+        3: (src, "deflate", "utf-8"),
+        4: (ascii_part + "€", "gzip", "declared"),
+    }
+    for doc_id in range(5):
+        recs = parse_warc(encode_warc_http_ce(doc_id, src))
+        resp = next(r for r in recs if r.rec_type == "response")
+        h = parse_http_response(resp.payload)
+        text, declared, fired, codec = decode_http_body_ce(
+            h.body, h.content_type, h.content_encoding
+        )
+        assert (text, codec, fired) == want[doc_id], doc_id
+
+
+def test_inflate_http_body_refusals_and_tolerance():
+    import zlib
+
+    import pytest
+
+    from orionld_to_hive_spark.operators.warc import inflate_http_body
+
+    with pytest.raises(NotImplementedError, match="br"):
+        inflate_http_body(b"x", "br")
+    with pytest.raises(NotImplementedError, match="chains"):
+        inflate_http_body(b"x", "gzip, br")
+    with pytest.raises(ValueError, match="gzip"):
+        inflate_http_body(b"not gzip at all", "gzip")
+    with pytest.raises(ValueError, match="deflate"):
+        inflate_http_body(b"\x00" * 3, "deflate")
+    # RFC-correct zlib wrapper AND the bare-stream server bug both decode
+    co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    bare = co.compress(b"abc") + co.flush()
+    assert inflate_http_body(bare, "deflate") == (b"abc", "deflate")
+    assert inflate_http_body(zlib.compress(b"abc"), "deflate") == (b"abc", "deflate")
+    assert inflate_http_body(b"abc", None) == (b"abc", "identity")
+    assert inflate_http_body(b"abc", "identity") == (b"abc", "identity")
+
+
+def test_dechunk_strict_framing():
+    import pytest
+
+    from orionld_to_hive_spark.operators.warc import _dechunk
+
+    # happy path with extensions and a trailer
+    body = (b"7;x=1\r\nabcdefg\r\n" b"3\r\nhij\r\n" b"0\r\n"
+            b"X-Sum: 1\r\n" b"\r\n")
+    assert _dechunk(body) == (b"abcdefghij", 2)
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(b"zz\r\nx\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _dechunk(b"9\r\nshort")
+    with pytest.raises(ValueError, match="not followed by CRLF"):
+        _dechunk(b"3\r\nabcXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="after the chunked terminator"):
+        _dechunk(b"0\r\n\r\nEXTRA")
+    with pytest.raises(ValueError, match="trailer not terminated"):
+        _dechunk(b"0\r\nX-Sum: 1")
+    with pytest.raises(ValueError, match="malformed trailer"):
+        _dechunk(b"0\r\nnocolon\r\n\r\n")
+
+
+def test_chunked_fixture_branches():
+    from orionld_to_hive_spark.operators.warc import (
+        encode_warc_http_chunked,
+        parse_http_response,
+        parse_warc,
+    )
+
+    src = "chunk me please, I am twenty-nine"  # 33 bytes utf-8
+    data = src.encode()
+    for doc_id in range(6):
+        recs = parse_warc(encode_warc_http_chunked(doc_id, data))
+        resp = next(r for r in recs if r.rec_type == "response")
+        h = parse_http_response(resp.payload)
+        assert h.body == data, doc_id
+        if doc_id % 3 == 0:
+            assert not h.chunked and h.n_chunks == 0
+        else:
+            assert h.chunked
+            assert h.n_chunks == (len(data) + 6) // 7, doc_id
+
+
+def test_cdx_offsets_and_length_constants():
+    """Pins the WARC_CDX_SQL closed forms against the writer: L0 =
+    139+digits, L1 = 163+2*digits+digits(tlen)+tlen, L2 = 138+digits,
+    and the walker's offsets are the running sums."""
+    import hashlib
+
+    from orionld_to_hive_spark.operators.warc import (
+        encode_warc_cdx,
+        parse_warc_offsets,
+    )
+
+    for d in (0, 7, 42, 999, 12345):
+        text = b"cdx payload " * (d % 9 + 1)
+        recs = parse_warc_offsets(encode_warc_cdx(d, text))
+        assert [r.rec_type for r, _, _ in recs] == [
+            "warcinfo", "response", "metadata"]
+        dg, tl = len(str(d)), len(text)
+        td = len(str(tl))
+        (r0, o0, l0), (r1, o1, l1), (r2, o2, l2) = recs
+        assert (o0, l0) == (0, 139 + dg), d
+        assert (o1, l1) == (139 + dg, 163 + 2 * dg + td + tl), d
+        assert (o2, l2) == (o1 + l1, 138 + dg), d
+        assert r1.payload == text
+        assert hashlib.sha256(r1.payload).hexdigest() == hashlib.sha256(
+            text).hexdigest()
+
+
+def test_cdx_refuses_gzip_profile():
+    import pytest
+
+    from orionld_to_hive_spark.operators.warc import (
+        encode_warc,
+        parse_warc_offsets,
+    )
+
+    with pytest.raises(ValueError, match="plain profile"):
+        parse_warc_offsets(encode_warc(0, b"x"))  # even id → gzip members
