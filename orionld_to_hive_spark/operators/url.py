@@ -21,9 +21,13 @@ DuckDB oracle implements the same spec independently):
   4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) with
      separator repair: mid-query `&t=v` drops, leading `?t=v&` keeps
      `?`, a query that was ONLY tracking loses its `?`;
-  5. registered domain = last two dot-labels of the host (documented
-     simplification of the public-suffix list — multi-label suffixes
-     like .co.uk need the PSL snapshot, out of scope).
+  5. registered domain via an EMBEDDED public-suffix snapshot
+     (`_MULTI_SUFFIX` — the common two-label suffixes: co.uk, com.au,
+     co.jp, …): a host under a listed suffix keeps its last THREE
+     labels (`shop.example.co.uk` → `example.co.uk`), everything else
+     the last two. The snapshot is deliberately small and versioned
+     in-code; swapping in the full publicsuffix.org list is a data
+     change, not a code change.
 
 Oracle strategy: differential — DuckDB implements the same contract
 with its own regex engine over the same synthesized raw URLs, so
@@ -40,26 +44,53 @@ from orionld_to_hive_spark.sources.warehouse import load_table
 _TRACK = "(utm_[a-z]+|fbclid|gclid)"
 _PREFIX_RE = "^[^:]+://[^/?]*"
 
+# Embedded public-suffix snapshot (VERDICT r12 item 7): the common
+# two-label registrable suffixes. Under any of these the registered
+# domain is the last THREE host labels; otherwise the last two.
+_MULTI_SUFFIX = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "co.in", "co.nz",
+    "com.mx", "co.za", "com.sg", "com.tr",
+)
+_SUFFIX_ALT = "|".join(s.replace(".", r"\.") for s in _MULTI_SUFFIX)
+_REG3_RE = rf"([^.]+\.(?:{_SUFFIX_ALT}))$"
+_REG2_RE = r"([^.]+\.[^.]+)$"
+
+
+def _registered_domain(host):
+    """PSL-aware registered domain, pure built-ins: try the 3-label
+    extraction under a listed suffix first, fall back to 2 labels."""
+    reg3 = F.regexp_extract(host, _REG3_RE, 1)
+    return F.when(reg3 != "", reg3).otherwise(
+        F.regexp_extract(host, _REG2_RE, 1)
+    )
+
 
 def _raw_url(doc_id_col):
-    """Six URL shapes exercising every rule: mixed-case scheme/host/
+    """Eight URL shapes exercising every rule: mixed-case scheme/host/
     path, default and non-default ports, www, leading/mid/trailing
-    tracking params, fragments."""
+    tracking params, fragments, and multi-label public suffixes."""
     k = doc_id_col
     return (
-        F.when(k % 6 == 0, F.concat(F.lit("https://Example.COM:443/Doc/"),
+        F.when(k % 8 == 0, F.concat(F.lit("https://Example.COM:443/Doc/"),
                                     k, F.lit("?utm_source=feed&x="),
                                     k % 9, F.lit("#top")))
-        .when(k % 6 == 1, F.concat(F.lit("http://WWW.News-Site.org:80/a/"),
+        .when(k % 8 == 1, F.concat(F.lit("http://WWW.News-Site.org:80/a/"),
                                    k, F.lit("/")))
-        .when(k % 6 == 2, F.concat(F.lit("https://blog.example.net/post/"),
+        .when(k % 8 == 2, F.concat(F.lit("https://blog.example.net/post/"),
                                    k, F.lit("?gclid=abc&y="), k % 5,
                                    F.lit("&utm_medium=m")))
-        .when(k % 6 == 3, F.concat(F.lit("HTTP://sub.domain.Example.com/p"),
+        .when(k % 8 == 3, F.concat(F.lit("HTTP://sub.domain.Example.com/p"),
                                    k, F.lit("?z=1")))
-        .when(k % 6 == 4, F.concat(F.lit("https://example.org:8443/"), k))
-        .otherwise(F.concat(F.lit("http://example.com/doc/"), k,
-                            F.lit("?fbclid=xx")))
+        .when(k % 8 == 4, F.concat(F.lit("https://example.org:8443/"), k))
+        .when(k % 8 == 5, F.concat(F.lit("http://example.com/doc/"), k,
+                                   F.lit("?fbclid=xx")))
+        .when(k % 8 == 6, F.concat(F.lit("https://Shop.Example.CO.UK/items/"),
+                                   k, F.lit("?utm_campaign=c")))
+        .otherwise(F.concat(F.lit("http://news.site.com.au:80/art/"), k,
+                            F.lit("#frag")))
     )
 
 
@@ -96,9 +127,7 @@ def url_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw.alias("raw_url"),
             norm.alias("norm_url"),
             host.alias("host"),
-            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias(
-                "registered_domain"
-            ),
+            _registered_domain(host).alias("registered_domain"),
         )
         .orderBy("asset_id")
     )
@@ -123,11 +152,22 @@ def domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB implements the SAME normalization contract with its own
-# regex engine — a true differential, not a closed form.
+# regex engine — a true differential, not a closed form. The PSL
+# alternation is generated from the one `_MULTI_SUFFIX` snapshot so
+# both engines share a single source of truth for the suffix DATA
+# while the regex ENGINES stay independent.
+# DuckDB string literals don't process backslash escapes, so the
+# in-memory `\.` sequences pass through to its regex engine verbatim.
+_SQL_REG3 = "([^.]+\\.(?:" + _SUFFIX_ALT + "))$"
+_SQL_REGDOM = f"""CASE
+           WHEN regexp_extract(host, '{_SQL_REG3}', 1) <> ''
+           THEN regexp_extract(host, '{_SQL_REG3}', 1)
+           ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"""
+
 _URL_CTE = """
 WITH raw AS (
   SELECT doc_id,
-         CASE doc_id % 6
+         CASE doc_id % 8
            WHEN 0 THEN 'https://Example.COM:443/Doc/' || doc_id
                        || '?utm_source=feed&x=' || (doc_id % 9) || '#top'
            WHEN 1 THEN 'http://WWW.News-Site.org:80/a/' || doc_id || '/'
@@ -135,7 +175,10 @@ WITH raw AS (
                        || '?gclid=abc&y=' || (doc_id % 5) || '&utm_medium=m'
            WHEN 3 THEN 'HTTP://sub.domain.Example.com/p' || doc_id || '?z=1'
            WHEN 4 THEN 'https://example.org:8443/' || doc_id
-           ELSE 'http://example.com/doc/' || doc_id || '?fbclid=xx'
+           WHEN 5 THEN 'http://example.com/doc/' || doc_id || '?fbclid=xx'
+           WHEN 6 THEN 'https://Shop.Example.CO.UK/items/' || doc_id
+                       || '?utm_campaign=c'
+           ELSE 'http://news.site.com.au:80/art/' || doc_id || '#frag'
          END AS raw_url
   FROM documents
 ),
@@ -176,15 +219,15 @@ urls AS (
 )
 """
 
-URL_NORMALIZE_SQL = _URL_CTE + """
+URL_NORMALIZE_SQL = _URL_CTE + f"""
 SELECT doc_id AS asset_id, raw_url, norm_url, host,
-       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain
+       {_SQL_REGDOM} AS registered_domain
 FROM urls
 ORDER BY asset_id
 """
 
-DOMAIN_ROLLUP_SQL = _URL_CTE + """
-SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+DOMAIN_ROLLUP_SQL = _URL_CTE + f"""
+SELECT {_SQL_REGDOM} AS registered_domain,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT regexp_extract(norm_url,
                    '^[^:]+://[^/?]*([^?]*)', 1)) AS BIGINT) AS n_paths

@@ -79,4 +79,16 @@ def test_rollup_partitions_docs_exactly(spark, sf_smoke):
     assert total == url_normalize_report(spark, sf_smoke).count()
     doms = {r["registered_domain"] for r in rows}
     assert doms == {"example.com", "example.net", "example.org",
-                    "news-site.org"}
+                    "news-site.org", "example.co.uk", "site.com.au"}
+
+
+def test_public_suffix_registered_domain(spark, sf_smoke):
+    rows = {r["asset_id"]: r
+            for r in url_normalize_report(spark, sf_smoke).collect()}
+    # doc 6: co.uk suffix → THREE labels kept
+    assert rows[6]["host"] == "shop.example.co.uk"
+    assert rows[6]["registered_domain"] == "example.co.uk"
+    # doc 7: com.au suffix
+    assert rows[7]["registered_domain"] == "site.com.au"
+    # non-listed multi-label host still collapses to two labels
+    assert rows[3]["registered_domain"] == "example.com"
