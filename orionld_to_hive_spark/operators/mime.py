@@ -60,9 +60,19 @@ class MimePart(NamedTuple):
     children: "list[MimePart]"  # multipart members
 
 
+# Headers whose duplication would make the walk ambiguous — the ones
+# the parser actually branches on (plus subject, which the query
+# emits). Trace headers (Received, …) may legally repeat.
+_STRUCTURAL_HEADERS = frozenset(
+    ("content-type", "content-transfer-encoding", "mime-version", "subject")
+)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
-    """RFC 5322 header block with unfolding; later duplicates refuse
-    (none of the structural headers are legally repeatable here)."""
+    """RFC 5322 header block with unfolding. Duplicates of the
+    STRUCTURAL headers refuse (ambiguous walk); other repeated
+    headers — trace fields repeat in real mail — keep the first
+    occurrence."""
     headers: dict[str, str] = {}
     lines = block.split(b"\r\n")
     unfolded: list[bytes] = []
@@ -82,8 +92,15 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         if not name or any(c <= 0x20 or c >= 0x7F for c in name):
             raise ValueError(f"mime: bad header name {name[:40]!r}")
         key = name.decode("ascii").lower()
+        # RFC 5322 mail routinely repeats trace headers (Received,
+        # Return-Path, …) — only duplicates of the STRUCTURAL headers
+        # this walker consumes are ambiguous enough to refuse
+        # (ADVICE r12); for everything else, first occurrence wins
+        # (the usual mail-parser convention).
         if key in headers:
-            raise ValueError(f"mime: duplicate header {key!r}")
+            if key in _STRUCTURAL_HEADERS:
+                raise ValueError(f"mime: duplicate header {key!r}")
+            continue
         headers[key] = value.strip().decode("latin-1")
     return headers
 

@@ -196,6 +196,19 @@ def robots_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _robots_text().alias("robots_txt"),
         _paths().alias("cand"),
     )
+    return _distributed_gate(base, _UA)
+
+
+def _distributed_gate(base: DataFrame, ua: str) -> DataFrame:
+    """The reusable distributed evaluator: `base` carries (asset_id,
+    robots_txt, cand array<string>); output is one verdict row per
+    (asset_id, path). Group selection is RFC 9309 §2.2.1 complete
+    (ADVICE r12): the winning user-agent token is the LONGEST
+    case-insensitive prefix of the product token, ALL groups sharing
+    that token merge, and `*` groups apply only when no named token
+    matches — the same semantics `select_rules` implements
+    single-node, pinned against it in the units."""
+    ua = ua.lower()
 
     # ---- parse: lines → (key, value) records with positions
     lines = base.select(
@@ -233,13 +246,27 @@ def robots_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("pattern"))
     )
 
-    # ---- group selection for UA 'gptbot': named token beats '*'
-    chosen = agents.groupBy("asset_id").agg(
-        F.coalesce(
-            F.min(F.when(F.col("agent") == _UA, F.col("group_id"))),
-            F.min(F.when(F.col("agent") == "*", F.col("group_id"))),
-        ).alias("group_id")
+    # ---- group selection: longest-prefix token wins, ALL groups
+    # sharing it merge; '*' only when no named token matches
+    named = agents.where(
+        (F.col("agent") != "*") & F.lit(ua).startswith(F.col("agent"))
     )
+    best_len = named.groupBy("asset_id").agg(
+        F.max(F.length("agent")).alias("best_len")
+    )
+    named_groups = (
+        named.join(best_len, "asset_id")
+        .where(F.length("agent") == F.col("best_len"))
+        .select("asset_id", "group_id")
+        .distinct()
+    )
+    star_groups = (
+        agents.where(F.col("agent") == "*")
+        .select("asset_id", "group_id")
+        .distinct()
+        .join(named_groups.select("asset_id").distinct(), "asset_id", "left_anti")
+    )
+    chosen = named_groups.unionByName(star_groups)
     active = rules.join(chosen, ["asset_id", "group_id"])
 
     # ---- candidate paths

@@ -141,3 +141,26 @@ def test_mime_mutated_base_never_crashes(pos, xor):
         parse_eml(bytes(b))
     except OK:
         pass
+
+
+def test_trace_headers_may_repeat_structural_may_not():
+    """ADVICE r12: real RFC 5322 mail repeats trace headers (Received,
+    Return-Path); only duplicates of the structural headers the walker
+    consumes refuse. First occurrence wins for repeatable ones."""
+    import pytest
+
+    from orionld_to_hive_spark.operators.mime import _parse_headers
+
+    h = _parse_headers(
+        b"Received: from a\r\n"
+        b"Received: from b\r\n"
+        b"X-Trace: 1\r\n"
+        b"X-Trace: 2\r\n"
+        b"Content-Type: text/plain\r\n"
+    )
+    assert h["received"] == "from a"
+    assert h["x-trace"] == "1"
+    with pytest.raises(ValueError, match="duplicate"):
+        _parse_headers(b"Content-Type: a/b\r\nContent-Type: c/d\r\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        _parse_headers(b"Subject: x\r\nSubject: y\r\n")

@@ -150,3 +150,55 @@ def test_parse_never_crashes(text):
     groups = parse_robots(text)
     for g in groups:
         robots_allowed(g.rules, "/a/b")
+
+
+def test_distributed_gate_prefix_and_merge(spark):
+    """ADVICE r12: the distributed group selection must be RFC
+    9309-complete — longest-PREFIX user-agent matching and merging of
+    ALL groups sharing the winning token — not exact-token
+    first-group-only. Pin verdicts for adversarial texts against the
+    spec-complete single-node reference."""
+    from orionld_to_hive_spark.operators.robots import _distributed_gate
+
+    texts = {
+        # prefix tokens: 'gpt' and 'gptbot' both prefix 'gptbot';
+        # longest ('gptbot') must win over 'gpt' AND over '*'
+        1: (
+            "User-agent: gpt\nDisallow: /short\n"
+            "User-agent: gptbot\nDisallow: /long\n"
+            "User-agent: *\nDisallow: /star\n"
+        ),
+        # repeated groups with the SAME winning token: rules merge
+        2: (
+            "User-agent: gptbot\nDisallow: /one\n"
+            "User-agent: *\nDisallow: /star\n"
+            "User-agent: gptbot\nDisallow: /two\n"
+        ),
+        # only a shorter prefix token exists: it wins over '*'
+        3: (
+            "User-agent: gpt\nDisallow: /short\n"
+            "User-agent: *\nDisallow: /star\n"
+        ),
+        # no named match at all ('gptbotX' is NOT a prefix of
+        # 'gptbot'): '*' groups apply — and BOTH '*' groups merge
+        4: (
+            "User-agent: gptbotX\nDisallow: /notme\n"
+            "User-agent: *\nDisallow: /star\n"
+            "User-agent: *\nDisallow: /star2\n"
+        ),
+    }
+    cand = ["/short/x", "/long/x", "/star/x", "/star2/x",
+            "/one/x", "/two/x", "/notme/x", "/free"]
+    base = spark.createDataFrame(
+        [(k, t, cand) for k, t in texts.items()],
+        "asset_id LONG, robots_txt STRING, cand ARRAY<STRING>",
+    )
+    got = {
+        (r.asset_id, r.path): (r.allowed, r.rule)
+        for r in _distributed_gate(base, "gptbot").collect()
+    }
+    for k, text in texts.items():
+        rules = select_rules(parse_robots(text), "gptbot")
+        for path in cand:
+            want = robots_allowed(rules, path)
+            assert got[(k, path)] == want, (k, path, got[(k, path)], want)
