@@ -41,7 +41,7 @@ string concatenation.
 from __future__ import annotations
 
 import re
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -339,12 +339,217 @@ ORDER BY asset_id
 """
 
 
+# --------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal) — the jusText/
+# Readability-family heuristic reduced to its load-bearing core:
+# segment the page into BLOCKS at block-level element boundaries,
+# score each by length and link density, keep the content blocks.
+
+
+class HtmlBlock(NamedTuple):
+    text: str  # normalized block text
+    n_chars: int
+    n_link_chars: int  # chars inside <a> elements
+
+
+_MIN_CONTENT_CHARS = 25
+_MAX_LINK_DENSITY = 0.5
+
+
+def extract_blocks(html: str) -> list[HtmlBlock]:
+    """Walk the page with the same tokenizer rules as extract_text,
+    but finalize a BLOCK at every block-level tag boundary and track
+    how many of a block's characters sit inside `<a>` elements — the
+    two signals the boilerplate heuristic scores."""
+    blocks: list[HtmlBlock] = []
+    buf: list[str] = []
+    link_chars = 0
+    a_depth = 0
+
+    def flush() -> None:
+        nonlocal link_chars
+        text = normalize_ws("".join(buf))
+        if text:
+            blocks.append(HtmlBlock(text, len(text), min(link_chars, len(text))))
+        buf.clear()
+        link_chars = 0
+
+    i = 0
+    n = len(html)
+    lower = html.lower()
+    while i < n:
+        j = html.find("<", i)
+        if j < 0:
+            seg = decode_charrefs(html[i:])
+            buf.append(seg)
+            if a_depth:
+                link_chars += len(normalize_ws(seg))
+            break
+        if j > i:
+            seg = decode_charrefs(html[i:j])
+            buf.append(seg)
+            if a_depth:
+                link_chars += len(normalize_ws(seg))
+        if html.startswith("<!--", j):
+            e = html.find("-->", j + 4)
+            i = n if e < 0 else e + 3
+            continue
+        k = j + 1
+        quote = None
+        while k < n:
+            ch = html[k]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ('"', "'"):
+                quote = ch
+            elif ch == ">":
+                break
+            k += 1
+        if k >= n:
+            break
+        name, closing = _tag_name(html[j + 1 : k])
+        i = k + 1
+        if not closing and name in _RAWTEXT:
+            e = lower.find("</" + name, i)
+            if e < 0:
+                break
+            g = html.find(">", e)
+            i = n if g < 0 else g + 1
+            flush()
+            continue
+        if name == "a":
+            a_depth = max(0, a_depth + (-1 if closing else 1))
+        elif name in _BLOCK:
+            flush()
+    flush()
+    return blocks
+
+
+def main_content(html: str) -> tuple[str, int, int]:
+    """→ (content text, n_blocks, n_content_blocks): blocks of at
+    least _MIN_CONTENT_CHARS chars whose link density stays under
+    _MAX_LINK_DENSITY are content; the rest (navigation, short
+    headings, link farms, footers) are boilerplate."""
+    blocks = extract_blocks(html)
+    kept = [
+        b.text
+        for b in blocks
+        if b.n_chars >= _MIN_CONTENT_CHARS
+        and b.n_link_chars / b.n_chars < _MAX_LINK_DENSITY
+    ]
+    return "\n".join(kept), len(blocks), len(kept)
+
+
+def encode_html_page(doc_id: int, text: str) -> str:
+    """Boilerplate-rich fixture: nav link farm, short heading, TWO
+    content paragraphs carrying the document text (each prefixed so
+    it always clears the length threshold), a link-dense sidebar, a
+    short footer. The content paragraphs are the ONLY blocks the
+    heuristic may keep."""
+    half = len(text) // 2
+    p0, p1 = text[:half], text[half:]
+    return (
+        "<!DOCTYPE html>\n<html>\n <body>\n"
+        f'  <nav><a href="/">Home</a> <a href="/about">About</a> '
+        f'<a href="/tag/{doc_id % 5}">Tag {doc_id % 5}</a></nav>\n'
+        f"  <h1>Doc {doc_id}</h1>\n"
+        f"  <p>Paragraph one of document {doc_id}: {_escape(p0)}</p>\n"
+        f"  <p>Paragraph two of document {doc_id}: {_escape(p1)}</p>\n"
+        f'  <div><a href="/prev/{doc_id}">previous article</a> | '
+        f'<a href="/next/{doc_id}">next article</a></div>\n'
+        f"  <footer>© site {doc_id % 3}</footer>\n"
+        " </body>\n</html>\n"
+    )
+
+
+MAIN_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("n_content_blocks", T.IntegerType(), True),
+        T.StructField("content_text", T.StringType(), True),
+    ]
+)
+
+
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → boilerplate-rich pages (encode_html_page) → block
+    segmentation + link-density scoring → main content. The nav/
+    sidebar/footer blocks must be dropped and the two content
+    paragraphs kept verbatim — both the segmentation and the density
+    arithmetic are on the oracle path for every row."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nbs, ncs, txts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content, n_blocks, n_kept = main_content(
+                    encode_html_page(int(doc_id), text or "")
+                )
+                ids.append(int(doc_id))
+                nbs.append(n_blocks)
+                ncs.append(n_kept)
+                txts.append(content)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "n_blocks": pd.Series(nbs, dtype="int32"),
+                    "n_content_blocks": pd.Series(ncs, dtype="int32"),
+                    "content_text": txts,
+                }
+            )
+
+    return docs.mapInPandas(run, MAIN_CONTENT_SCHEMA).orderBy("asset_id")
+
+
+# The fixture always yields 5 non-empty blocks (nav, h1, p, p, the
+# sidebar+footer merge into two: div then footer → 6? — no: nav, h1,
+# p0, p1, div, footer = 6 blocks) and exactly the two paragraphs
+# survive. Paragraph text = prefix + normalized half, with the
+# trailing/leading whitespace of each half folding into the prefix
+# space per normalize_ws.
+_MAIN_CONTENT_SQL = """
+WITH halves AS (
+  SELECT doc_id,
+         substr(text, 1, length(text) // 2) AS p0,
+         substr(text, length(text) // 2 + 1) AS p1
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace('Paragraph one of document ' || doc_id || ': ' || p0,
+                            '[ \\t\\r\\f]*\\n[ \\t\\r\\f\\n]*', chr(10), 'g'),
+             '[ \\t\\r\\f]+', ' ', 'g'),
+           ' ' || chr(10)) AS b0,
+         trim(
+           regexp_replace(
+             regexp_replace('Paragraph two of document ' || doc_id || ': ' || p1,
+                            '[ \\t\\r\\f]*\\n[ \\t\\r\\f\\n]*', chr(10), 'g'),
+             '[ \\t\\r\\f]+', ' ', 'g'),
+           ' ' || chr(10)) AS b1
+  FROM halves
+)
+SELECT doc_id AS asset_id,
+       6 AS n_blocks,
+       2 AS n_content_blocks,
+       b0 || chr(10) || b1 AS content_text
+FROM norm
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "html_text_extraction": html_text_extraction,
     "warc_html_extraction": warc_html_extraction,
+    "html_main_content": html_main_content,
 }
 
 ORACLES = {
     "html_text_extraction": _HTML_PAGE_SQL,
     "warc_html_extraction": _HTML_PAGE_SQL,
+    "html_main_content": _MAIN_CONTENT_SQL,
 }

@@ -154,3 +154,54 @@ def test_agrees_with_stdlib_on_random_markup_soup(s):
     markup by closing what we open."""
     html = f"<div>{s.replace('<', '&lt;')}</div>"
     assert extract_text(html) == _stdlib_extract(html)
+
+
+# ------------------------------------------------- main content
+
+
+def test_block_segmentation_and_link_density():
+    from orionld_to_hive_spark.operators.html import extract_blocks
+
+    html = (
+        "<body><nav><a href='/'>Home</a> <a href='/b'>About us</a></nav>"
+        "<p>This paragraph is long enough to be content for sure.</p>"
+        "<div><a href='/x'>link one</a> plus a lot of surrounding prose "
+        "that dilutes the link density well below the threshold</div>"
+        "</body>"
+    )
+    blocks = extract_blocks(html)
+    texts = [b.text for b in blocks]
+    assert texts[0] == "Home About us"
+    b0 = blocks[0]
+    assert b0.n_link_chars >= len("Home") + len("About us")  # nav is link-dense
+    assert b0.n_link_chars / b0.n_chars > 0.5
+    p = blocks[1]
+    assert p.n_link_chars == 0
+    d = blocks[2]
+    assert 0 < d.n_link_chars / d.n_chars < 0.5
+
+
+def test_main_content_drops_boilerplate():
+    from orionld_to_hive_spark.operators.html import (
+        encode_html_page,
+        main_content,
+    )
+
+    text = "Real article body. " * 5
+    content, n_blocks, n_kept = main_content(encode_html_page(3, text))
+    assert (n_blocks, n_kept) == (6, 2)
+    assert "Home" not in content and "previous article" not in content
+    assert "© site" not in content and "Doc 3" not in content.split("\n")[0][:6]
+    assert "Real article body." in content
+
+
+def test_main_content_short_text_still_two_paragraphs():
+    from orionld_to_hive_spark.operators.html import (
+        encode_html_page,
+        main_content,
+    )
+
+    for t in ("", "ab", "  \n  "):
+        content, n_blocks, n_kept = main_content(encode_html_page(0, t))
+        assert (n_blocks, n_kept) == (6, 2), t
+        assert content.startswith("Paragraph one of document 0:")
