@@ -277,6 +277,26 @@ HEADLINE = (
     "parquet_footer_audit",
     "zstd_frame_meta",
     "crawl_frontier_schedule",
+    # round-13: PDF 1.5 xref-stream triage (FlateDecode + PNG
+    # predictors), two-level sitemapindex discovery and the frontier
+    # fed by it, and Content-Encoding-aware WARC extraction
+    "pdf_xref_stream_meta",
+    "sitemap_index_discovery",
+    "frontier_from_sitemap_index",
+    "warc_content_encoding_extraction",
+    # round-13 continuation: the complete discovery chain (robots.txt
+    # Sitemap directive → index → child sitemaps → urls) and the
+    # Crawl-delay-honoring politeness schedule
+    "robots_sitemap_discovery",
+    "frontier_crawl_delay_schedule",
+    "warc_chunked_extraction",
+    # round-13 continuation: Avro OCF container walk (varint metadata
+    # map, sync chain, per-block record decode, null/deflate codecs)
+    "avro_container_meta",
+    "warc_cdx_index",
+    # round-13 continuation: main-content extraction (jusText-style
+    # block segmentation + link-density boilerplate removal)
+    "html_main_content",
 )
 
 
@@ -598,6 +618,7 @@ def main() -> None:
     publish_env = "--publish" in sys.argv or os.environ.get(
         "BENCH_PUBLISH", ""
     ) not in ("", "0")
+    attempts: list[dict] = []
     for attempt in range(1, DRIFT_GATE_ATTEMPTS + 1):
         m = _measure_once(spark, sf_dir, qmap, ladder_dirs)
         # r12: gate on the bracket surrounding the headline phase
@@ -605,32 +626,45 @@ def main() -> None:
         drift = m["ambient"].get("drift_headline") or m["ambient"].get(
             "drift_within_run"
         )
-        if not publish_env or drift is None or drift <= DRIFT_GATE:
-            m["ambient"]["drift_gate"] = {
-                "threshold": DRIFT_GATE,
-                "attempt": attempt,
-                "passed": drift is None or drift <= DRIFT_GATE,
-            }
-            break
-        if attempt < DRIFT_GATE_ATTEMPTS:
-            print(
-                f"bench: drift_within_run {drift} > {DRIFT_GATE} "
-                f"(attempt {attempt}/{DRIFT_GATE_ATTEMPTS}) — re-measuring",
-                file=sys.stderr,
-            )
-        else:
-            print(
-                f"bench: drift_within_run {drift} > {DRIFT_GATE} on the "
-                f"final attempt {attempt}/{DRIFT_GATE_ATTEMPTS} — "
-                "publishing with drift_gate.passed=false",
-                file=sys.stderr,
-            )
-    else:
         m["ambient"]["drift_gate"] = {
             "threshold": DRIFT_GATE,
-            "attempt": DRIFT_GATE_ATTEMPTS,
-            "passed": False,
+            "attempt": attempt,
+            "passed": drift is None or drift <= DRIFT_GATE,
         }
+        attempts.append(m)
+        if not publish_env or drift is None or drift <= DRIFT_GATE:
+            break
+        print(
+            f"bench: drift_headline {drift} > {DRIFT_GATE} "
+            f"(attempt {attempt}/{DRIFT_GATE_ATTEMPTS})"
+            + (" — re-measuring" if attempt < DRIFT_GATE_ATTEMPTS
+               else " — publishing the cleanest attempt with "
+                    "drift_gate.passed=false"),
+            file=sys.stderr,
+        )
+    # r13 protocol (VERDICT r12 item 9): when the gate never passes,
+    # publish the attempt whose HEADLINE bracket was cleanest (lowest
+    # drift), and record every attempt's normalized headline plus
+    # their median — the committed number then reflects the calmest
+    # weather observed, not whichever attempt happened to run last.
+    def _drift_of(a: dict) -> float:
+        return (a["ambient"].get("drift_headline")
+                or a["ambient"].get("drift_within_run") or 0.0)
+
+    m = min(attempts, key=_drift_of)
+    m["ambient"]["drift_gate"]["attempts_run"] = len(attempts)
+    if len(attempts) > 1:
+        norms = [
+            round(a["total"] / idx, 4)
+            for a in attempts
+            if (idx := (a["ambient"].get("headline_ambient_index")
+                        or a["ambient"].get("ambient_index")))
+        ]
+        m["ambient"]["attempts_normalized"] = norms
+        if norms:
+            m["ambient"]["value_normalized_median"] = round(
+                statistics.median(norms), 4
+            )
     ladder = m["ladder"]; ladder_detail = m["ladder_detail"]
     per_query = m["per_query"]; detail = m["detail"]; total = m["total"]
     high = m["high"]; high_detail = m["high_detail"]; high_sf = m["high_sf"]
