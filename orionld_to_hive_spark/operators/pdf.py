@@ -462,6 +462,21 @@ class _Doc:
                 self.predictor = pred
             if pred != 0:  # _parse_xref_section: 0 ⟺ classic table
                 self.n_xref_streams += 1
+            # Hybrid-reference files (ISO 32000-1 §7.5.8.4): a classic
+            # trailer's /XRefStm names a cross-reference STREAM holding
+            # the entries hidden from pre-1.5 readers. It is read
+            # after this revision's own table (same-revision classic
+            # entries win) and BEFORE /Prev (its entries shadow older
+            # revisions). Its own /Prev, if any, is ignored — the
+            # classic chain governs.
+            xs = trailer.get("XRefStm")
+            if xs is not None:
+                if not isinstance(xs, int) or xs < 0 or xs >= len(payload):
+                    raise ValueError("pdf: bad /XRefStm offset")
+                s_entries, _, _ = _parse_xref_stream(payload, xs)
+                for num, rec in s_entries.items():
+                    merged.setdefault(num, rec)
+                self.n_xref_streams += 1
             self.n_revisions += 1
             prev = trailer.get("Prev")
             if prev is not None and not isinstance(prev, int):
@@ -743,6 +758,73 @@ def encode_pdf_xref(doc_id: int, text: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_pdf_hybrid(doc_id: int, text: bytes) -> bytes:
+    """Hybrid-reference fixture (ISO 32000-1 §7.5.8.4 — how Acrobat
+    writes backward-compatible files): the classic table lists the
+    document's visible objects, while an extra /Info-style object and
+    the xref STREAM object itself are listed ONLY in the stream the
+    trailer's /XRefStm points at — a pre-1.5 reader sees a working
+    document, a 1.5 reader sees two more objects. Even ids run the
+    PNG Up predictor on the stream."""
+    n = 1 + doc_id % 4
+    predictor = 12 if doc_id % 2 == 0 else 1
+    w = (1, 3, 1)
+    page_objs = list(range(3, 3 + n))
+    content_objs = list(range(3 + n, 3 + 2 * n))
+    info_obj = 3 + 2 * n  # ONLY in the XRefStm
+    xref_obj = info_obj + 1  # the stream object itself, also hidden
+
+    out = bytearray()
+    offsets: dict[int, int] = {}
+    out += b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{p} 0 R" for p in page_objs)
+    emit(2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    for p, c in zip(page_objs, content_objs):
+        emit(p, f"<< /Type /Page /Parent 2 0 R /Contents {c} 0 R >>".encode())
+    for i, c in enumerate(content_objs):
+        data = text if i == 0 else b"BT ET"
+        emit(c, f"<< /Length {len(data)} >>\nstream\n".encode() + data
+             + b"\nendstream")
+    emit(info_obj, f"<< /Producer (graft) /DocSeq {doc_id} >>".encode())
+
+    # the hidden xref STREAM: entries for info_obj and itself
+    offsets[xref_obj] = len(out)
+    rows = [(1, offsets[info_obj], 0), (1, offsets[xref_obj], 0)]
+    comp = _xref_stream_rows(rows, w, predictor)
+    parms = (
+        f" /DecodeParms << /Predictor {predictor} /Columns {sum(w)} >>"
+        if predictor >= 10 else ""
+    )
+    size = xref_obj + 1
+    out.extend(
+        f"{xref_obj} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R"
+        f" /W [1 3 1] /Index [{info_obj} 2]"
+        f" /Filter /FlateDecode{parms}"
+        f" /Length {len(comp)} >>\nstream\n".encode()
+    )
+    out.extend(comp)
+    out.extend(b"\nendstream\nendobj\n")
+    xref_stm_off = offsets[xref_obj]
+
+    # the classic table: objects 0..info_obj-1 only
+    xref1 = len(out)
+    out += b"xref\n" + f"0 {info_obj}\n".encode()
+    out += b"0000000000 65535 f \r"
+    for num in range(1, info_obj):
+        out += f"{offsets[num]:010d} 00000 n \r".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /XRefStm {xref_stm_off} >>\n"
+        f"startxref\n{xref1}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Spark query
 
@@ -890,12 +972,70 @@ ORDER BY asset_id
 """
 
 
+HYBRID_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_objects", T.IntegerType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("content_bytes", T.LongType(), True),
+        T.StructField("n_xref_streams", T.IntegerType(), True),
+    ]
+)
+
+
+def pdf_hybrid_xref_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → hybrid-reference fixtures (encode_pdf_hybrid) →
+    triage. Two of each asset's objects exist ONLY in the /XRefStm
+    stream, so the object count certifies that the hybrid merge ran —
+    a classic-only walk would read 2 fewer objects per asset."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, no, np_, cb, nx = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                m = parse_pdf_meta(encode_pdf_hybrid(d, (text or "").encode("utf-8")))
+                ids.append(d)
+                no.append(m.n_objects)
+                np_.append(m.n_pages)
+                cb.append(m.content_bytes)
+                nx.append(m.n_xref_streams)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "n_objects": pd.Series(no, dtype="int32"),
+                    "n_pages": pd.Series(np_, dtype="int32"),
+                    "content_bytes": pd.Series(cb, dtype="int64"),
+                    "n_xref_streams": pd.Series(nx, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(run, HYBRID_SCHEMA).orderBy("asset_id")
+
+
+# closed forms of encode_pdf_hybrid: 2 + 2n visible objects + the two
+# stream-only ones (info + the xref stream itself).
+PDF_HYBRID_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(4 + 2 * (1 + doc_id % 4) AS INTEGER) AS n_objects,
+       CAST(1 + doc_id % 4 AS INTEGER) AS n_pages,
+       CAST(octet_length(encode(text)) + 5 * (doc_id % 4) AS BIGINT)
+         AS content_bytes,
+       1 AS n_xref_streams
+FROM documents
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_pdf_meta": multimodal_pdf_meta,
     "pdf_xref_stream_meta": pdf_xref_stream_meta,
+    "pdf_hybrid_xref_meta": pdf_hybrid_xref_meta,
 }
 
 ORACLES = {
     "multimodal_pdf_meta": PDF_SQL,
     "pdf_xref_stream_meta": PDF_XREF_SQL,
+    "pdf_hybrid_xref_meta": PDF_HYBRID_SQL,
 }

@@ -199,3 +199,56 @@ def test_xref_mutated_base_never_crashes(pos, xor, even):
         parse_pdf_meta(bytes(b))
     except OK:
         pass
+
+
+def test_hybrid_reference_merge():
+    """§7.5.8.4: two objects exist only in the /XRefStm stream — the
+    merged view must see them; severing /XRefStm must lose exactly
+    those two (a classic-only read still works, as designed)."""
+    from orionld_to_hive_spark.operators.pdf import encode_pdf_hybrid
+
+    for d in (0, 1, 5, 6):
+        text = b"hybrid body %d " % d * (d + 1)
+        raw = encode_pdf_hybrid(d, text)
+        n = 1 + d % 4
+        m = parse_pdf_meta(raw)
+        assert m.n_objects == 2 + 2 * n + 2, d
+        assert m.n_revisions == 1 and m.n_xref_streams == 1, d
+        # strip the /XRefStm key: the doc still parses (old-reader
+        # view) but the two hidden objects disappear
+        i = raw.index(b" /XRefStm ")
+        j = raw.index(b" >>", i)
+        classic_only = raw[:i] + raw[j:]
+        m2 = parse_pdf_meta(classic_only)
+        assert m2.n_objects == 2 + 2 * n, d
+        assert m2.n_xref_streams == 0, d
+
+
+def test_hybrid_bad_xrefstm_offset_refuses():
+    from orionld_to_hive_spark.operators.pdf import encode_pdf_hybrid
+
+    raw = encode_pdf_hybrid(1, b"x")
+    i = raw.index(b"/XRefStm ")
+    k = raw.index(b" >>", i)
+    mutated = raw[: i + 9] + b"999999999" + raw[k:]
+    with pytest.raises(ValueError, match="XRefStm|startxref|xref"):
+        parse_pdf_meta(mutated)
+
+
+from orionld_to_hive_spark.operators.pdf import encode_pdf_hybrid as _eph  # noqa: E402
+
+_BASE_H = _eph(8, b"fuzz hybrid pdf " * 4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=255),
+)
+def test_hybrid_mutated_never_crashes(pos, xor):
+    b = bytearray(_BASE_H)
+    b[pos % len(b)] ^= xor
+    try:
+        parse_pdf_meta(bytes(b))
+    except OK:
+        pass
