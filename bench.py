@@ -297,6 +297,11 @@ HEADLINE = (
     # round-13 continuation: main-content extraction (jusText-style
     # block segmentation + link-density boilerplate removal)
     "html_main_content",
+    # round-13 continuation: ORC postscript/footer audit (generic
+    # protobuf wire walk over pyarrow-written files)
+    "orc_footer_audit",
+    # round-13 continuation: hybrid-reference PDFs (/XRefStm)
+    "pdf_hybrid_xref_meta",
 )
 
 

@@ -48,6 +48,7 @@ _MODULES = (
     "orionld_to_hive_spark.operators.ogg",
     "orionld_to_hive_spark.operators.parquet_meta",
     "orionld_to_hive_spark.operators.avro",
+    "orionld_to_hive_spark.operators.orc_meta",
     "orionld_to_hive_spark.operators.zstd",
     "orionld_to_hive_spark.operators.html",
     "orionld_to_hive_spark.operators.exif",
@@ -80,9 +81,9 @@ _MODULES = (
 # stratified_sample_docs, ndv_approx_users_per_type,
 # hll_mergeable_rollup, quantile_approx_value) stay excluded — each
 # has an exact driver-certified sibling.
-# r13 prefix math: (a) 10 r13-new + (b) 2 re-certs + (c) 1 + (d) 37
+# r13 prefix math: (a) 12 r13-new + (b) 2 re-certs + (c) 1 + (d) 35
 # of the 50-query r8 block = 50; the r8 alphabetical tail
-# (sentence_split_docs .. vocab_coverage_report, 13 queries)
+# (rfm_segments .. vocab_coverage_report, 15 queries)
 # rotates in r14 with the r9 block.
 _PRIORITY = (
     # (a) new in r13 — added as each lands this round
@@ -96,6 +97,8 @@ _PRIORITY = (
     "avro_container_meta",
     "warc_cdx_index",
     "html_main_content",
+    "orc_footer_audit",
+    "pdf_hybrid_xref_meta",
     # (b) results changed in r13 (PSL registered-domain fixture)
     "url_normalize_report",
     "domain_rollup",
@@ -137,8 +140,6 @@ _PRIORITY = (
     "quality_classifier_score",
     "regression_price_vs_qty",
     "reservoir_sample_per_source",
-    "rfm_segments",
-    "salted_agg_user_totals",
 )
 
 
