@@ -153,6 +153,13 @@ HIGH_LADDER_QUERIES = SF1_LADDER_QUERIES + (
     "zip_manifest",
     "multimodal_ogg_meta",
     "robots_gate_report",
+    # r13: the new byte-proportional walkers + the two-level XML
+    # discovery lineage — sf0.3 points for their scaling exponents
+    "pdf_xref_stream_meta",
+    "avro_container_meta",
+    "warc_cdx_index",
+    "sitemap_index_discovery",
+    "html_main_content",
 )
 
 # Headline set: the four reference-parity queries plus one representative

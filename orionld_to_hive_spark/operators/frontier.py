@@ -36,11 +36,12 @@ from orionld_to_hive_spark.sources.warehouse import load_table
 _POLITENESS_MS = 500  # one fetch per host per half-second
 
 
-def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap URLs → robots gate → per-host politeness schedule.
-    Columns: host, loc, priority, slot (1-based rank in the host's
-    queue), fetch_offset_ms ((slot-1) × 500)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def discovered_allowed_urls(docs: DataFrame) -> DataFrame:
+    """The discovery + gate lineage over a (doc_id) frame: sitemap
+    XPath extraction → host/path split → robots anti-join. Shared by
+    the batch query and `streaming/frontier.py` (ONE lineage — stream
+    and batch cannot drift). Columns: asset_id, loc, priority, host,
+    path."""
     xml = docs.select(
         F.col("doc_id").alias("asset_id"),
         _sitemap_xml().alias("xml"),
@@ -86,7 +87,7 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pattern"),
     )
-    allowed = urls.join(
+    return urls.join(
         rules,
         (urls.asset_id == rules.asset_id)
         & F.expr(
@@ -97,6 +98,10 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
 
+
+def rank_schedule(allowed: DataFrame) -> DataFrame:
+    """The politeness ranking over an allowed-URL frame: per-host
+    row_number, fixed slot width. Shared with the streaming twin."""
     w = Window.partitionBy("host").orderBy(
         F.col("priority").desc(), F.col("loc").asc()
     )
@@ -109,6 +114,14 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "loc", "priority", "slot", "fetch_offset_ms")
         .orderBy("host", "slot")
     )
+
+
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URLs → robots gate → per-host politeness schedule.
+    Columns: host, loc, priority, slot (1-based rank in the host's
+    queue), fetch_offset_ms ((slot-1) × 500)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return rank_schedule(discovered_allowed_urls(docs))
 
 
 # closed forms: the grid minus i=2 and i=4 (the two rule outcomes);
