@@ -282,7 +282,7 @@ def avro_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, AVRO_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, AVRO_SCHEMA)
 
 
 # closed forms of encode_avro: n = 1 + id%5 records, 2 per block →

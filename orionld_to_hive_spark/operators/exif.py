@@ -347,7 +347,7 @@ def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, EXIF_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, EXIF_SCHEMA)
 
 
 MULTIMODAL_EXIF_SQL = """

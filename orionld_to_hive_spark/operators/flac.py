@@ -310,7 +310,7 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, FLAC_META_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, FLAC_META_SCHEMA)
 
 
 MULTIMODAL_FLAC_SQL = """
@@ -416,7 +416,7 @@ def multimodal_flac_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, FLAC_VORBIS_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, FLAC_VORBIS_SCHEMA)
 
 
 FLAC_VORBIS_SQL = f"""

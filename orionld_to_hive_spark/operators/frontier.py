@@ -112,7 +112,6 @@ def rank_schedule(allowed: DataFrame) -> DataFrame:
             ((F.col("slot") - 1) * _POLITENESS_MS).cast("long"),
         )
         .select("host", "loc", "priority", "slot", "fetch_offset_ms")
-        .orderBy("host", "slot")
     )
 
 
@@ -197,7 +196,6 @@ def frontier_from_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("slot") - 1) * _POLITENESS_MS).cast("long"),
         )
         .select("host", "loc", "priority", "slot", "fetch_offset_ms")
-        .orderBy("host", "slot")
     )
 
 
@@ -305,7 +303,6 @@ def frontier_crawl_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("host", "loc", "priority", "slot", "crawl_delay_s",
                 "fetch_offset_ms")
-        .orderBy("host", "slot")
     )
 
 

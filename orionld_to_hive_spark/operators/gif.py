@@ -607,9 +607,7 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
 
 
 def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gif_frame_stats(gif_assets_from_documents(spark, sf_dir)).orderBy(
-        "asset_id", "frame_index"
-    )
+    return gif_frame_stats(gif_assets_from_documents(spark, sf_dir))
 
 
 def gif_anim_summary(df: DataFrame) -> DataFrame:
@@ -637,9 +635,7 @@ def gif_anim_summary(df: DataFrame) -> DataFrame:
 
 
 def multimodal_gif_anim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gif_anim_summary(gif_assets_from_documents(spark, sf_dir)).orderBy(
-        "asset_id"
-    )
+    return gif_anim_summary(gif_assets_from_documents(spark, sf_dir))
 
 
 # Closed-form oracles: frame k of doc d is text bytes [256k, 256k+256)
@@ -724,7 +720,7 @@ def multimodal_gif_selective_frames(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     survivors = with_meta.filter(F.col("n_frames") >= 2).drop("n_frames")
-    return gif_frame_stats(survivors).orderBy("asset_id", "frame_index")
+    return gif_frame_stats(survivors)
 
 
 MULTIMODAL_GIF_SELECTIVE_SQL = MULTIMODAL_GIF_FRAMES_SQL.replace(

@@ -243,7 +243,7 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, HTML_EXTRACT_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, HTML_EXTRACT_SCHEMA)
 
 
 def warc_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +307,7 @@ def warc_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, HTML_EXTRACT_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, HTML_EXTRACT_SCHEMA)
 
 
 # expected page text: 't{id}\nDoc {id}!\n' + normalized(text) + '\n'
@@ -501,7 +501,7 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, MAIN_CONTENT_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, MAIN_CONTENT_SCHEMA)
 
 
 # The fixture always yields 5 non-empty blocks (nav, h1, p, p, the

@@ -1417,9 +1417,7 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jpeg_pixel_stats(jpeg_assets_from_documents(spark, sf_dir)).orderBy(
-        "asset_id"
-    )
+    return jpeg_pixel_stats(jpeg_assets_from_documents(spark, sf_dir))
 
 
 def jpeg_progressive_assets_from_documents(
@@ -1441,7 +1439,7 @@ def multimodal_jpeg_progressive_stats(
     shares the grey byte-domain oracle with multimodal_jpeg_stats."""
     return jpeg_pixel_stats(
         jpeg_progressive_assets_from_documents(spark, sf_dir)
-    ).orderBy("asset_id")
+    )
 
 
 def multimodal_jpeg_progressive_color_stats(
@@ -1455,7 +1453,7 @@ def multimodal_jpeg_progressive_color_stats(
         _assets_from_documents(
             spark, sf_dir, encode_jpeg_color_flat_progressive
         )
-    ).orderBy("asset_id")
+    )
 
 
 def jpeg_color_assets_from_documents(
@@ -1473,7 +1471,7 @@ def multimodal_jpeg_color_stats(
     transform constant shifts a stat."""
     return jpeg_pixel_stats(
         jpeg_color_assets_from_documents(spark, sf_dir)
-    ).orderBy("asset_id")
+    )
 
 
 # Byte-domain oracle: byte b → 64 pixels of exactly b; rows of
@@ -1535,7 +1533,7 @@ def multimodal_jpeg_cmyk_stats(
     4-plane assembly are on the oracle path."""
     return jpeg_pixel_stats(
         jpeg_cmyk_assets_from_documents(spark, sf_dir)
-    ).orderBy("asset_id")
+    )
 
 
 # CMYK byte-domain oracle: byte b → 64 CMYK pixels (b, min(b+64,255),
@@ -1620,7 +1618,7 @@ def _jpeg_selective(spark, sf_dir: str, min_rows: int) -> DataFrame:
         .filter(F.col("height") >= 8 * min_rows)
         .select("asset_id", "payload", "mime")
     )
-    return jpeg_pixel_stats(survivors).orderBy("asset_id")
+    return jpeg_pixel_stats(survivors)
 
 
 def multimodal_jpeg_selective_stats(

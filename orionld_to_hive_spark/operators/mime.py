@@ -356,7 +356,7 @@ def eml_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, EML_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, EML_SCHEMA)
 
 
 # closed forms of encode_eml; body_text ≡ documents.text bit-for-bit.

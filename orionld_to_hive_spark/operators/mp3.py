@@ -337,7 +337,7 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, MP3_META_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, MP3_META_SCHEMA)
 
 
 # spf·1000/rate per config: cfg0 1152000/44100, cfg1 576000/22050,
@@ -548,7 +548,7 @@ def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, MP3_ID3_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, MP3_ID3_SCHEMA)
 
 
 MP3_ID3_SQL = """

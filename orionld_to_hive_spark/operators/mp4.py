@@ -203,7 +203,7 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, MP4_META_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, MP4_META_SCHEMA)
 
 
 MULTIMODAL_MP4_SQL = """

@@ -328,7 +328,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload must hash-prefix-match the original's truncation (asserted
     in tests); here we return the length accounting (oracle-checkable)."""
     resized = resize_assets(assets_from_documents(spark, sf_dir))
-    return resized.select("asset_id", "orig_len", "resized_len").orderBy("asset_id")
+    return resized.select("asset_id", "orig_len", "resized_len")
 
 
 MULTIMODAL_RESIZE_SQL = """
@@ -389,7 +389,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(assets_from_documents(spark, sf_dir))
-    return frames.orderBy("asset_id", "frame_index")
+    return frames
 
 
 MULTIMODAL_FRAME_SQL = f"""
@@ -514,7 +514,7 @@ def audio_energy(df: DataFrame) -> DataFrame:
 
 
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_energy(assets_from_documents(spark, sf_dir)).orderBy("asset_id")
+    return audio_energy(assets_from_documents(spark, sf_dir))
 
 
 # DuckDB twin of the window math above. Each byte at offset i belongs
@@ -795,7 +795,7 @@ def mulaw_audio_energy(df: DataFrame) -> DataFrame:
 def multimodal_wav_mulaw_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mulaw_audio_energy(
         wav_mulaw_assets_from_documents(spark, sf_dir)
-    ).orderBy("asset_id")
+    )
 
 
 # the G.711 expansion in SQL: u = ~code = 255 - code; exp/mantissa
@@ -1491,7 +1491,7 @@ def multimodal_png_palette_stats(
     slip over the index stream breaks the hash."""
     return png_pixel_stats(
         palette_png_assets_from_documents(spark, sf_dir)
-    ).orderBy("asset_id")
+    )
 
 
 def multimodal_png_palette4_stats(
@@ -1767,7 +1767,7 @@ def multimodal_png_alpha_stats(
 
     return docs.mapInPandas(
         synth_and_stats, PNG_ALPHA_STATS_SCHEMA
-    ).orderBy("asset_id")
+    )
 
 
 # Alpha byte-domain twin: per index the (alpha, premultiplied-channel

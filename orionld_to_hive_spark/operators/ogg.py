@@ -323,7 +323,7 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, OGG_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, OGG_SCHEMA)
 
 
 # closed forms of encode_ogg: codec/channels by parity, vorbis rate by

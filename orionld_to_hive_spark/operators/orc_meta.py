@@ -270,7 +270,7 @@ def orc_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, ORC_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, ORC_SCHEMA)
 
 
 ORC_SQL = """

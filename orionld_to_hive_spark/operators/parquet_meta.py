@@ -235,7 +235,7 @@ def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out = files.mapInPandas(run, PQ_SCHEMA)
-    return out.where(F.col("tbl").isin(list(_TABLES))).orderBy("tbl")
+    return out.where(F.col("tbl").isin(list(_TABLES)))
 
 
 PQ_SQL = "\nUNION ALL\n".join(

@@ -870,7 +870,7 @@ def multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, PDF_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, PDF_SCHEMA)
 
 
 # closed forms of encode_pdf: n = 1 + id%4 pages; objects = catalog +
@@ -943,7 +943,7 @@ def pdf_xref_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, XREF_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, XREF_SCHEMA)
 
 
 # closed forms of encode_pdf_xref: n = 1 + id%4 pages; in-use objects
@@ -1011,7 +1011,7 @@ def pdf_hybrid_xref_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, HYBRID_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, HYBRID_SCHEMA)
 
 
 # closed forms of encode_pdf_hybrid: 2 + 2n visible objects + the two

@@ -298,7 +298,6 @@ def _distributed_gate(base: DataFrame, ua: str) -> DataFrame:
             F.coalesce(F.col("kind") == "allow", F.lit(True)).alias("allowed"),
             "rule",
         )
-        .orderBy("asset_id", "path")
     )
     return out
 

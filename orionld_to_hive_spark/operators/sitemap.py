@@ -100,7 +100,6 @@ def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         # otherwise emit two all-null rows (ADVICE r12); real rows
         # always carry a loc, so null-loc ⇔ the empty-vals artifact.
         .filter(F.col("loc").isNotNull())
-        .orderBy("asset_id", "loc")
     )
 
 
@@ -227,7 +226,7 @@ def sitemap_index_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<sitemapindex> two-level discovery: one row per (document,
     child sitemap, url). Both XML layers are parsed with the built-in
     JVM XPath — no Python anywhere in the plan."""
-    return _nested_urls(spark, sf_dir).orderBy("asset_id", "sitemap_loc", "loc")
+    return _nested_urls(spark, sf_dir)
 
 
 def robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +345,6 @@ def robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sitemap_loc",
             F.explode("vals").alias("loc"),
         )
-        .orderBy("asset_id", "sitemap_loc", "loc")
     )
 
 

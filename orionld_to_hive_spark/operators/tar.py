@@ -382,7 +382,7 @@ def webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WDS_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WDS_SCHEMA)
 
 
 # per doc: .txt = octet_length(text); .cls = 1 byte; even ids add a
@@ -452,7 +452,7 @@ def webdataset_manifest_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WDS_TOL_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WDS_TOL_SCHEMA)
 
 
 # closed forms: members = .txt + .cls (+ .json when id%3==0); one

@@ -129,7 +129,6 @@ def url_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             host.alias("host"),
             _registered_domain(host).alias("registered_domain"),
         )
-        .orderBy("asset_id")
     )
 
 

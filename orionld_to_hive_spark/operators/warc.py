@@ -646,7 +646,7 @@ def multimodal_warc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WARC_META_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WARC_META_SCHEMA)
 
 
 WARC_EXTRACT_SCHEMA = T.StructType(
@@ -697,7 +697,7 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WARC_EXTRACT_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WARC_EXTRACT_SCHEMA)
 
 
 WARC_EXTRACT_SQL = """
@@ -778,7 +778,7 @@ def warc_text_extraction_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WARC_CHARSET_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WARC_CHARSET_SCHEMA)
 
 
 # branch map mirrors encode_warc_http_charset; `a` is the printable-
@@ -865,7 +865,7 @@ def warc_content_encoding_extraction(spark: SparkSession, sf_dir: str) -> DataFr
                 }
             )
 
-    return docs.mapInPandas(run, WARC_CE_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WARC_CE_SCHEMA)
 
 
 # branch map mirrors encode_warc_http_ce; `a` is the printable-ASCII
@@ -979,7 +979,7 @@ def warc_chunked_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WARC_CHUNKED_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WARC_CHUNKED_SCHEMA)
 
 
 WARC_CHUNKED_SQL = """
@@ -1046,7 +1046,7 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WARC_CDX_SCHEMA).orderBy("asset_id", "rec_seq")
+    return docs.mapInPandas(run, WARC_CDX_SCHEMA)
 
 
 # Byte-exact closed forms of encode_warc_cdx (pinned by

@@ -276,7 +276,7 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, WEBP_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, WEBP_SCHEMA)
 
 
 # variant by doc_id mod 3; dims 16+id%100 / 16+id%57; alpha only on

@@ -318,7 +318,7 @@ def zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, ZIP_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, ZIP_SCHEMA)
 
 
 # per doc: .txt = octet_length(text) deflated; .cls = 1 stored byte;

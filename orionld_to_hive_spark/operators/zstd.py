@@ -281,7 +281,7 @@ def zstd_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, ZSTD_SCHEMA).orderBy("asset_id")
+    return docs.mapInPandas(run, ZSTD_SCHEMA)
 
 
 # closed forms of encode_zstd: skippable for even ids; blocks =

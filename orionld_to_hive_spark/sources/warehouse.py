@@ -75,7 +75,18 @@ def load_docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     tax). On a real cluster the input already has file-split
     parallelism and the tiny round-robin exchange (the projected
     doc_id+text columns) is noise next to the per-row Python work —
-    while HERE it buys the full defaultParallelism fan-out."""
+    while HERE it buys the full defaultParallelism fan-out.
+
+    r13 optimization note (guide §2.4): walker queries downstream of
+    this spread used to end in `.orderBy("asset_id")` — a
+    presentation-only total sort. Its RangePartitioning exchange
+    samples partition bounds with a SEPARATE job that re-executes the
+    narrow mapInPandas stage above the round-robin shuffle, i.e. the
+    whole Python walk ran TWICE per action, plus the sort shuffle
+    itself. The driver's value hash and the in-repo oracle diff are
+    order-insensitive, so the sorts were dropped fleet-wide; at
+    100 TB a total sort of walker output is exactly the accidental
+    Exchange the guide says to remove."""
     return (
         load_table(spark, sf_dir, "documents")
         .select(*(cols or ("doc_id", "text")))

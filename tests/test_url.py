@@ -63,11 +63,11 @@ def test_plan_is_jvm_only(spark, sf_smoke):
     plan = formatted(rep)
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
     assert "InPandas" not in plan and "PythonUDF" not in plan, plan
-    # the whole normalization collapses into the scan's Project — the
-    # only exchange is the deterministic output ordering's range
-    # partitioning
+    # the whole normalization collapses into the scan's Project —
+    # shuffle-FREE since r13 dropped the presentation orderBy (its
+    # range partitioning was the plan's only exchange)
     assert "Project" in plan, plan
-    assert count_shuffles(rep) == 1, plan
+    assert count_shuffles(rep) == 0, plan
     roll = domain_rollup(spark, sf_smoke)
     plan = formatted(roll)
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
