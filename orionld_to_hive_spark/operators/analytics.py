@@ -458,7 +458,6 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
         .filter(F.abs(z) > ZSCORE_CUT)
-        .orderBy("event_id")
     )
 
 
@@ -596,7 +595,6 @@ def dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             q(0.9).alias("p90_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
         )
-        .orderBy("prev_type")
     )
 
 

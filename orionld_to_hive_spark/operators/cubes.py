@@ -58,7 +58,6 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_s").cast("double").alias("sum_price"),
         )
         .select("gid", "l_returnflag", "l_linestatus", "n_items", "sum_price")
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 

@@ -381,7 +381,6 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_tokens"),
         )
-        .orderBy("source")
     )
 
 

@@ -91,7 +91,6 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_kept"),
             davg("quality", "mean_quality"),
         )
-        .orderBy("lang", "source")
     )
 
 

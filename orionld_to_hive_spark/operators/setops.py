@@ -31,7 +31,6 @@ def intersect_buyers_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _users_of(events, "purchase")
         .intersect(_users_of(events, "click"))
-        .orderBy("user_id")
     )
 
 

@@ -1457,7 +1457,6 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
             (F.col("n_points") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
         )
-        .orderBy("cid")
     )
 
 
@@ -1586,7 +1585,6 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("long")
             .alias("n_saturated"),
         )
-        .orderBy("vec_id")
     )
 
 

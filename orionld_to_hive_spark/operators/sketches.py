@@ -45,7 +45,6 @@ def ndv_exact_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -388,7 +387,6 @@ def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.join(F.broadcast(cm), ["i", "bucket"])
         .groupBy("user_id", "exact_n")
         .agg(F.min("bucket_n").alias("cm_est"))
-        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
     )
 
 

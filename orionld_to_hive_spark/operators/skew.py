@@ -74,7 +74,6 @@ def skew_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice", "revenue"),
         )
-        .orderBy("c_mktsegment")
     )
 
 

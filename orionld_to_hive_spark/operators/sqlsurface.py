@@ -38,7 +38,6 @@ def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.to_date("ts")).alias("n_active_days"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 

@@ -74,7 +74,7 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_q, 6).alias("var_qty"),
         F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
         F.round(corr, 6).alias("corr_qty_price"),
-    ).orderBy("l_returnflag")
+    )
 
 
 STATS_MOMENTS_SQL = """

@@ -283,7 +283,6 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -428,7 +427,6 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -544,7 +542,6 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
             davg("value", "mean_value"),
         )
-        .orderBy("bar_ts", "event_type")
     )
 
 
@@ -684,7 +681,6 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 6).alias("v_interp"),
             F.col("v").isNull().alias("is_interpolated"),
         )
-        .orderBy("event_type", "hour")
     )
 
 

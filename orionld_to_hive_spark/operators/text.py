@@ -778,7 +778,6 @@ def doc_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_2gram_frac"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -834,7 +833,6 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .select("span", "n_docs", "n_occurrences", "first_doc_id")
-        .orderBy("span")
     )
 
 
@@ -1026,7 +1024,6 @@ def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("term").cast("double"), 9).alias("entropy"),
             F.count(F.lit(1)).alias("n_distinct_tokens"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1120,7 +1117,6 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("oov_rate"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1190,7 +1186,7 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
         keep.alias("gopher_keep"),
-    ).orderBy("doc_id")
+    )
 
 
 GOPHER_QUALITY_SQL = f"""
@@ -1360,7 +1356,6 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg_lp", 6).alias("avg_logprob"),
             F.round(F.exp(-F.col("avg_lp")), 6).alias("perplexity"),
         )
-        .orderBy("doc_id")
     )
 
 

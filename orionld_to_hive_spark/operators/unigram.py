@@ -301,7 +301,6 @@ def unigram_tokenize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wcnt").alias("n_tokens"),
             F.countDistinct("word").alias("n_words"),
         )
-        .orderBy("piece")
     )
 
 
