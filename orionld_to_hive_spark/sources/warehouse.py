@@ -63,6 +63,76 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load_table_cached(spark, cache, sf_dir, name)
 
 
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Effective scan-stage parallelism of a table's file layout.
+
+    A parquet ROW GROUP is the unsplittable read unit: a byte-range
+    split yields a non-empty task only for row groups whose midpoint
+    falls inside it, so a single-file single-row-group table (the
+    driver testdata's layout at every sf) scans as ONE task no matter
+    what `spark.sql.files.maxPartitionBytes` says. Effective
+    parallelism is therefore the TOTAL ROW-GROUP COUNT across the
+    table's files, capped by the size-based split count. Footers are
+    read once per (sf_dir, table) and memoized on the session (same
+    lifetime contract as load_table's plan cache)."""
+    cache = getattr(spark, "_graft_split_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_split_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    groups = 0
+    total = 0
+    for f in files:
+        groups += max(1, pq.ParquetFile(f).metadata.num_row_groups)
+        total += os.path.getsize(f)
+    # Spark packs small files into byte-range splits (maxPartitionBytes,
+    # openCostInBytes per file) — a thousand row groups in one 100 MB
+    # file still scan as one task. Effective parallelism is the
+    # smaller of the two limits.
+    max_split = 128 << 20
+    open_cost = 4 << 20
+    size_splits = max(1, (total + open_cost * len(files)) // max_split)
+    cache[key] = min(groups, int(size_splits))
+    return cache[key]
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *cols: str
+) -> DataFrame:
+    """A fact-table scan with LAYOUT-ADAPTIVE parallelism (r13, guide
+    §2.5 input skew): when the table's file layout cannot feed at
+    least defaultParallelism scan tasks (the local corpus is one
+    parquet file with one row group — every scan stage in the engine
+    otherwise runs on a single core), round-robin-spread the projected
+    scan output across the session's cores. On a layout with real
+    splits (many files / row groups — any production table) the
+    condition is false and NO exchange is injected, so this is not a
+    local[32] constant: it is derived from the input, which is what
+    makes it honest at 100 TB. Projection happens before the exchange
+    (guide §2.3 — only the used columns cross)."""
+    df = load_table(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, name) < par:
+        df = df.repartition(par)
+    return df
+
+
 def load_docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """`documents` projected to `cols` and round-robin-spread across
     the session's cores — the input stage for every CPU-bound Python
@@ -86,12 +156,12 @@ def load_docs_spread(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     itself. The driver's value hash and the in-repo oracle diff are
     order-insensitive, so the sorts were dropped fleet-wide; at
     100 TB a total sort of walker output is exactly the accidental
-    Exchange the guide says to remove."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(*(cols or ("doc_id", "text")))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    Exchange the guide says to remove.
+
+    r13: routed through `load_spread`, so the exchange is injected
+    only when the file layout actually starves the cores (always true
+    for the local corpus, never for a production many-file table)."""
+    return load_spread(spark, sf_dir, "documents", *(cols or ("doc_id", "text")))
 
 
 def clear_table_cache(spark: SparkSession, sf_dir: str | None = None) -> int:
