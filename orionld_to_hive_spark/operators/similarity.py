@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from orionld_to_hive_spark.functions.vectors import as_double, cosine
-from orionld_to_hive_spark.sources.warehouse import load_table
+from orionld_to_hive_spark.sources.warehouse import load_table, table_rows
 
 N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
@@ -1358,7 +1358,11 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orionld_to_hive_spark.functions.vectors import dot, norm2
 
     emb = _emb(spark, sf_dir).select("vec_id", "vec").persist()
-    cdf = _kmeans_fit(spark, emb, k=_semdedup_k(emb.count()), fast=True)
+    # k derives from |embeddings| — parquet footer metadata, not a
+    # count() scan job (r13; _emb is the unfiltered table, so the
+    # values are identical and DuckDB's reader agrees)
+    n = table_rows(spark, sf_dir, "embeddings")
+    cdf = _kmeans_fit(spark, emb, k=_semdedup_k(n), fast=True)
     centroids = [
         (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cdf.collect()
     ]
@@ -1440,16 +1444,17 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = asg.groupBy("cid").applyInPandas(cluster_pairs, pair_schema)
     pts = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
-    dup = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-    drp = (
-        pairs.select("cid", "loser")
-        .distinct()
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    # ONE pass over the pair stream (r13): the previous dup/drp
+    # branches each re-executed the applyInPandas matmul stage
+    # (pairs was never persisted), paying the per-cluster S = NV@NVᵀ
+    # twice plus two shuffles; count + countDistinct(loser) in a
+    # single groupBy is the identical arithmetic.
+    dup = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("loser").alias("n_dropped"),
     )
     return (
         pts.join(dup, "cid", "left")
-        .join(drp, "cid", "left")
         .select(
             "cid",
             "n_points",

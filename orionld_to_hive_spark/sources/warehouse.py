@@ -110,6 +110,36 @@ def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
     return cache[key]
 
 
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of an (immutable, unfiltered) warehouse table
+    from parquet footer metadata — what `df.count()` computes with a
+    full scan job. Used where a query needs |table| as a scalar (e.g.
+    SemDeDup's k = n // target): one fewer driver-synchronous job,
+    same number, and DuckDB's reader derives the same value from the
+    same footers. Cached alongside the split counts."""
+    cache = getattr(spark, "_graft_rows_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_rows_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    cache[key] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return cache[key]
+
+
 def load_spread(
     spark: SparkSession, sf_dir: str, name: str, *cols: str
 ) -> DataFrame:
