@@ -47,7 +47,6 @@ def udf_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                round(chars_per_token(text), 6) AS chars_per_token
         FROM documents
-        ORDER BY doc_id
         """
     )
 
@@ -102,7 +101,6 @@ def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(median_agg("value"), 6).alias("median_value"),
             count_agg("value").alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 

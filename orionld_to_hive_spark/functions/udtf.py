@@ -51,7 +51,6 @@ def sentence_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
         FROM docs_udtf d, LATERAL sentence_split(d.text) s
-        ORDER BY d.doc_id, s.sent_idx
         """
     )
 

@@ -110,7 +110,6 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
-        .orderBy("cohort_day", "day_offset")
     )
 
 
@@ -161,7 +160,7 @@ def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_items"),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
-    ).orderBy("l_returnflag")
+    )
 
 
 REGRESSION_SQL = """
@@ -205,7 +204,6 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[1], 6).alias("p50"),
             F.round(F.col("p")[2], 6).alias("p75"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -235,7 +233,6 @@ def modal_hour_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("hr").alias("modal_hour"), F.col("n").alias("n_at_mode"))
-        .orderBy("event_type")
     )
 
 
@@ -291,7 +288,6 @@ def winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(clipped.cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))
             ).alias("mean_winsorized"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -379,7 +375,6 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_monetary"),
         )
-        .orderBy("segment")
     )
 
 
@@ -510,7 +505,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n_trans",
         F.round(F.col("n_trans") / row_tot, 6).alias("p"),
-    ).orderBy("prev_type", "next_type")
+    )
 
 
 TRANSITION_SQL = """
@@ -787,7 +782,6 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_outliers"
             ),
         )
-        .orderBy("event_type")
     )
 
 
@@ -905,7 +899,6 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_churned_after"),
         )
-        .orderBy("day")
     )
 
 

@@ -86,7 +86,6 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_live_value",
             ),
         )
-        .orderBy("event_type")
     )
 
 

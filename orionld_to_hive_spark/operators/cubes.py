@@ -130,7 +130,7 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
             for t in EVENT_TYPES
         ],
-    ).orderBy("day")
+    )
 
 
 PIVOT_SQL = """
@@ -160,7 +160,6 @@ def unpivot_measure_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         long.groupBy("measure")
         .agg(F.count(F.lit(1)).alias("n"), dsum("val", "total"))
-        .orderBy("measure")
     )
 
 

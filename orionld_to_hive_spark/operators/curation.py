@@ -506,7 +506,6 @@ def budget_select_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("kept_tokens"),
             F.min("b_star").alias("threshold_bin"),
         )
-        .orderBy("source")
     )
 
 
@@ -586,7 +585,6 @@ def fuzzy_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
         )
         .filter(F.col("dist") <= _ER_MAX_DIST)
-        .orderBy("cust_a", "cust_b")
     )
 
 
@@ -696,7 +694,6 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").alias("tokens_a"),
             F.col("n_b").alias("tokens_b"),
         )
-        .orderBy("source_a", "source_b")
     )
 
 

@@ -251,9 +251,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(LSH_BANDS)
     ]
+    # persisted: the a/b self-join plans as a broadcast join here, so
+    # WITHOUT the cache each side re-executed the signature pipeline
+    # (posting explode + the 12-min groupBy — the expensive stage);
+    # the bucket frame is |docs|×16 rows of three ints (r13)
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.sig")
+    ).select("doc_id", "bk.band", "bk.sig").persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
@@ -402,7 +406,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -535,7 +538,6 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .select(F.col("label").alias("canonical_doc_id"), "cluster_size")
-        .orderBy("canonical_doc_id")
     )
 
 
@@ -592,7 +594,6 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -660,7 +661,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cluster_size"),
             F.max("n_tokens").alias("kept_n_tokens"),
         )
-        .orderBy("cluster_id")
     )
 
 
@@ -758,7 +758,6 @@ def jaccard_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round("jaccard", 6).alias("jaccard"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -823,12 +822,23 @@ EXACT_SUBSTR_K = 8
 def _substr_grams(docs: DataFrame) -> DataFrame:
     """Every overlapping EXACT_SUBSTR_K-gram occurrence as
     (doc_id, pos, gh). `docs` must carry a `toks` array column."""
-    from orionld_to_hive_spark.operators.text import _word_grams
+    from orionld_to_hive_spark.operators.text import (
+        _gram_structs,
+        _gram_value,
+    )
 
+    # explode the raw k-token tuples FIRST, digest after the Generate:
+    # the md5+concat then run compiled instead of inside _word_grams'
+    # interpreted transform lambda (r13; identical rows and values)
     return docs.select(
         "doc_id",
-        F.posexplode(_word_grams(F.col("toks"), EXACT_SUBSTR_K, hashed=True))
-        .alias("pos", "gh"),
+        F.posexplode(_gram_structs(F.col("toks"), EXACT_SUBSTR_K)).alias(
+            "pos", "s"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        _gram_value(F.col("s"), EXACT_SUBSTR_K, hashed=True).alias("gh"),
     )
 
 
@@ -903,29 +913,41 @@ def _substr_cut_covered(docs: DataFrame, covered: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint").alias("n_removed"),
         F.array_join("toks", " ").alias("cleaned_text"),
     )
-    return rebuilt.unionAll(untouched).orderBy("doc_id")
+    # no trailing presentation sort (r13): the driver hash is
+    # order-insensitive and the streaming view orders at read time
+    return rebuilt.unionAll(untouched)
 
 
 def _substr_dups(docs: DataFrame) -> DataFrame:
     """The duplicated (non-first) gram occurrences (doc_id, pos) of a
     corpus frame — the shared detection stage of the rewrite and the
     span report."""
-    grams = _substr_grams(docs)
+    # (doc_id, pos) packed into ONE bigint: min(struct(...)) is a
+    # lexicographic argmin but a struct aggregation buffer is not
+    # UnsafeRow-mutable, so Spark planned a SortAggregate — the whole
+    # gram stream sorted by gh map-side AND post-shuffle. min(bigint)
+    # hash-aggregates with map-side combine. Equivalence: pack =
+    # doc_id·2³² | pos orders exactly like (doc_id, pos) while
+    # 0 ≤ doc_id < 2³¹ and 0 ≤ pos < 2³² (pos is a posexplode index;
+    # shard doc_id upstream long before 2 billion documents).
+    grams = _substr_grams(docs).withColumn(
+        "pk",
+        F.shiftleft(F.col("doc_id").cast("long"), 32).bitwiseOR(
+            F.col("pos").cast("long")
+        ),
+    )
     firsts = (
         grams.groupBy("gh")
         .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.min("pk").alias("first_pk"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .filter(F.col("cnt") > 1)
-        .select("gh", "first")
+        .select("gh", "first_pk")
     )
     return (
         grams.join(firsts, "gh")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        .filter(F.col("pk") != F.col("first_pk"))
         .select("doc_id", "pos")
     )
 
@@ -1038,7 +1060,6 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
             ).alias("covered_frac"),
         )
-        .orderBy("doc_id")
     )
 
 

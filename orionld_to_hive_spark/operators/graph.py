@@ -90,7 +90,6 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("degree")
     )
 
 
@@ -138,7 +137,6 @@ def graph_common_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("n_common_parts"))
         .filter(F.col("n_common_parts") >= 2)
-        .orderBy(F.col("n_common_parts").desc(), "supp_a", "supp_b")
     )
 
 
@@ -558,7 +556,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "community_size"
             ),
         )
-        .orderBy("n_name")
     )
 
 
@@ -649,7 +646,6 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dist.groupBy("hop")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .orderBy("hop")
     )
 
 

@@ -687,9 +687,7 @@ def wav_audio_energy(df: DataFrame) -> DataFrame:
 
 
 def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return wav_audio_energy(wav_assets_from_documents(spark, sf_dir)).orderBy(
-        "asset_id"
-    )
+    return wav_audio_energy(wav_assets_from_documents(spark, sf_dir))
 
 
 MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
@@ -1443,9 +1441,7 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return png_pixel_stats(png_assets_from_documents(spark, sf_dir)).orderBy(
-        "asset_id"
-    )
+    return png_pixel_stats(png_assets_from_documents(spark, sf_dir))
 
 
 def palette_png_assets_from_documents(
@@ -1530,9 +1526,7 @@ def multimodal_png_palette4_stats(
             T.StructField("mime", T.StringType(), True),
         ]
     )
-    return png_pixel_stats(docs.mapInPandas(synth, schema)).orderBy(
-        "asset_id"
-    )
+    return png_pixel_stats(docs.mapInPandas(synth, schema))
 
 
 # Byte-domain twin: the decoded raster is the utf-8 bytes zero-padded
@@ -1920,7 +1914,6 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .orderBy("asset_a", "asset_b")
     )
 
 

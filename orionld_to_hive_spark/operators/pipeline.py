@@ -150,7 +150,6 @@ def train_val_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
-        .orderBy("split", "lang")
     )
 
 
@@ -255,7 +254,6 @@ def shard_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
-        .orderBy("shard")
     )
 
 
@@ -304,7 +302,6 @@ def pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
         )
-        .orderBy("source", "pack_id")
     )
 
 
@@ -364,7 +361,6 @@ def mixture_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
             F.sum("kept").alias("n_kept"),
         )
-        .orderBy("tier", "source")
     )
 
 
@@ -411,7 +407,6 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= RESERVOIR_K)
-        .orderBy("source", "sample_rank")
     )
 
 
@@ -464,7 +459,6 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= WEIGHTED_K)
         .select("source", "sample_rank", "doc_id", "n_chars")
-        .orderBy("source", "sample_rank")
     )
 
 
@@ -511,7 +505,6 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(token.alias("user_token"), "event_type")
         .groupBy("user_token")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_token")
     )
 
 
@@ -619,7 +612,6 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("n_secrets"),
             F.sum("delta").alias("redaction_len_delta"),
         )
-        .orderBy("source")
     )
 
 
@@ -721,7 +713,6 @@ def dp_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             noise.alias("noise"),
             F.round(F.col("true_n") + noise, 6).alias("noised_n"),
         )
-        .orderBy("event_type")
     )
 
 

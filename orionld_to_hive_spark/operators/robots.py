@@ -234,6 +234,11 @@ def _distributed_gate(base: DataFrame, ua: str) -> DataFrame:
             & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
         ).cast("int"),
     ).withColumn("group_id", F.sum("group_start").over(w))
+    # four downstream consumers (agents → named/best_len/star, rules)
+    # re-executed the parse + window lineage each; the segmented-line
+    # frame is rules-per-host-sized (metadata, not corpus), so cache
+    # it once per query evaluation (r13)
+    seg = seg.persist()
 
     agents = (
         seg.where(F.col("key") == "user-agent")

@@ -48,7 +48,6 @@ def except_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _users_of(events, "click")
         .subtract(_users_of(events, "purchase"))
-        .orderBy("user_id")
     )
 
 
@@ -70,7 +69,6 @@ def except_all_view_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(_users_of(events, "error"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("surplus"))
-        .orderBy("user_id")
     )
 
 
@@ -96,7 +94,6 @@ def intersect_all_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         view_days.intersectAll(click_days)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .orderBy("user_id")
     )
 
 
@@ -117,7 +114,6 @@ def union_distinct_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _users_of(events, "purchase")
         .union(_users_of(events, "signup"))
         .distinct()
-        .orderBy("user_id")
     )
 
 

@@ -653,7 +653,6 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "recall", F.round(F.col("n_hits") / F.col("n_true"), 6)
         )
-        .orderBy("query_id")
     )
 
 
@@ -839,7 +838,6 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         )
         .withColumn("recall", F.round(F.col("n_hits") / F.col("n_true"), 6))
-        .orderBy("query_id")
     )
 
 
@@ -1318,7 +1316,6 @@ def kmeans_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round(F.col("d"), 6).cast(DECIMAL_T)).cast("double"), 6
             ).alias("inertia"),
         )
-        .orderBy("cid")
     )
 
 
@@ -1480,7 +1477,6 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .select(F.col("label").alias("canonical_vec_id"), "cluster_size")
-        .orderBy("canonical_vec_id")
     )
 
 
@@ -1533,7 +1529,7 @@ def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vec").alias("dim"),
         F.round(nrm, 6).alias("l2_norm"),
         (F.abs(nrm - F.lit(1.0)) < F.lit(1e-6)).alias("is_unit"),
-    ).orderBy("vec_id")
+    )
 
 
 EMBEDDING_NORM_SQL = """
@@ -1650,7 +1646,6 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid"
             ),
         )
-        .orderBy("label", "pos")
     )
 
 

@@ -67,7 +67,6 @@ def ndv_approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
-        .orderBy("event_type")
     )
 
 
@@ -90,7 +89,6 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_merged"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -129,7 +127,6 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_quantity").alias("q_min"),
             F.max("l_quantity").alias("q_max"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -158,7 +155,6 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
             ).alias("p50_95_99")
         )
-        .orderBy("event_type")
         .select(
             "event_type",
             F.col("p50_95_99").getItem(0).alias("p50"),
@@ -214,7 +210,6 @@ def quantile_portable_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             q(0.95).alias("p95"),
             q(0.99).alias("p99"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -274,7 +269,7 @@ def quantile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(0, 0.5).alias("q50"),
         interp(1, 0.95).alias("q95"),
         interp(2, 0.99).alias("q99"),
-    ).orderBy("event_type")
+    )
 
 
 QUANTILE_CONT_PORTABLE_SQL = """
@@ -626,7 +621,7 @@ def _hll_rollup_from_daily(daily: DataFrame) -> DataFrame:
         "event_type",
         F.round(_hll_estimate_col(), 4).alias("n_users_hll"),
         "registers_used",
-    ).orderBy("event_type")
+    )
 
 
 def hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,7 +667,7 @@ def hll_sliding_window_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(_hll_estimate_col(), 4).alias("n_users_hll_7d"),
         "registers_used",
-    ).orderBy("event_type", "day")
+    )
 
 
 _HLL_LN_VALUES = ", ".join(

@@ -109,7 +109,6 @@ def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n").alias("n_events"),
             F.sum("_sum").cast("double").alias("sum_value"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -163,7 +162,7 @@ def skew_diagnostics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = diag(keys[0])
     for k in keys[1:]:
         out = out.unionByName(diag(k))
-    return out.orderBy("join_key")
+    return out
 
 
 SKEW_DIAG_SQL = """

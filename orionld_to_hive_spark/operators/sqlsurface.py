@@ -103,7 +103,6 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min(F.coalesce(nonopen, F.lit("OPEN"))).alias("min_status_label"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -138,7 +137,6 @@ def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_member"),
         )
-        .orderBy("r_name", "n_name")
     )
 
 

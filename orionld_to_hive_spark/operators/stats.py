@@ -129,7 +129,6 @@ def array_funcs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_intersect("types", F.array(F.lit("click"), F.lit("view")))
             ).alias("n_browse_types"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -173,7 +172,6 @@ def conditional_agg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(night, 1)).alias("n_night"),
             F.round(n_big / F.count(F.lit(1)), 6).alias("big_share"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -222,7 +220,6 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(HIST_LO) + F.col("bin") * F.lit(width)).alias("bin_lo"),
             F.coalesce(F.col("count"), F.lit(0)).alias("n"),
         )
-        .orderBy("bin")
     )
 
 
@@ -312,7 +309,7 @@ def integrity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return reduce(
         DataFrame.unionByName, [pk, orphan_li, orphan_ord, null_val, empty_doc]
-    ).orderBy("check_name")
+    )
 
 
 INTEGRITY_AUDIT_SQL = """
@@ -373,7 +370,6 @@ def equidepth_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
-        .orderBy("bin")
     )
 
 
@@ -444,7 +440,6 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sums.select(F.explode(pairs).alias("p"))
         .select("p.col_a", "p.col_b", "p.pearson_r")
-        .orderBy("col_a", "col_b")
     )
 
 
@@ -701,7 +696,6 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("m", F.lit(0.5)), 5).alias("ci_mid"),
             F.round(F.percentile("m", F.lit(0.975)), 5).alias("ci_hi"),
         )
-        .orderBy("event_type")
     )
 
 

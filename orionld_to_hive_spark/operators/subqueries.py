@@ -39,7 +39,6 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(per_cust, "o_custkey")
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
-        .orderBy("o_orderkey")
     )
 
 
@@ -65,7 +64,6 @@ def orders_of_building_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_sq
         WHERE o_custkey IN (SELECT c_custkey FROM customer_sq
                             WHERE c_mktsegment = 'BUILDING')
-        ORDER BY o_orderkey
         """
     )
 
@@ -92,7 +90,6 @@ def customers_not_in_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer_sq
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_sq
                                 WHERE o_orderpriority = '1-URGENT')
-        ORDER BY c_custkey
         """
     )
 
@@ -123,7 +120,6 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top.o_orderkey").alias("o_orderkey"),
             F.col("top.o_totalprice").alias("o_totalprice"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -155,7 +151,6 @@ def acctbal_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "delta_vs_avg"
             ),
         )
-        .orderBy("c_custkey")
     )
 
 

@@ -253,7 +253,6 @@ def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "sum_value"),
         )
-        .orderBy("window_id")
     )
 
 
@@ -312,7 +311,6 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(F.explode(starts).alias("window_start"), "event_type", "value")
         .groupBy("window_start", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -377,7 +375,6 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n"),
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
         )
-        .orderBy("event_type", "hour")
     )
 
 
@@ -525,6 +522,12 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, not rows); event_id breaks ts ties so open/close are
     deterministic in both engines."""
     ev = _events(spark, sf_dir)
+    # struct ordering key ⇒ SortAggregate (struct buffers are not
+    # UnsafeRow-mutable). A DECIMAL(38,0)-packed key (unix_micros·10¹⁰
+    # + event_id) flips the plan to a hash aggregate, but the
+    # interleaved r13 A/B measured it 0.89× — the per-row wide-decimal
+    # arithmetic costs more than the sort it saves at this group
+    # cardinality. Deliberately kept as the struct form.
     key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         ev.select(
@@ -587,7 +590,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
-    ).orderBy("user_id", "valid_from", "event_id")
+    )
 
 
 SCD2_SQL = """
@@ -768,7 +771,6 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_us",
             F.round("twa", 6).alias("time_weighted_avg"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -831,7 +833,7 @@ def returns_volatility_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rets",
         F.round(mean, 6).alias("mean_log_return"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("volatility"),
-    ).orderBy("event_type")
+    )
 
 
 RETURNS_VOL_SQL = """

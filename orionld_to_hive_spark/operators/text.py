@@ -45,6 +45,28 @@ def _word_grams(toks: F.Column, k: int, hashed: bool = False) -> F.Column:
     )
 
 
+def _gram_structs(toks: F.Column, k: int) -> F.Column:
+    """The k-shifted-slice zip of `_word_grams` WITHOUT the
+    per-element concat/md5 lambda (transform lambdas run interpreted —
+    per-element cost on the hottest stream in the repo). Consumers
+    that explode anyway should posexplode THIS and apply
+    concat_ws/md5 as ordinary codegen projections after the Generate
+    (r13; bit-identical values, same row set: every slice is empty
+    when size < k, so the zip is already [] below k tokens, and NULL
+    toks explode to zero rows either way)."""
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, 1 + j, m) for j in range(k)])
+
+
+def _gram_value(s: F.Column, k: int, hashed: bool = False) -> F.Column:
+    """The gram string (or md5 digest) of one exploded `_gram_structs`
+    element — identical arithmetic to `_word_grams`' lambda, run as a
+    top-level (codegen) projection."""
+    g = F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    return F.md5(g) if hashed else g
+
+
 # --------------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, distinct count, type-token ratio, plus a
@@ -267,7 +289,6 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contamination_rate"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -343,7 +364,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term_rank", "word", "score")
-        .orderBy("doc_id", "term_rank")
     )
 
 
@@ -487,7 +507,7 @@ def text_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.filter(toks, is_word))
             - F.size(F.filter(toks, is_num))
         ).alias("n_punct_runs"),
-    ).orderBy("doc_id")
+    )
 
 
 TEXT_PRETOK_SQL = f"""
@@ -624,7 +644,6 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg_lp", 6).alias("avg_logprob"),
             F.round(F.exp(-F.col("avg_lp")), 6).alias("perplexity"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -654,24 +673,49 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# Collocation mining: top bigrams by pointwise mutual information.
-# Bigrams come from a lead() window over (doc, position) — posexplode
-# keeps token order, the window shuffles on doc_id only, and document
-# boundaries never produce cross-doc pairs. PMI combines the bigram
-# count with the two unigram counts (vocabulary-sized, so joined on
-# the word key unhinted — never force-broadcast)
-# and is round()ed to 6 dp before the top-k sort; count floor ≥ 10
-# keeps the estimates stable, ties break lexicographically.
-def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+# Shared bigram derivation (r13). Bigrams used to come from a lead()
+# window over (doc, position): posexplode → Exchange(doc_id) → Sort →
+# lead, and every consumer of the bigram stream re-executed that
+# shuffle+sort. Adjacent pairs are a purely LOCAL property of the
+# token array, so zip the array with itself shifted by one (slice +
+# arrays_zip, both codegen built-ins): zero exchanges, zero sorts,
+# document boundaries still never produce cross-doc pairs. The
+# empty-token filter is array_remove BEFORE pairing — identical to the
+# old w != '' filter applied before the window (split-on-\s+ of
+# trimmed text only yields '' for all-whitespace docs, where both
+# forms yield no rows).
+def _token_arr() -> F.Column:
+    return F.array_remove(F.split(F.trim("text"), r"\s+"), "")
 
+
+def _flat_words(docs: DataFrame) -> DataFrame:
+    """The flat token stream (doc-order irrelevant): (w) per occurrence."""
+    return docs.select(F.explode(_token_arr()).alias("w"))
+
+
+def _adjacent_bigrams(docs: DataFrame) -> DataFrame:
+    """Every adjacent token pair as (doc_id, w, w2) — no window, no
+    shuffle: pairs are zipped from the token array directly."""
+    a = _token_arr()
+    n1 = F.greatest(F.size(a) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(a, 1, n1).alias("w"), F.slice(a, 2, n1).alias("w2")
+    )
+    return docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w").alias("w"), F.col("p.w2").alias("w2"))
+
+
+# Collocation mining: top bigrams by pointwise mutual information.
+# PMI combines the bigram count with the two unigram counts
+# (vocabulary-sized, so joined on the word key unhinted — never
+# force-broadcast) and is round()ed to 6 dp before the top-k sort;
+# count floor ≥ 10 keeps the estimates stable, ties break
+# lexicographically.
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = words.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
+    words = _flat_words(docs)
+    bigrams = _adjacent_bigrams(docs)
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     n_uni = words.agg(F.count(F.lit(1)).alias("n_uni"))
     n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
@@ -944,7 +988,6 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"),
             ).alias("cleaned_text"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1055,7 +1098,8 @@ NGRAM_TOPK = 20
 def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
-        .select(F.explode(_word_grams(_toks(), 3)).alias("gram"))
+        .select(F.explode(_gram_structs(_toks(), 3)).alias("s"))
+        .select(_gram_value(F.col("s"), 3).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
@@ -1264,7 +1308,6 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_bytes") / F.greatest("total_pretokens", F.lit(1)), 6
             ).alias("bytes_per_pretoken"),
         )
-        .orderBy("lang")
     )
 
 
@@ -1321,15 +1364,9 @@ ORDER BY lang
 # reusable), not within this single scoring pass, where the map-side
 # partial aggregation on the exploded stream is already optimal.
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = words.withColumn("w2", nxt).filter(F.col("w2").isNotNull())
+    words = _flat_words(docs)
+    bigrams = _adjacent_bigrams(docs)
     db = bigrams.groupBy("doc_id", "w", "w2").agg(F.count(F.lit(1)).alias("c"))
     cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))

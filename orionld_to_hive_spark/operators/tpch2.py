@@ -56,7 +56,6 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, on=late, how="left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -147,7 +146,6 @@ def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -275,7 +273,6 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total_df))
         .filter(F.col("pv_dec").cast("double") > 0.001 * F.col("total_value"))
         .select("l_partkey", F.col("pv_dec").cast("double").alias("part_value"))
-        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
 
 
@@ -324,7 +321,6 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal", "totacctbal"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -475,7 +471,6 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -543,7 +538,6 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
             dsum(volume, "total_volume"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -646,9 +640,6 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excluded, ps.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
-        )
     )
 
 
@@ -694,7 +685,6 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
-        .orderBy("s_name")
     )
 
 
@@ -832,7 +822,6 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cust_nk") == F.col("supp_nk"))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 

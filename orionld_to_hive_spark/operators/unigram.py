@@ -375,7 +375,6 @@ def unigram_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
             (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
         )
-        .orderBy("source")
     )
 
 

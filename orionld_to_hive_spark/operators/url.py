@@ -146,7 +146,6 @@ def domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("path").cast("bigint").alias("n_paths"),
         )
-        .orderBy("registered_domain")
     )
 
 

@@ -228,7 +228,7 @@ def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.lag("n_events", 1).over(w).alias("prev_n"),
         F.lead("n_events", 1).over(w).alias("next_n"),
-    ).orderBy("event_type", "rnk", "user_id")
+    )
 
 
 RANKING_SQL = """
