@@ -340,7 +340,11 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the vocab-sized count table feeds BOTH the corpus
+    # total (broadcast build) and the LM projection — without the cache
+    # the words→groupBy pipeline executed twice (r13, interleaved A/B
+    # 1.06×, one vocab aggregation instead of two at any scale)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
     # corpus total via 1-row agg broadcast, not a global window (which
     # would move the whole vocabulary frame through one task at scale)
     total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))

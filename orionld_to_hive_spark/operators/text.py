@@ -624,7 +624,10 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: feeds both the corpus-total broadcast and the LM
+    # projection (one vocab aggregation instead of two — r13, same
+    # pattern as quality_ensemble_report)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
     total_df = counts.agg(F.sum("c").cast("double").alias("corpus_total"))
     lm = counts.crossJoin(F.broadcast(total_df)).select(
         "word",
@@ -716,10 +719,14 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     words = _flat_words(docs)
     bigrams = _adjacent_bigrams(docs)
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    n_uni = words.agg(F.count(F.lit(1)).alias("n_uni"))
-    n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
-    cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # uni/cb persisted; the scalar totals derive from them (Σcu == all
+    # word occurrences, Σc_ab == all bigram occurrences — exact bigint
+    # identities), so neither total re-scans the corpus and uni's two
+    # join consumers (u1/u2) share one aggregation (r13)
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).persist()
+    cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    n_uni = uni.agg(F.sum("cu").alias("n_uni"))
+    n_bi = cb.agg(F.sum("c_ab").alias("n_bi"))
     pmi = F.round(
         F.log(
             (F.col("c_ab") / F.col("n_bi"))
@@ -1369,8 +1376,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = _adjacent_bigrams(docs)
     db = bigrams.groupBy("doc_id", "w", "w2").agg(F.count(F.lit(1)).alias("c"))
     cb = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    vocab = words.agg(F.countDistinct("w").cast("long").alias("v"))
+    # cu persisted, V derived from it: |cu| == countDistinct(w) by
+    # construction, so the old separate vocab aggregation re-exploded
+    # the whole corpus for a number the count table already holds
+    # (r13; local-neutral, one fewer full token-stream pass at scale)
+    cu = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist()
+    vocab = cu.agg(F.count(F.lit(1)).cast("long").alias("v"))
     logp = F.round(
         F.log((F.col("c_ab") + 1) / (F.col("c_w") + F.col("v"))), 9
     )
