@@ -89,6 +89,14 @@ HIGH_REPS = {
     # refactor's optimized plan is byte-identical to r6's (PLANS.md:
     # asof_click_before_purchase); pin the mean at 15 reps
     "asof_click_before_purchase": 15,
+    # r14 (VERDICT r13 item 4): the XML-discovery/robots chain read
+    # 2.4-4.2 s in the r13 driver bench purely from host gusts (their
+    # own records: robots_gate mean 2.67 / median 2.03 / stdev 1.31;
+    # the same-core publication run measured 0.55-0.64 s) — pin their
+    # official means at 15 reps so one gust rep can't triple them
+    "robots_gate_report": 15,
+    "robots_sitemap_discovery": 15,
+    "frontier_from_sitemap_index": 15,
 }
 
 # Every headliner >0.5 s at sf0.1 (official r5 numbers) re-measured at
@@ -393,6 +401,19 @@ def run_scale(
             )
         detail[name] = stats
         per_query[name] = stats["mean"]
+        # r14 (VERDICT r13 items 1/5 — unpersist discipline): drop
+        # every cached frame the query registered before the next
+        # query runs. In-query persist() sites are lazily consumed so
+        # the operators cannot release them; without this, 91 queries'
+        # InMemoryRelations accumulate in executor storage for the
+        # whole bench (at larger SFs they evict and distort the late
+        # queries). OUTSIDE the timed region: each query's own warmup
+        # rep rebuilds its own caches, reps stay warm-cache like the
+        # reference methodology. Honesty note: queries that previously
+        # inherited a SHARED subplan cache from an earlier query (e.g.
+        # the minhash shingle frame) now pay their own warmup build —
+        # that cost lands in `warmup`, not the timed mean.
+        spark.catalog.clearCache()
     return per_query, detail
 
 
@@ -620,6 +641,9 @@ def main() -> None:
     qmap = registry.all_queries()
     for name in HEADLINE:
         qmap[name](spark, warm_dir).collect()
+    # the warm-dir caches are dead weight for the timed scales (plans
+    # key on the data dir) — release them before measuring (r14)
+    spark.catalog.clearCache()
 
     # Publication drift gate (VERDICT r10 item 7): a run whose ambient
     # canary moved >10% start->end measured two different hosts — the

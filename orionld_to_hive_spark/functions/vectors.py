@@ -40,3 +40,12 @@ def cosine(a: Column, b: Column) -> Column:
     """dot/(|a|·|b|) — same association order as the DuckDB oracle
     (`dot / (sqrt(na) * sqrt(nb))`)."""
     return dot(a, b) / (norm2(a) * norm2(b))
+
+
+# r14 measured-and-REJECTED: statically unrolled fixed-dim codegen
+# twins of these folds (64-term left-associated Add chains, bit-exact
+# op order, per-row fold fallback off-dim). Interleaved A/B: 0.39× on
+# the bruteforce top-k, embedding_neardup_pairs ~0.5 s → ~32 s — the
+# ~600-node expression tree per cosine generates code slower than the
+# interpreted fold. Details at the decision note in
+# operators/similarity.py; don't retry without new evidence.

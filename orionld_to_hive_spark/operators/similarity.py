@@ -45,6 +45,19 @@ LSH_BITS = 6
 LSH_SEED = 7
 EMBED_DIM = 64
 
+# r14 measured-and-REJECTED: routing cosine/dot/norm2/_l2sq through
+# statically unrolled 64-term codegen Add chains (bit-identical op
+# order, per-row fold fallback off-dim — see vectors.dot_fixed). The
+# interleaved A/B measured 0.39× on the bruteforce top-k and blew
+# embedding_neardup_pairs from ~0.5 s to ~32 s: three unrolled chains
+# per cosine ≈ 600 expression nodes, and the generated code path is
+# SLOWER than the interpreted fold at this dimension (guarded med
+# 3.66 s vs fold 3.64, unguarded 2.18 — never better, often worse),
+# while at sf0.1 the scoring stages are job-overhead-bound anyway.
+# The folds stay; bulk scoring at scale belongs to the Arrow/numpy
+# kernels (_assign_fast/_bucketed, cluster_pairs), not to wider
+# Catalyst expressions.
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "embeddings")
@@ -893,6 +906,39 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
 _ASSIGN_MARGIN = 1e-9
 
 
+def _cid_sorted(centroids: list) -> tuple:
+    """(cids, C) as numpy arrays in ascending-cid order — the shared
+    driver prep of every numpy assignment path."""
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    order = np.argsort(cids)
+    return cids[order], C[order]
+
+
+def _fast_argmin(V: "np.ndarray", C: "np.ndarray",
+                 cnorm: "np.ndarray") -> "np.ndarray":
+    """Batch core of the full n×K argmin: indices into the cid-sorted
+    centroid matrix, (d, cid)-tie-broken, with the relative near-tie
+    guard (see _assign_fast's exactness contract)."""
+    D = (V * V).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (V @ C.T)
+    i0 = D.argmin(axis=1)
+    rows = np.arange(len(D))
+    d0 = D[rows, i0].copy()
+    D[rows, i0] = np.inf
+    i1 = D.argmin(axis=1)
+    d1 = D[rows, i1]
+    gap = d1 - d0
+    risky = gap <= _ASSIGN_MARGIN * np.maximum(d0, 1.0)
+    for j in np.nonzero(risky)[0]:
+        if not np.array_equal(C[i0[j]], C[i1[j]]):
+            raise RuntimeError(
+                "assignment near-tie below tolerance "
+                f"(gap={gap[j]:.3e}): the fast argmin is not "
+                "provably fold-exact here — use _assign"
+            )
+    return i0
+
+
 def _assign_fast(emb: DataFrame, centroids: list) -> DataFrame:
     """Arrow-batched nearest-centroid assignment (numpy matmul over
     broadcast centroids) — the SemDeDup fit path, where K grows with
@@ -912,12 +958,7 @@ def _assign_fast(emb: DataFrame, centroids: list) -> DataFrame:
     pick the lowest cid (numpy argmin = first minimum; fold tie-break
     = (d, cid) asc). No sub-tolerance gap → argmin provably
     identical."""
-    import numpy as np
-
-    cids = np.array([c for c, _ in centroids], dtype=np.int64)
-    C = np.array([v for _, v in centroids], dtype=np.float64)
-    order = np.argsort(cids)
-    cids, C = cids[order], C[order]
+    cids, C = _cid_sorted(centroids)
     cnorm = (C * C).sum(axis=1)
 
     schema = T.StructType(
@@ -933,22 +974,7 @@ def _assign_fast(emb: DataFrame, centroids: list) -> DataFrame:
             if not len(pdf):
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            D = (V * V).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (V @ C.T)
-            i0 = D.argmin(axis=1)
-            rows = np.arange(len(D))
-            d0 = D[rows, i0].copy()
-            D[rows, i0] = np.inf
-            i1 = D.argmin(axis=1)
-            d1 = D[rows, i1]
-            gap = d1 - d0
-            risky = gap <= _ASSIGN_MARGIN * np.maximum(d0, 1.0)
-            for j in np.nonzero(risky)[0]:
-                if not np.array_equal(C[i0[j]], C[i1[j]]):
-                    raise RuntimeError(
-                        "assignment near-tie below tolerance "
-                        f"(gap={gap[j]:.3e}): the fast argmin is not "
-                        "provably fold-exact here — use _assign"
-                    )
+            i0 = _fast_argmin(V, C, cnorm)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -1045,14 +1071,9 @@ def _assign_bucketed(
     Verification twins: `_assign_fast` (n×K numpy) and `_assign`
     (fold-based); tests pin bucketed(None) ≡ bucketed(nprobe≥cells)
     ≡ fast ≡ fold on testdata."""
-    cids = np.array([c for c, _ in centroids], dtype=np.int64)
-    C = np.array([v for _, v in centroids], dtype=np.float64)
-    order = np.argsort(cids)
-    cids, C = cids[order], C[order]
+    cids, C = _cid_sorted(centroids)
     cnorm = (C * C).sum(axis=1)
     G, radii, members = _coarse_cells(C)
-    gnorm = (G * G).sum(axis=1)
-    nC = len(G)
 
     schema = T.StructType(
         [
@@ -1067,79 +1088,7 @@ def _assign_bucketed(
             if not len(pdf):
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            n = len(V)
-            vnorm = (V * V).sum(axis=1)
-            DG = vnorm[:, None] + gnorm[None, :] - 2.0 * V @ G.T
-            lb = np.maximum(np.sqrt(np.maximum(DG, 0.0)) - radii[None, :], 0.0)
-            lb2 = lb * lb
-            cell_order = np.argsort(lb2, axis=1, kind="stable")
-            lb2_sorted = np.take_along_axis(lb2, cell_order, axis=1)
-            d0 = np.full(n, np.inf)
-            tp: list = []
-            tg: list = []
-            td: list = []
-            alive = np.arange(n)
-            for t in range(nC if nprobe is None else min(nprobe, nC)):
-                if alive.size == 0:
-                    break
-                # lb is nondecreasing along cell_order, so a point whose
-                # t-th cell fails the threshold is finished for good.
-                need = lb2_sorted[alive, t] <= d0[alive] + _BUCKET_SLACK * np.maximum(
-                    d0[alive], 1.0
-                )
-                alive = alive[need]
-                if alive.size == 0:
-                    break
-                cells_t = cell_order[alive, t]
-                for g in np.unique(cells_t):
-                    mem = members[g]
-                    if mem.size == 0:
-                        continue
-                    pts = alive[cells_t == g]
-                    D = (
-                        vnorm[pts][:, None]
-                        + cnorm[mem][None, :]
-                        - 2.0 * V[pts] @ C[mem].T
-                    )
-                    tp.append(np.repeat(pts, mem.size))
-                    tg.append(np.tile(mem, pts.size))
-                    td.append(D.ravel())
-                    np.minimum.at(d0, pts, D.min(axis=1))
-            if not tp:
-                # Possible past graded scales when nprobe < cell count
-                # and every probed cell is empty for the whole batch —
-                # fail with the designed loud error, not an opaque
-                # np.concatenate ValueError.
-                raise RuntimeError("bucketed assignment lost a point")
-            ap = np.concatenate(tp)
-            ag = np.concatenate(tg)
-            ad = np.concatenate(td)
-            # (d, cid)-tie-broken argmin over the candidate set: sort by
-            # (point, d, centroid-index); centroid index IS cid order.
-            o2 = np.lexsort((ag, ad, ap))
-            ap_s, ag_s, ad_s = ap[o2], ag[o2], ad[o2]
-            first = np.ones(len(ap_s), dtype=bool)
-            first[1:] = ap_s[1:] != ap_s[:-1]
-            starts = np.nonzero(first)[0]
-            if len(starts) != n:
-                raise RuntimeError("bucketed assignment lost a point")
-            best_g = ag_s[starts]
-            best_d = ad_s[starts]
-            counts = np.diff(np.append(starts, len(ap_s)))
-            pd0 = np.repeat(best_d, counts)
-            pbg = np.repeat(best_g, counts)
-            # Near-tie guard, conservative superset of _assign_fast's:
-            # ANY scored non-best candidate within the relative margin
-            # of its point's best must be bitwise-identical, else raise.
-            gap = ad_s - pd0
-            risky = (gap <= _ASSIGN_MARGIN * np.maximum(pd0, 1.0)) & (ag_s != pbg)
-            for j in np.nonzero(risky)[0]:
-                if not np.array_equal(C[ag_s[j]], C[pbg[j]]):
-                    raise RuntimeError(
-                        "assignment near-tie below tolerance "
-                        f"(gap={gap[j]:.3e}): the bucketed argmin is not "
-                        "provably fold-exact here — use _assign"
-                    )
+            best_g = _bucketed_argmin(V, C, cnorm, G, radii, members, nprobe)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -1149,6 +1098,89 @@ def _assign_bucketed(
             )
 
     return emb.mapInPandas(batches, schema)
+
+
+def _bucketed_argmin(V, C, cnorm, G, radii, members,
+                     nprobe: int | None) -> "np.ndarray":
+    """Batch core of the branch-and-bound argmin: indices into the
+    cid-sorted centroid matrix. Exactness rules and the near-tie guard
+    are _assign_bucketed's contract (docstring above)."""
+    gnorm = (G * G).sum(axis=1)
+    nC = len(G)
+    n = len(V)
+    vnorm = (V * V).sum(axis=1)
+    DG = vnorm[:, None] + gnorm[None, :] - 2.0 * V @ G.T
+    lb = np.maximum(np.sqrt(np.maximum(DG, 0.0)) - radii[None, :], 0.0)
+    lb2 = lb * lb
+    cell_order = np.argsort(lb2, axis=1, kind="stable")
+    lb2_sorted = np.take_along_axis(lb2, cell_order, axis=1)
+    d0 = np.full(n, np.inf)
+    tp: list = []
+    tg: list = []
+    td: list = []
+    alive = np.arange(n)
+    for t in range(nC if nprobe is None else min(nprobe, nC)):
+        if alive.size == 0:
+            break
+        # lb is nondecreasing along cell_order, so a point whose
+        # t-th cell fails the threshold is finished for good.
+        need = lb2_sorted[alive, t] <= d0[alive] + _BUCKET_SLACK * np.maximum(
+            d0[alive], 1.0
+        )
+        alive = alive[need]
+        if alive.size == 0:
+            break
+        cells_t = cell_order[alive, t]
+        for g in np.unique(cells_t):
+            mem = members[g]
+            if mem.size == 0:
+                continue
+            pts = alive[cells_t == g]
+            D = (
+                vnorm[pts][:, None]
+                + cnorm[mem][None, :]
+                - 2.0 * V[pts] @ C[mem].T
+            )
+            tp.append(np.repeat(pts, mem.size))
+            tg.append(np.tile(mem, pts.size))
+            td.append(D.ravel())
+            np.minimum.at(d0, pts, D.min(axis=1))
+    if not tp:
+        # Possible past graded scales when nprobe < cell count
+        # and every probed cell is empty for the whole batch —
+        # fail with the designed loud error, not an opaque
+        # np.concatenate ValueError.
+        raise RuntimeError("bucketed assignment lost a point")
+    ap = np.concatenate(tp)
+    ag = np.concatenate(tg)
+    ad = np.concatenate(td)
+    # (d, cid)-tie-broken argmin over the candidate set: sort by
+    # (point, d, centroid-index); centroid index IS cid order.
+    o2 = np.lexsort((ag, ad, ap))
+    ap_s, ag_s, ad_s = ap[o2], ag[o2], ad[o2]
+    first = np.ones(len(ap_s), dtype=bool)
+    first[1:] = ap_s[1:] != ap_s[:-1]
+    starts = np.nonzero(first)[0]
+    if len(starts) != n:
+        raise RuntimeError("bucketed assignment lost a point")
+    best_g = ag_s[starts]
+    best_d = ad_s[starts]
+    counts = np.diff(np.append(starts, len(ap_s)))
+    pd0 = np.repeat(best_d, counts)
+    pbg = np.repeat(best_g, counts)
+    # Near-tie guard, conservative superset of _assign_fast's:
+    # ANY scored non-best candidate within the relative margin
+    # of its point's best must be bitwise-identical, else raise.
+    gap = ad_s - pd0
+    risky = (gap <= _ASSIGN_MARGIN * np.maximum(pd0, 1.0)) & (ag_s != pbg)
+    for j in np.nonzero(risky)[0]:
+        if not np.array_equal(C[ag_s[j]], C[pbg[j]]):
+            raise RuntimeError(
+                "assignment near-tie below tolerance "
+                f"(gap={gap[j]:.3e}): the bucketed argmin is not "
+                "provably fold-exact here — use _assign"
+            )
+    return best_g
 
 
 def _assign_auto(emb: DataFrame, centroids: list) -> DataFrame:
@@ -1181,7 +1213,9 @@ def _kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KMEANS_K,
     centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in init.collect()]
     for _ in range(KMEANS_ITERS):
         if fast:
-            centroids = _fast_means(_assign_auto(emb, centroids))
+            # one Arrow crossing per round (r14): argmin + partial
+            # means fused in a single batch loop — see _fit_round_means
+            centroids = _fit_round_means(emb, centroids)
             continue
         cdf = spark.createDataFrame(centroids, schema="cid INT, cvec ARRAY<DOUBLE>")
         assigned = _assign(emb, cdf)
@@ -1250,40 +1284,58 @@ def _fast_means(assigned: DataFrame) -> list:
     three single-job passes (measured in PLANS.md r11); the fold
     path keeps the original decimal aggregation, so the twins pin
     each other."""
-    part_schema = T.StructType(
-        [
-            T.StructField("cid", T.IntegerType(), False),
-            T.StructField("i", T.IntegerType(), False),
-            T.StructField("s", T.LongType(), False),
-            T.StructField("c", T.LongType(), False),
-        ]
-    )
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            scaled = _round_grid(V)
             cids = pdf["cid"].to_numpy()
-            out_c, out_i, out_s, out_n = [], [], [], []
-            for c in np.unique(cids):
-                block = scaled[cids == c]
-                out_c.extend([int(c)] * V.shape[1])
-                out_i.extend(range(V.shape[1]))
-                out_s.extend(block.sum(axis=0).tolist())
-                out_n.extend([block.shape[0]] * V.shape[1])
-            yield pd.DataFrame(
-                {
-                    "cid": pd.Series(out_c, dtype="int32"),
-                    "i": pd.Series(out_i, dtype="int32"),
-                    "s": pd.Series(out_s, dtype="int64"),
-                    "c": pd.Series(out_n, dtype="int64"),
-                }
-            )
+            yield _partial_frame(cids, _round_grid(V))
 
+    return _combine_partials(
+        assigned.select("cid", "vec").mapInPandas(partials, _PART_SCHEMA).collect()
+    )
+
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.IntegerType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("s", T.LongType(), False),
+        T.StructField("c", T.LongType(), False),
+    ]
+)
+
+
+def _partial_frame(cids: "np.ndarray", scaled: "np.ndarray") -> pd.DataFrame:
+    """Per-batch (cid, dim) int64 partial sums + counts over the
+    1e-6-grid-scaled matrix — the map side of the exact-decimal mean,
+    shared by _fast_means and the fused fit round."""
+    dim = scaled.shape[1]
+    out_c, out_i, out_s, out_n = [], [], [], []
+    for c in np.unique(cids):
+        block = scaled[cids == c]
+        out_c.extend([int(c)] * dim)
+        out_i.extend(range(dim))
+        out_s.extend(block.sum(axis=0).tolist())
+        out_n.extend([block.shape[0]] * dim)
+    return pd.DataFrame(
+        {
+            "cid": pd.Series(out_c, dtype="int32"),
+            "i": pd.Series(out_i, dtype="int32"),
+            "s": pd.Series(out_s, dtype="int64"),
+            "c": pd.Series(out_n, dtype="int64"),
+        }
+    )
+
+
+def _combine_partials(rows) -> list:
+    """Driver combine of (cid, i, s, c) partials into the centroid
+    list — exact int64 addition, then the same (Σ scaled)/1e6 ÷ count
+    conversion order as the decimal aggregation (see _fast_means)."""
     acc: dict[tuple[int, int], list] = {}
-    for r in assigned.select("cid", "vec").mapInPandas(partials, part_schema).collect():
+    for r in rows:
         key = (r["cid"], r["i"])
         if key in acc:
             acc[key][0] += r["s"]
@@ -1295,6 +1347,47 @@ def _fast_means(assigned: DataFrame) -> list:
         by_cid.setdefault(cid, {})[i] = (s / 1e6) / c
     return sorted(
         (cid, [dims[i] for i in sorted(dims)]) for cid, dims in by_cid.items()
+    )
+
+
+def _fit_round_means(emb: DataFrame, centroids: list) -> list:
+    """ONE Lloyd round = ONE Arrow crossing (r14, guide §4.1): the
+    nearest-centroid argmin and the exact-decimal partial means run in
+    the SAME batch loop, so the corpus's vectors cross the JVM→Python
+    boundary once per round and nothing (not even the assignment) is
+    shipped back except the k·d-bounded partial rows. The previous
+    two-step form (`_fast_means(_assign_auto(emb, c))`) chained two
+    mapInPandas nodes: every vector crossed to Python for the argmin,
+    was re-serialized to Arrow WITH its assignment, crossed back to
+    the JVM, and crossed to Python AGAIN for the partial sums — 3×
+    the boundary traffic for the identical arithmetic. Dispatch,
+    argmin cores (`_fast_argmin`/`_bucketed_argmin`, near-tie guards
+    included) and the partial/combine stages (`_partial_frame`/
+    `_combine_partials`) are the same code the two-step twins run, so
+    the returned centroids are bit-identical (pinned in
+    tests/test_opt_r14.py)."""
+    bucketed = len(centroids) >= _BUCKETED_MIN_K
+    cids, C = _cid_sorted(centroids)
+    cnorm = (C * C).sum(axis=1)
+    if bucketed:
+        G, radii, members = _coarse_cells(C)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if bucketed:
+                idx = _bucketed_argmin(
+                    V, C, cnorm, G, radii, members, SEMDEDUP_NPROBE
+                )
+            else:
+                idx = _fast_argmin(V, C, cnorm)
+            yield _partial_frame(cids[idx], _round_grid(V))
+
+    # vec only — vec_id plays no part in a fit round's arithmetic
+    return _combine_partials(
+        emb.select("vec").mapInPandas(batches, _PART_SCHEMA).collect()
     )
 
 
@@ -1387,7 +1480,9 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nv",
             F.round(dot(F.col("nv"), F.col("ncvec")), 6).alias("ccos"),
         )
-        .persist()
+        # no persist (r14): the fused per-cid report below is asg's
+        # ONLY consumer — the r13 cache served the pair/pts double
+        # consumption that no longer exists
     )
     # Per-cluster pairwise scoring as ONE numpy matmul per cluster
     # (the paper's own within-cluster step): shuffle by cid, then
@@ -1401,16 +1496,29 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of m rows builds an m×m block — K ∝ n keeps m near
     # SEMDEDUP_CLUSTER_TARGET by construction.
     tau_edge = SEMDEDUP_TAU - 0.5e-6
-    pair_schema = T.StructType(
+    report_schema = T.StructType(
         [
             T.StructField("cid", T.IntegerType(), False),
-            T.StructField("ia", T.LongType(), False),
-            T.StructField("ib", T.LongType(), False),
-            T.StructField("loser", T.LongType(), False),
+            T.StructField("n_points", T.LongType(), False),
+            T.StructField("n_dup_pairs", T.LongType(), False),
+            T.StructField("n_dropped", T.LongType(), False),
+            T.StructField("n_kept", T.LongType(), False),
         ]
     )
 
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # r14 (guide §2.2): the Arrow group ALREADY holds the whole
+    # cluster, so the per-cid report row (n_points, pair count,
+    # distinct-loser count) is computed inside the same batch that
+    # builds S = NV@NVᵀ — the r13 shape shipped every duplicate pair
+    # out of Python only to re-aggregate it (pairs shuffle + groupBy +
+    # a separate n_points aggregation over asg + a join to stitch
+    # them). len/sum/unique here are the identical arithmetic
+    # (count(*), count(distinct loser) per cid); clusters with no
+    # pairs emit n_dup_pairs = n_dropped = 0, exactly what the old
+    # left join + coalesce produced. One aggregation pass, two fewer
+    # shuffles, no join — and asg has a single consumer now, so the
+    # r13 persist (added for the dup/pts double consumption) is gone.
+    def cluster_report(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -1430,36 +1538,19 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly one member of a duplicate pair drops: the LATER in
         # (centroid-cos, vec_id) order — ids are sorted so ia < ib
         loser = np.where((ca > cb), ia, np.where(ca < cb, ib, ib))
+        n_points = len(ids)
+        n_dropped = len(np.unique(loser))
         return pd.DataFrame(
             {
-                "cid": np.full(len(ia), int(pdf["cid"].iloc[0]), dtype="int32"),
-                "ia": ia,
-                "ib": ib,
-                "loser": loser,
+                "cid": pd.Series([int(pdf["cid"].iloc[0])], dtype="int32"),
+                "n_points": pd.Series([n_points], dtype="int64"),
+                "n_dup_pairs": pd.Series([int(hit.sum())], dtype="int64"),
+                "n_dropped": pd.Series([n_dropped], dtype="int64"),
+                "n_kept": pd.Series([n_points - n_dropped], dtype="int64"),
             }
         )
 
-    pairs = asg.groupBy("cid").applyInPandas(cluster_pairs, pair_schema)
-    pts = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
-    # ONE pass over the pair stream (r13): the previous dup/drp
-    # branches each re-executed the applyInPandas matmul stage
-    # (pairs was never persisted), paying the per-cluster S = NV@NVᵀ
-    # twice plus two shuffles; count + countDistinct(loser) in a
-    # single groupBy is the identical arithmetic.
-    dup = pairs.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct("loser").alias("n_dropped"),
-    )
-    return (
-        pts.join(dup, "cid", "left")
-        .select(
-            "cid",
-            "n_points",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-            (F.col("n_points") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
-        )
-    )
+    return asg.groupBy("cid").applyInPandas(cluster_report, report_schema)
 
 
 # --------------------------------------------------------------------------

@@ -42,10 +42,42 @@ from pyspark.sql import functions as F
 
 from orionld_to_hive_spark.operators.dedup import (
     EXACT_SUBSTR_K,
+    _packed_pk,
     _substr_cut,
     _substr_grams,
 )
 from orionld_to_hive_spark.streaming.asof import _hadoop_exists
+
+
+def _gram_minima(
+    spark: SparkSession, base: str, grams: DataFrame, batch_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-local and overall gram minima as packed bigints: returns
+    (bmin(gh, bpk), mins(gh, opk)). Factored from process_batch so the
+    hash-aggregate plan shape is test/plan-dump addressable."""
+    bmin = grams.groupBy("gh").agg(F.min("pk").alias("bpk"))
+    if _hadoop_exists(spark, f"{base}/grams"):
+        # prune the store to this batch's gram keys BEFORE the
+        # min-merge aggregate — the semi-join keeps the per-batch
+        # cost keyed on the BATCH's grams; aggregating the whole
+        # store first would shuffle corpus-scale state every batch
+        smin = (
+            spark.read.parquet(f"{base}/grams")
+            .filter(F.col("batch_id") < batch_id)
+            .join(bmin.select("gh"), "gh", "left_semi")
+            .select(
+                "gh", _packed_pk(F.col("doc_id"), F.col("pos")).alias("pk")
+            )
+            .groupBy("gh")
+            .agg(F.min("pk").alias("spk"))
+        )
+        # overall minimum; F.least skips nulls from the left join
+        mins = bmin.join(smin, "gh", "left").select(
+            "gh", F.least("spk", "bpk").alias("opk")
+        )
+    else:
+        mins = bmin.select("gh", F.col("bpk").alias("opk"))
+    return bmin, mins
 
 
 class StreamingExactSubstr:
@@ -62,34 +94,24 @@ class StreamingExactSubstr:
         spark = batch_df.sparkSession
         toks = F.split(F.col("text"), " ")
         docs = batch_df.select("doc_id", toks.alias("toks"))
-        grams = _substr_grams(docs)
-        bmin = grams.groupBy("gh").agg(
-            F.min(F.struct("doc_id", "pos")).alias("bmin")
+        # (doc_id, pos) packed into ONE bigint (r14, the batch
+        # operator's wave-4c pack applied to the stream): min(struct)
+        # is a lexicographic argmin but a struct aggregation buffer is
+        # not UnsafeRow-mutable, so BOTH per-batch min-merges planned
+        # SortAggregates — the batch gram stream sorted map-side and
+        # post-shuffle every micro-batch. min(bigint) hash-aggregates
+        # with map-side combine. Equivalence is _packed_pk's contract
+        # (guarded: doc_id ∈ [0, 2³¹)); the ON-DISK store layout is
+        # unchanged — (gh, doc_id bigint, pos int) flat columns — so
+        # existing stores replay bit-identically and the pack stays a
+        # read-side expression, not a state-format migration.
+        grams = _substr_grams(docs).withColumn(
+            "pk", _packed_pk(F.col("doc_id"), F.col("pos"))
         )
-        if _hadoop_exists(spark, f"{self.base}/grams"):
-            # prune the store to this batch's gram keys BEFORE the
-            # min-merge aggregate — the semi-join keeps the per-batch
-            # cost keyed on the BATCH's grams; aggregating the whole
-            # store first would shuffle corpus-scale state every batch
-            smin = (
-                spark.read.parquet(f"{self.base}/grams")
-                .filter(F.col("batch_id") < batch_id)
-                .join(bmin.select("gh"), "gh", "left_semi")
-                .groupBy("gh")
-                .agg(F.min(F.struct("doc_id", "pos")).alias("smin"))
-            )
-            # overall minimum; F.least skips nulls from the left join
-            mins = bmin.join(smin, "gh", "left").select(
-                "gh", F.least("smin", "bmin").alias("omin")
-            )
-        else:
-            mins = bmin.select("gh", F.col("bmin").alias("omin"))
+        bmin, mins = _gram_minima(spark, self.base, grams, batch_id)
         dup = (
             grams.join(mins, "gh")
-            .filter(
-                (F.col("doc_id") != F.col("omin.doc_id"))
-                | (F.col("pos") != F.col("omin.pos"))
-            )
+            .filter(F.col("pk") != F.col("opk"))
             .select("doc_id", "pos")
             .persist()  # two consumers in the cut stage; released below
         )
@@ -97,10 +119,15 @@ class StreamingExactSubstr:
             _substr_cut(docs, dup).write.mode("overwrite").parquet(
                 f"{self.base}/out/batch_id={batch_id}"
             )
+            # unpack preserves the pre-r14 store column types exactly
+            # (doc_id bigint, pos int) — replay/compaction unaffected
             bmin.select(
                 "gh",
-                F.col("bmin.doc_id").alias("doc_id"),
-                F.col("bmin.pos").alias("pos"),
+                F.shiftright(F.col("bpk"), 32).alias("doc_id"),
+                F.col("bpk")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .cast("int")
+                .alias("pos"),
             ).write.mode("overwrite").parquet(
                 f"{self.base}/grams/batch_id={batch_id}"
             )

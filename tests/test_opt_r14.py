@@ -1,0 +1,252 @@
+"""Focused pins for the r14 optimization rewrites.
+
+  - `_packed_pk` (now shared by the batch operator and the streaming
+    twin) enforces the doc_id < 2^31 precondition at runtime instead of
+    in a comment (VERDICT r13 item 6);
+  - the streaming gram-minima pack: packed-bigint minima == the old
+    min(struct) + least(struct) form on adversarial batches, the store
+    keeps its pre-r14 column types, and the per-batch aggregation plans
+    HashAggregate (no SortAggregate) — VERDICT r13 item 2.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orionld_to_hive_spark.operators.dedup import _packed_pk, _substr_grams
+from orionld_to_hive_spark.streaming.substr import (
+    StreamingExactSubstr,
+    _gram_minima,
+)
+
+PHRASE = "p0 p1 p2 p3 p4 p5 p6 p7"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --------------------------------------------------------------------------
+# _packed_pk guard
+
+
+def test_packed_pk_valid_range_orders_like_struct(spark):
+    rows = [
+        (0, 0),
+        (0, 1),
+        (1, 0),
+        (2**31 - 1, 2**32 - 1),
+        (5, 17),
+        (5, 16),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, pos LONG")
+    packed = df.select(
+        _packed_pk(F.col("doc_id"), F.col("pos")).alias("pk"),
+        F.struct("doc_id", "pos").alias("s"),
+    ).collect()
+    by_pk = [tuple(r["s"]) for r in sorted(packed, key=lambda r: r["pk"])]
+    assert by_pk == sorted(rows)
+
+
+@pytest.mark.parametrize("bad", [2**31, 2**31 + 7, -1, -(2**31)])
+def test_packed_pk_out_of_range_doc_id_raises(spark, bad):
+    df = spark.createDataFrame([(bad, 0)], "doc_id LONG, pos LONG")
+    with pytest.raises(Exception, match="doc_id"):
+        df.select(_packed_pk(F.col("doc_id"), F.col("pos"))).collect()
+
+
+def test_packed_pk_in_range_does_not_raise(spark):
+    df = spark.createDataFrame([(2**31 - 1, 3)], "doc_id LONG, pos LONG")
+    assert df.select(
+        _packed_pk(F.col("doc_id"), F.col("pos")).alias("pk")
+    ).collect()[0]["pk"] == ((2**31 - 1) << 32 | 3)
+
+
+# --------------------------------------------------------------------------
+# streaming gram-minima pack
+
+
+def _grams_with_pk(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    return _substr_grams(docs).withColumn(
+        "pk", _packed_pk(F.col("doc_id"), F.col("pos"))
+    )
+
+
+def _old_minima(spark, base, grams, batch_id):
+    """Inline reconstruction of the pre-r14 struct-based minima."""
+    from orionld_to_hive_spark.streaming.asof import _hadoop_exists
+
+    bmin = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("bmin")
+    )
+    if _hadoop_exists(spark, f"{base}/grams"):
+        smin = (
+            spark.read.parquet(f"{base}/grams")
+            .filter(F.col("batch_id") < batch_id)
+            .join(bmin.select("gh"), "gh", "left_semi")
+            .groupBy("gh")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("smin"))
+        )
+        mins = bmin.join(smin, "gh", "left").select(
+            "gh", F.least("smin", "bmin").alias("omin")
+        )
+    else:
+        mins = bmin.select("gh", F.col("bmin").alias("omin"))
+    return mins.select(
+        "gh", F.col("omin.doc_id").alias("doc_id"), F.col("omin.pos").alias("pos")
+    )
+
+
+def test_stream_minima_pack_equals_struct_form(spark, tmp_path):
+    base = str(tmp_path / "sub")
+    s = StreamingExactSubstr(base)
+    # batch 0 seeds the store (duplicate phrase inside one batch, with
+    # an in-doc repeat so (doc_id, pos) tie-breaks on pos)
+    s.process_batch(
+        spark.createDataFrame(
+            [(1, f"{PHRASE} q {PHRASE}"), (2, f"z {PHRASE} w")],
+            ["doc_id", "text"],
+        ),
+        batch_id=0,
+    )
+    # batch 1: cross-batch duplicates + fresh grams
+    rows = [(3, f"x {PHRASE} y"), (4, "fresh tokens only here really now")]
+    grams = _grams_with_pk(spark, rows)
+    _, mins = _gram_minima(spark, base, grams, batch_id=1)
+    new = mins.select(
+        "gh",
+        F.shiftright("opk", 32).alias("doc_id"),
+        F.col("opk").bitwiseAND(F.lit((1 << 32) - 1)).alias("pos"),
+    )
+    assert _rows(new) == _rows(_old_minima(spark, base, grams, 1))
+
+
+def test_stream_store_keeps_pre_r14_column_types(spark, tmp_path):
+    base = str(tmp_path / "sub")
+    s = StreamingExactSubstr(base)
+    s.process_batch(
+        spark.createDataFrame([(1, f"a {PHRASE} b")], ["doc_id", "text"]),
+        batch_id=0,
+    )
+    store = spark.read.parquet(f"{base}/grams")
+    dtypes = dict(store.dtypes)
+    assert dtypes["doc_id"] == "bigint"
+    assert dtypes["pos"] == "int"  # posexplode index, as before r14
+
+
+# --------------------------------------------------------------------------
+# warehouse helpers: recursive footer listing + spread fan-out cap
+
+
+def test_parquet_files_recursive_matches_spark_count(spark, tmp_path):
+    from orionld_to_hive_spark.sources.warehouse import table_rows
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("k")
+    )
+    df.write.partitionBy("k").parquet(str(sf / "documents.parquet"))
+    assert table_rows(spark, str(sf), "documents") == 100
+
+
+def test_table_rows_empty_listing_raises(spark, tmp_path):
+    from orionld_to_hive_spark.sources.warehouse import table_rows
+
+    sf = tmp_path / "sf"
+    (sf / "documents.parquet").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="no parquet data files"):
+        table_rows(spark, str(sf), "documents")
+
+
+def test_load_spread_caps_fanout_on_tiny_tables(spark, tmp_path):
+    from orionld_to_hive_spark.sources.warehouse import load_spread
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(40).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    spread = load_spread(spark, str(sf), "documents", "doc_id")
+    n = spread.rdd.getNumPartitions()
+    assert n == 5  # 40 rows // 8 rows-per-task, not defaultParallelism
+    assert spread.count() == 40
+
+
+def test_load_spread_full_fanout_above_cap(spark, sf_smoke):
+    from orionld_to_hive_spark.sources.warehouse import load_spread
+
+    spread = load_spread(spark, sf_smoke, "documents", "doc_id")
+    par = spark.sparkContext.defaultParallelism
+    from orionld_to_hive_spark.sources.warehouse import table_rows
+
+    rows = table_rows(spark, sf_smoke, "documents")
+    expect = min(par, max(1, rows // 8))
+    assert spread.rdd.getNumPartitions() == expect
+
+
+# --------------------------------------------------------------------------
+# fused Lloyd round (one Arrow crossing) == two-step assign+means twins
+
+
+def _emb_frame(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.similarity import _emb
+
+    return _emb(spark, sf_smoke).select("vec_id", "vec")
+
+
+@pytest.mark.parametrize("k", [2, 8, 16])
+def test_fit_round_means_equals_two_step(spark, sf_smoke, k):
+    """k=2 exercises the plain n×K core, k=8/16 the bucketed
+    branch-and-bound dispatch — both must reproduce the two-step
+    `_fast_means(_assign_auto(...))` centroids bit-for-bit."""
+    from orionld_to_hive_spark.operators.similarity import (
+        _assign_auto,
+        _fast_means,
+        _fit_round_means,
+    )
+
+    emb = _emb_frame(spark, sf_smoke)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["vec"]])
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    ]
+    fused = _fit_round_means(emb, cents)
+    two_step = _fast_means(_assign_auto(emb, cents))
+    assert fused == two_step
+
+
+def test_kmeans_fit_fast_matches_fold_twin(spark, sf_smoke):
+    """End-to-end: the fused fast fit still lands exactly on the
+    fold-based (oracle-replayed) fit."""
+    from orionld_to_hive_spark.operators.similarity import _kmeans_fit
+
+    emb = _emb_frame(spark, sf_smoke)
+    fast = sorted(
+        (r["cid"], [float(x) for x in r["cvec"]])
+        for r in _kmeans_fit(spark, emb, k=8, fast=True).collect()
+    )
+    fold = sorted(
+        (r["cid"], [float(x) for x in r["cvec"]])
+        for r in _kmeans_fit(spark, emb, k=8, fast=False).collect()
+    )
+    assert fast == fold
+
+
+def test_stream_minima_plan_hash_aggregates(spark, tmp_path):
+    base = str(tmp_path / "sub")
+    s = StreamingExactSubstr(base)
+    s.process_batch(
+        spark.createDataFrame([(1, f"a {PHRASE} b")], ["doc_id", "text"]),
+        batch_id=0,
+    )
+    grams = _grams_with_pk(spark, [(2, f"x {PHRASE} y")])
+    bmin, mins = _gram_minima(spark, base, grams, batch_id=1)
+    for df in (bmin, mins):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert "SortAggregate" not in plan
