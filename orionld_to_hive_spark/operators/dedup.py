@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -328,10 +329,56 @@ def _portable_shingle_hash(col: F.Column) -> F.Column:
     return h
 
 
+def _portable_shingle_hash_arrow() -> "F.udf":
+    """Arrow-batched twin of `_portable_shingle_hash` (r14, guide
+    §4.2): the identical polynomial — acc = (acc·131 + codepoint) mod
+    (2³¹−1) left-to-right, then the four affine 16-bit chunk packs —
+    in exact int64 numpy (every intermediate < 2³⁸, far inside int64),
+    so the values are IDENTICAL to the interpreted per-character
+    aggregate lambda and the DuckDB oracle is untouched. Code points
+    via utf-32-le decode = Spark's split('')+ascii() semantics for
+    every string, including astral-plane chars; '' hashes to the same
+    value as the fold's [''] + ascii('')=0 step (0·131+0). Batched:
+    one padded (n, Lmax) matrix per Arrow batch, Lmax vectorized
+    mod-steps instead of n·L interpreted lambda evaluations."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ph(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(s), dtype=np.int64)
+        valid = s.notna().to_numpy()
+        strs = s[valid].tolist()
+        if strs:
+            lens = np.array([len(x) for x in strs], dtype=np.int64)
+            lmax = int(lens.max())
+            cp = np.zeros((len(strs), lmax), dtype=np.int64)
+            for j, x in enumerate(strs):
+                if x:
+                    cp[j, : len(x)] = np.frombuffer(
+                        x.encode("utf-32-le"), dtype=np.uint32
+                    )
+            acc = np.zeros(len(strs), dtype=np.int64)
+            for i in range(lmax):
+                live = lens > i
+                acc[live] = (acc[live] * _SH_POLY_B + cp[live, i]) % MERSENNE_P
+            h = np.zeros(len(strs), dtype=np.int64)
+            for j, (a, b) in enumerate(_SH_CHUNK_AB):
+                chunk = ((a * acc + b) % MERSENNE_P) % 65536
+                h |= chunk << (16 * j)
+            out[valid] = h
+        res = pd.Series(out, dtype="Int64")
+        res[~valid] = pd.NA
+        return res
+
+    return ph
+
+
 def simhash_signatures(sh_df: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit ±1 vote sum."""
     posting = sh_df.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", _portable_shingle_hash(F.col("shingle")).alias("h")
+        "doc_id", _portable_shingle_hash_arrow()(F.col("shingle")).alias("h")
     )
     votes = [
         F.sum(

@@ -114,6 +114,10 @@ class _BitReader:
         self._virtual = 0  # pad bits appended past the entropy data
 
     def _ensure(self, n: int) -> None:
+        # r14 measured-and-rejected: a marker-free 4-byte fast refill
+        # (slice + int.from_bytes) A/B'd 0.99× on the CMYK corpus —
+        # refills are small and infrequent enough that the window scan
+        # costs what it saves; the byte loop stays.
         while self._nbits < n:
             if self.pos < len(self.data):
                 b = self.data[self.pos]
@@ -821,6 +825,63 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+# bit_length of 0..1023 — covers every |DC diff| the flat encoders can
+# produce (level-shifted plane values ∈ [−128, 127+?], diffs ∈ ±511)
+_BITLEN_LUT = np.array(
+    [0] + [int(v).bit_length() for v in range(1, 1024)], dtype=np.int64
+)
+
+
+def _pack_dc_stream(vals: "np.ndarray", nplanes: int) -> bytes:
+    """Vectorized entropy coder for the flat-block baseline scans
+    (r14, guide §4.2): `vals` is the STREAM-ORDER sequence of
+    level-shifted DC values (plane-interleaved when nplanes > 1, each
+    plane's predictor chain starting at 0), and the emitted stream is
+    byte-identical to the per-symbol `_BitWriter` loop it replaces —
+    per value: 4-bit DC category code, `cat` magnitude bits
+    (diff, or diff + 2^cat − 1 when negative), then the 1-bit EOB of
+    the single-entry AC table; final partial byte padded with 1s
+    (spec F.1.2.3) and 0xFF bytes stuffed with 0x00.
+
+    Vectorization: symbols are ≤ 4+10+1 bits, so with a ≤ 7-bit byte
+    phase each fits a 24-bit window — three bitwise_or scatters place
+    every symbol (bit ranges are disjoint by construction, so OR over
+    a zero buffer is exactly concatenation). The per-byte Python loop
+    this replaces was ~40% of the whole CMYK walker's CPU (profiled;
+    the other 60% is the general-purpose DECODER, which must stay a
+    real bit-serial Huffman walk)."""
+    vals = vals.astype(np.int64)
+    prev = np.zeros(len(vals), dtype=np.int64)
+    prev[nplanes:] = vals[:-nplanes]
+    diff = vals - prev
+    cat = _BITLEN_LUT[np.abs(diff)]
+    mag = np.where(diff > 0, diff, diff + (np.int64(1) << cat) - 1)
+    # (cat << cat | mag) << 1: category bits, magnitude bits, EOB 0-bit
+    sym = ((cat << cat) | np.where(cat > 0, mag, 0)) << 1
+    ln = cat + 5
+    end = np.cumsum(ln)
+    off = end - ln
+    total_bits = int(end[-1]) if len(end) else 0
+    nbytes = (total_bits + 7) // 8
+    out = np.zeros(nbytes + 2, dtype=np.uint8)
+    byte_i = off >> 3
+    v24 = sym << (24 - (off & 7) - ln)
+    np.bitwise_or.at(out, byte_i, (v24 >> 16).astype(np.uint8))
+    np.bitwise_or.at(out, byte_i + 1, ((v24 >> 8) & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(out, byte_i + 2, (v24 & 0xFF).astype(np.uint8))
+    out = out[:nbytes]
+    rem = total_bits & 7
+    if rem:
+        out[-1] |= (1 << (8 - rem)) - 1  # pad 1s, as _BitWriter.flush
+    # byte stuffing: a 0x00 after every 0xFF (including a padded one)
+    if (out == 0xFF).any():
+        stuffed = np.zeros(nbytes + int((out == 0xFF).sum()), dtype=np.uint8)
+        pos = np.arange(nbytes) + np.cumsum(out == 0xFF) - (out == 0xFF)
+        stuffed[pos] = out
+        out = stuffed
+    return out.tobytes()
+
+
 def encode_jpeg_gray_flat(
     raw: np.ndarray, width_blocks: int = JPEG_BLOCKS_W
 ) -> bytes:
@@ -844,18 +905,10 @@ def encode_jpeg_gray_flat(
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
     )
     head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    bw = _BitWriter()
-    pred = 0
-    for b in raster.tolist():
-        s = b - 128
-        diff = s - pred
-        pred = s
-        cat = abs(diff).bit_length()
-        bw.write(cat, 4)  # DC category code (canonical 4-bit)
-        if cat:
-            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        bw.write(0, 1)  # EOB
-    return bytes(head) + bw.flush() + b"\xff\xd9"
+    # vectorized DC entropy pack (byte-identical to the old per-symbol
+    # _BitWriter loop — see _pack_dc_stream)
+    body = _pack_dc_stream(raster.astype(np.int64) - 128, 1)
+    return bytes(head) + body + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------
@@ -1208,25 +1261,13 @@ def encode_jpeg_color_flat(
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
     )
     head += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    bw = _BitWriter()
-
-    def _dc(diff: int) -> None:
-        cat = abs(diff).bit_length()
-        bw.write(cat, 4)
-        if cat:
-            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        bw.write(0, 1)  # EOB
-
-    pred_y, pred_cb, pred_cr = 0, 0, 0
-    for b in raster.tolist():
-        s = b - 128
-        _dc(s - pred_y)
-        pred_y = s
-        _dc(JPEG_CB - pred_cb)
-        pred_cb = JPEG_CB
-        _dc(JPEG_CR - pred_cr)
-        pred_cr = JPEG_CR
-    return bytes(head) + bw.flush() + b"\xff\xd9"
+    # Y/Cb/Cr interleaved DC stream, vectorized (byte-identical to the
+    # old per-symbol loop — see _pack_dc_stream)
+    s = raster.astype(np.int64) - 128
+    vals = np.column_stack(
+        [s, np.full(len(s), JPEG_CB, np.int64), np.full(len(s), JPEG_CR, np.int64)]
+    ).ravel()
+    return bytes(head) + _pack_dc_stream(vals, 3) + b"\xff\xd9"
 
 
 # Flat-block CMYK plane values per source byte b — chosen so each of
@@ -1267,34 +1308,26 @@ def encode_jpeg_cmyk_flat(
     head += _seg(
         0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
     )
-    bw = _BitWriter()
-
-    def _dc(diff: int) -> None:
-        cat = abs(diff).bit_length()
-        bw.write(cat, 4)
-        if cat:
-            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        bw.write(0, 1)  # EOB
-
+    # 4-plane interleaved DC stream, vectorized (byte-identical to the
+    # old per-symbol loop — see _pack_dc_stream)
+    b = raster.astype(np.int64)
     if transform == 2:
-        plane_vals = [
-            lambda b: b - 128,
-            lambda b: JPEG_CB,
-            lambda b: JPEG_CR,
-            lambda b: (255 - b) - 128,
+        planes = [
+            b - 128,
+            np.full(len(b), JPEG_CB, np.int64),
+            np.full(len(b), JPEG_CR, np.int64),
+            (255 - b) - 128,
         ]
     else:
-        pv = _cmyk_planes
-        plane_vals = [
-            lambda b, i=i: pv(b)[i] - 128 for i in range(4)
+        # _cmyk_planes(b), level-shifted — the same closed forms
+        planes = [
+            b - 128,
+            np.minimum(b + 64, 255) - 128,
+            np.maximum(b - 64, 0) - 128,
+            (255 - b) - 128,
         ]
-    preds = [0, 0, 0, 0]
-    for b in raster.tolist():
-        for i in range(4):
-            s = plane_vals[i](int(b))
-            _dc(s - preds[i])
-            preds[i] = s
-    return bytes(head) + bw.flush() + b"\xff\xd9"
+    vals = np.column_stack(planes).ravel()
+    return bytes(head) + _pack_dc_stream(vals, 4) + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------

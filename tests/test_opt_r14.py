@@ -190,6 +190,43 @@ def test_load_spread_full_fanout_above_cap(spark, sf_smoke):
 
 
 # --------------------------------------------------------------------------
+# Arrow shingle hash == interpreted per-character fold, value-exact
+
+
+def test_portable_shingle_hash_arrow_equals_fold(spark, sf_smoke):
+    from orionld_to_hive_spark.operators.dedup import (
+        _docs,
+        _portable_shingle_hash,
+        _portable_shingle_hash_arrow,
+        shingles,
+    )
+
+    adv = spark.createDataFrame(
+        [
+            ("",),
+            ("a",),
+            ("héllo wörld",),
+            ("\U0001f600 astral",),
+            ("x" * 300,),
+            ("mixed 字符 test",),
+            (None,),
+        ],
+        "s STRING",
+    )
+    corpus = shingles(_docs(spark, sf_smoke)).select(
+        F.explode("sh").alias("s")
+    )
+    for df in (adv, corpus):
+        rows = df.select(
+            _portable_shingle_hash(F.col("s")).alias("h0"),
+            _portable_shingle_hash_arrow()(F.col("s")).alias("h1"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["h0"] == r["h1"]
+
+
+# --------------------------------------------------------------------------
 # fused Lloyd round (one Arrow crossing) == two-step assign+means twins
 
 
