@@ -45,6 +45,10 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 # reps on the parity quartet buys nothing. Publication runs leave it on.
 HIGH_REPS_ENABLED = os.environ.get("BENCH_HIGH_REPS", "1") != "0"
 
+# r14: clear the Spark cache between queries (see run_scale) — the
+# unpersist-discipline fix. =0 only for measuring the methodology delta.
+CLEAR_CACHE = os.environ.get("BENCH_CLEAR_CACHE", "1") != "0"
+
 # Per-query rep OVERRIDES at the headline scale (max of this and REPS).
 # The reference methodology runs 30 reps (hive.py:105-138); running the
 # whole headline set at 30 would cost ~25 min, so the budget goes where
@@ -413,7 +417,11 @@ def run_scale(
         # inherited a SHARED subplan cache from an earlier query (e.g.
         # the minhash shingle frame) now pay their own warmup build —
         # that cost lands in `warmup`, not the timed mean.
-        spark.catalog.clearCache()
+        # BENCH_CLEAR_CACHE=0 restores the pre-r14 accumulate-forever
+        # behavior, kept ONLY so the methodology delta itself can be
+        # measured and reported; publication runs leave it unset.
+        if CLEAR_CACHE:
+            spark.catalog.clearCache()
     return per_query, detail
 
 
