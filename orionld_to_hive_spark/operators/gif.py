@@ -543,99 +543,117 @@ GIF_SUMMARY_SCHEMA = T.StructType(
 )
 
 
-def gif_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents → animated-GIF assets. Even doc_ids encode INTERLACED
-    so the driver path exercises the four-pass reorder; the decoded
-    frames (and therefore the oracle) are identical either way. Same
-    explicit core-spreading as the JPEG path — the codec stage is
-    CPU-bound Python and the local corpus arrives as one split."""
-    docs = (
+def _gif_synth_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Batch generator: (doc_id, text) pdfs → GIF asset pdfs. Even
+    doc_ids encode INTERLACED so the driver path exercises the
+    four-pass reorder; the decoded frames (and therefore the oracle)
+    are identical either way. Module-level so the fused query paths
+    compose it in-process (guide §4.1 — see the JPEG twin
+    _fused_pixel_stats for the rationale; the payload bytes never
+    cross the Python boundary in the fused shape)."""
+    for pdf in it:
+        payloads = [
+            encode_gif_gray_anim(
+                np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8),
+                interlace=(int(d) % 2 == 0),
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+
+def _gif_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = [
-                encode_gif_gray_anim(
-                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8),
-                    interlace=(int(d) % 2 == 0),
+
+def gif_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → animated-GIF assets, as a standalone frame (test /
+    composition surface; the registry queries use the fused
+    single-crossing paths)."""
+    return _gif_docs(spark, sf_dir).mapInPandas(
+        _gif_synth_batches, _ASSET_SCHEMA
+    )
+
+
+def _gif_frame_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    for pdf in it:
+        ids, idxs, ws, hs, means, darks, delays = [], [], [], [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            img = decode_gif(bytes(payload))
+            for k, fr in enumerate(img.frames):
+                px = fr[:, :, 0]  # identity gray palette: R == index
+                ids.append(asset_id)
+                idxs.append(k)
+                ws.append(fr.shape[1])
+                hs.append(fr.shape[0])
+                means.append(
+                    np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
+                    / 1e6
                 )
-                for d, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
-
-    return docs.mapInPandas(synth, _ASSET_SCHEMA)
-
+                darks.append(int((px < PNG_DARK).sum()))
+                delays.append(img.delays[k])
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+                "n_dark": pd.Series(darks, dtype="int32"),
+                "delay_cs": pd.Series(delays, dtype="int32"),
+            }
+        )
 
 def gif_frame_stats(df: DataFrame) -> DataFrame:
     """asset → one row per composited frame (the real version of the
     byte-window frame sampler): grayscale mean (floor-rounded to 1e-6,
     matching the SQL twin bit-for-bit), dark-pixel count, GCE delay."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, idxs, ws, hs, means, darks, delays = [], [], [], [], [], [], []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode_gif(bytes(payload))
-                for k, fr in enumerate(img.frames):
-                    px = fr[:, :, 0]  # identity gray palette: R == index
-                    ids.append(asset_id)
-                    idxs.append(k)
-                    ws.append(fr.shape[1])
-                    hs.append(fr.shape[0])
-                    means.append(
-                        np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
-                        / 1e6
-                    )
-                    darks.append(int((px < PNG_DARK).sum()))
-                    delays.append(img.delays[k])
-            yield pd.DataFrame(
-                {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "frame_index": pd.Series(idxs, dtype="int32"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "mean_pixel": pd.Series(means, dtype="float64"),
-                    "n_dark": pd.Series(darks, dtype="int32"),
-                    "delay_cs": pd.Series(delays, dtype="int32"),
-                }
-            )
-
-    return df.mapInPandas(batches, GIF_FRAME_SCHEMA)
+    return df.mapInPandas(_gif_frame_batches, GIF_FRAME_SCHEMA)
 
 
 def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gif_frame_stats(gif_assets_from_documents(spark, sf_dir))
+    # fused single-crossing path (r14 second pass): synth + decode
+    # composed in-process — see _gif_synth_batches
+    return _gif_docs(spark, sf_dir).mapInPandas(
+        lambda it: _gif_frame_batches(_gif_synth_batches(it)),
+        GIF_FRAME_SCHEMA,
+    )
 
+
+def _gif_summary_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    for pdf in it:
+        n = len(pdf)
+        out = {
+            "asset_id": pdf["asset_id"].to_numpy(),
+            "n_frames": np.zeros(n, dtype="int32"),
+            "screen_w": np.zeros(n, dtype="int32"),
+            "screen_h": np.zeros(n, dtype="int32"),
+            "total_delay_cs": np.zeros(n, dtype="int32"),
+            "loop_count": np.zeros(n, dtype="int32"),
+        }
+        for j, payload in enumerate(pdf["payload"]):
+            img = decode_gif(bytes(payload))
+            out["n_frames"][j] = len(img.frames)
+            out["screen_w"][j] = img.width
+            out["screen_h"][j] = img.height
+            out["total_delay_cs"][j] = sum(img.delays)
+            out["loop_count"][j] = -1 if img.loop_count is None else img.loop_count
+        yield pd.DataFrame(out)
 
 def gif_anim_summary(df: DataFrame) -> DataFrame:
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            n = len(pdf)
-            out = {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "n_frames": np.zeros(n, dtype="int32"),
-                "screen_w": np.zeros(n, dtype="int32"),
-                "screen_h": np.zeros(n, dtype="int32"),
-                "total_delay_cs": np.zeros(n, dtype="int32"),
-                "loop_count": np.zeros(n, dtype="int32"),
-            }
-            for j, payload in enumerate(pdf["payload"]):
-                img = decode_gif(bytes(payload))
-                out["n_frames"][j] = len(img.frames)
-                out["screen_w"][j] = img.width
-                out["screen_h"][j] = img.height
-                out["total_delay_cs"][j] = sum(img.delays)
-                out["loop_count"][j] = -1 if img.loop_count is None else img.loop_count
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(batches, GIF_SUMMARY_SCHEMA)
+    return df.mapInPandas(_gif_summary_batches, GIF_SUMMARY_SCHEMA)
 
 
 def multimodal_gif_anim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gif_anim_summary(gif_assets_from_documents(spark, sf_dir))
+    # fused single-crossing path (r14 second pass)
+    return _gif_docs(spark, sf_dir).mapInPandas(
+        lambda it: _gif_summary_batches(_gif_synth_batches(it)),
+        GIF_SUMMARY_SCHEMA,
+    )
 
 
 # Closed-form oracles: frame k of doc d is text bytes [256k, 256k+256)
@@ -703,24 +721,25 @@ def multimodal_gif_selective_frames(spark: SparkSession, sf_dir: str) -> DataFra
     frame decode runs only on survivors. On this corpus the predicate
     keeps docs longer than one 256-byte frame (~55% of assets holding
     ~75% of bytes at sf0.1)."""
-    assets = gif_assets_from_documents(spark, sf_dir)
+    # fused single-crossing path (r14 second pass): synth → metadata
+    # triage → predicate → frame decode of survivors, composed
+    # in-process; the JVM `n_frames >= 2` filter becomes the same
+    # int32 comparison in pandas (row-identical; see the JPEG twin
+    # _jpeg_selective for the rationale)
 
-    def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def meta_filter(it):
         for pdf in it:
-            nf = [parse_gif_meta(bytes(p))[2] for p in pdf["payload"]]
-            out = pdf.copy()
-            out["n_frames"] = pd.Series(nf, dtype="int32")
-            yield out
+            nf = np.fromiter(
+                (parse_gif_meta(bytes(p))[2] for p in pdf["payload"]),
+                dtype=np.int32,
+                count=len(pdf),
+            )
+            yield pdf[nf >= 2]
 
-    with_meta = assets.mapInPandas(
-        meta,
-        T.StructType(
-            list(_ASSET_SCHEMA.fields)
-            + [T.StructField("n_frames", T.IntegerType(), False)]
-        ),
+    return _gif_docs(spark, sf_dir).mapInPandas(
+        lambda it: _gif_frame_batches(meta_filter(_gif_synth_batches(it))),
+        GIF_FRAME_SCHEMA,
     )
-    survivors = with_meta.filter(F.col("n_frames") >= 2).drop("n_frames")
-    return gif_frame_stats(survivors)
 
 
 MULTIMODAL_GIF_SELECTIVE_SQL = MULTIMODAL_GIF_FRAMES_SQL.replace(

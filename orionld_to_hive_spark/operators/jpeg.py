@@ -1345,21 +1345,25 @@ _ASSET_SCHEMA = T.StructType(
 )
 
 
-def _assets_from_documents(
-    spark: SparkSession, sf_dir: str, encoder
-) -> DataFrame:
-    """Documents → flat-block JPEG assets through `encoder`. Decode is
-    CPU-bound Python: spread the docs across the session's cores
-    before mapInPandas — the local corpus arrives as one parquet
-    split, which would otherwise pin the whole codec stage to a single
-    worker (measured 22 s → 2.8 s at sf0.1); on a real cluster the
-    input already has file-split parallelism and the round-robin
-    exchange is noise next to the codec work."""
-    docs = (
+def _spread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) spread across the session's cores — the local
+    corpus arrives as one parquet split, which would otherwise pin the
+    CPU-bound codec stage to a single worker (measured 22 s → 2.8 s at
+    sf0.1); on a real cluster the input already has file-split
+    parallelism and the round-robin exchange is noise next to the
+    codec work."""
+    return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+
+
+def _synth_batches(encoder):
+    """Batch generator: (doc_id, text) pdfs → asset pdfs through
+    `encoder`. Module-level so the fused query paths can compose it
+    in-process with the decode generators (guide §4.1: one boundary
+    crossing instead of three — see _fused_pixel_stats)."""
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1377,7 +1381,18 @@ def _assets_from_documents(
                 }
             )
 
-    return docs.mapInPandas(synth, _ASSET_SCHEMA)
+    return synth
+
+
+def _assets_from_documents(
+    spark: SparkSession, sf_dir: str, encoder
+) -> DataFrame:
+    """Documents → flat-block JPEG assets through `encoder`, as a
+    standalone asset frame (test/composition surface; the registry
+    stats queries use the fused single-crossing path below)."""
+    return _spread_docs(spark, sf_dir).mapInPandas(
+        _synth_batches(encoder), _ASSET_SCHEMA
+    )
 
 
 def jpeg_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,38 +1434,61 @@ def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("no frame in JPEG stream")
 
 
-def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            n = len(pdf)
-            out = {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "width": np.zeros(n, dtype="int32"),
-                "height": np.zeros(n, dtype="int32"),
-                "n_pixels": np.zeros(n, dtype="int32"),
-                "mean_pixel": np.zeros(n),
-                "max_pixel": np.zeros(n, dtype="int32"),
-                "n_dark": np.zeros(n, dtype="int32"),
-            }
-            for j, payload in enumerate(pdf["payload"]):
-                img = decode_jpeg(bytes(payload))
-                px = img.samples
-                out["width"][j] = img.width
-                out["height"][j] = img.height
-                out["n_pixels"][j] = px.size
-                out["mean_pixel"][j] = (
-                    np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
-                    / 1e6
-                )
-                out["max_pixel"][j] = int(px.max())
-                out["n_dark"][j] = int((px < PNG_DARK).sum())
-            yield pd.DataFrame(out)
+def _stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch generator: asset pdfs → pixel-stat pdfs (module-level for
+    in-process composition — see _fused_pixel_stats)."""
+    for pdf in it:
+        n = len(pdf)
+        out = {
+            "asset_id": pdf["asset_id"].to_numpy(),
+            "width": np.zeros(n, dtype="int32"),
+            "height": np.zeros(n, dtype="int32"),
+            "n_pixels": np.zeros(n, dtype="int32"),
+            "mean_pixel": np.zeros(n),
+            "max_pixel": np.zeros(n, dtype="int32"),
+            "n_dark": np.zeros(n, dtype="int32"),
+        }
+        for j, payload in enumerate(pdf["payload"]):
+            img = decode_jpeg(bytes(payload))
+            px = img.samples
+            out["width"][j] = img.width
+            out["height"][j] = img.height
+            out["n_pixels"][j] = px.size
+            out["mean_pixel"][j] = (
+                np.floor(int(px.sum(dtype=np.int64)) / px.size * 1e6 + 0.5)
+                / 1e6
+            )
+            out["max_pixel"][j] = int(px.max())
+            out["n_dark"][j] = int((px < PNG_DARK).sum())
+        yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    return df.mapInPandas(_stats_batches, PNG_STATS_SCHEMA)
+
+
+def _fused_pixel_stats(spark: SparkSession, sf_dir: str, encoder) -> DataFrame:
+    """Encode + decode inside ONE Python task (r14 second pass, guide
+    §4.1 "control how many times data crosses the boundary"): the
+    staged shape `jpeg_pixel_stats(_assets_from_documents(...))`
+    chained two mapInPandas nodes, so every synthesized payload
+    crossed Python→JVM→Python (Arrow-serialized twice) purely to
+    change batch functions. The fused node composes the SAME two batch
+    generators in-process — `_stats_batches(_synth_batches(enc)(it))`,
+    identical code objects, identical per-doc arithmetic, identical
+    batch boundaries — and the payload bytes never cross the boundary
+    at all (only doc text in, stat rows out). In production the asset
+    bytes arrive from parquet and cross once either way; here the
+    fixture round-trip was pure overhead. Staged ≡ fused pinned in
+    tests/test_opt_r14.py; the oracle is unchanged."""
+    synth = _synth_batches(encoder)
+    return _spread_docs(spark, sf_dir).mapInPandas(
+        lambda it: _stats_batches(synth(it)), PNG_STATS_SCHEMA
+    )
 
 
 def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jpeg_pixel_stats(jpeg_assets_from_documents(spark, sf_dir))
+    return _fused_pixel_stats(spark, sf_dir, encode_jpeg_gray_flat)
 
 
 def jpeg_progressive_assets_from_documents(
@@ -1470,8 +1508,8 @@ def multimodal_jpeg_progressive_stats(
     EOB-run machinery of the AC band scan feed every stat; the flat
     construction makes the multi-scan pipeline lossless, so the query
     shares the grey byte-domain oracle with multimodal_jpeg_stats."""
-    return jpeg_pixel_stats(
-        jpeg_progressive_assets_from_documents(spark, sf_dir)
+    return _fused_pixel_stats(
+        spark, sf_dir, encode_jpeg_gray_flat_progressive
     )
 
 
@@ -1482,10 +1520,8 @@ def multimodal_jpeg_progressive_color_stats(
     JPEGs — puts the decoder's multi-component progressive paths
     (interleaved DC scans with per-component predictors, per-component
     AC band scans) on the oracle path via the color closed form."""
-    return jpeg_pixel_stats(
-        _assets_from_documents(
-            spark, sf_dir, encode_jpeg_color_flat_progressive
-        )
+    return _fused_pixel_stats(
+        spark, sf_dir, encode_jpeg_color_flat_progressive
     )
 
 
@@ -1502,9 +1538,7 @@ def multimodal_jpeg_color_stats(
     3-component interleaved scan and the JFIF YCbCr→RGB transform are
     on the oracle path — a wrong upsample, predictor interleave, or
     transform constant shifts a stat."""
-    return jpeg_pixel_stats(
-        jpeg_color_assets_from_documents(spark, sf_dir)
-    )
+    return _fused_pixel_stats(spark, sf_dir, encode_jpeg_color_flat)
 
 
 # Byte-domain oracle: byte b → 64 pixels of exactly b; rows of
@@ -1564,9 +1598,7 @@ def multimodal_jpeg_cmyk_stats(
     (r10 verdict item 3 — the most common real-crawl refusal after
     progressive): the APP14 parse, 4-component interleaved scan, and
     4-plane assembly are on the oracle path."""
-    return jpeg_pixel_stats(
-        jpeg_cmyk_assets_from_documents(spark, sf_dir)
-    )
+    return _fused_pixel_stats(spark, sf_dir, encode_jpeg_cmyk_flat)
 
 
 # CMYK byte-domain oracle: byte b → 64 CMYK pixels (b, min(b+64,255),
@@ -1630,7 +1662,47 @@ ORDER BY asset_id
 JPEG_SELECT_MIN_ROWS = 2
 
 
+def _dims_filter_batches(min_rows: int):
+    """Batch generator: asset pdfs → surviving asset pdfs (header-only
+    dims parse + the height predicate). Factored out of the staged
+    shape so the fused path composes it in-process."""
+    cut = 8 * min_rows
+
+    def dims(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            heights = np.fromiter(
+                (parse_jpeg_dims(bytes(p))[1] for p in pdf["payload"]),
+                dtype=np.int32,
+                count=len(pdf),
+            )
+            yield pdf[["asset_id", "payload", "mime"]][heights >= cut]
+
+    return dims
+
+
 def _jpeg_selective(spark, sf_dir: str, min_rows: int) -> DataFrame:
+    """Selective decode, fused (r14 second pass, guide §4.1): encode →
+    header dims pass → predicate → full decode of survivors, all
+    inside ONE Python task. The staged shape (kept below as
+    `_jpeg_selective_staged`, the equivalence twin) chained THREE
+    mapInPandas nodes with a JVM filter between — every payload
+    crossed the boundary five times; the survivors' pixel decode and
+    the header triage are per-doc-independent, so composing the same
+    batch generators in-process is row-identical (the JVM
+    `height >= 8·min_rows` filter becomes the same int32 comparison
+    in pandas). The 100 TB shape is unchanged: header triage still
+    gates the expensive decode per batch — only the fixture payload
+    round-trips are gone."""
+    synth = _synth_batches(encode_jpeg_gray_flat)
+    dims = _dims_filter_batches(min_rows)
+    return _spread_docs(spark, sf_dir).mapInPandas(
+        lambda it: _stats_batches(dims(synth(it))), PNG_STATS_SCHEMA
+    )
+
+
+def _jpeg_selective_staged(spark, sf_dir: str, min_rows: int) -> DataFrame:
+    """The r9-r13 three-stage selective pipeline — RETAINED as the
+    equivalence twin of the fused form (pinned in test_opt_r14)."""
     assets = jpeg_assets_from_documents(spark, sf_dir)
 
     def dims(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -604,90 +604,87 @@ WAV_RATE = 16000
 WAV_ACTIVE_RMS = AUDIO_ACTIVE_RMS / 128.0  # same threshold, sample domain
 
 
-def wav_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wav_synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import io
     import wave
 
-    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                raw = np.frombuffer(
-                    (text or "").encode("utf-8"), dtype=np.uint8
-                )
-                pcm = ((raw.astype(np.int16) - 128) * 256).astype("<i2")
-                bio = io.BytesIO()
-                with wave.open(bio, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(WAV_RATE)
-                    w.writeframes(pcm.tobytes())
-                payloads.append(bio.getvalue())
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "mime": "audio/wav",
-                }
+    for pdf in it:
+        payloads = []
+        for text in pdf["text"]:
+            raw = np.frombuffer(
+                (text or "").encode("utf-8"), dtype=np.uint8
             )
+            pcm = ((raw.astype(np.int16) - 128) * 256).astype("<i2")
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_RATE)
+                w.writeframes(pcm.tobytes())
+            payloads.append(bio.getvalue())
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["doc_id"],
+                "payload": payloads,
+                "mime": "audio/wav",
+            }
+        )
 
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-        ]
-    )
-    return docs.mapInPandas(synth, schema)
+def wav_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+    return docs.mapInPandas(_wav_synth_batches, _PNG_ASSET_SCHEMA)
 
+
+def _wav_energy_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {
+            "asset_id": pdf["asset_id"].to_numpy(),
+            "n_windows": np.zeros(len(pdf), dtype="int32"),
+            "mean_rms": np.zeros(len(pdf)),
+            "max_rms": np.zeros(len(pdf)),
+            "n_active": np.zeros(len(pdf), dtype="int32"),
+        }
+        for j, payload in enumerate(pdf["payload"]):
+            samples, _rate = decode_wav(bytes(payload))
+            n = len(samples)
+            if n == 0:
+                continue
+            nw = (
+                (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
+            )
+            dev256 = samples * 32768.0  # exact int values as float64
+            csq = np.concatenate(([0.0], np.cumsum(dev256 * dev256)))
+            starts = np.arange(nw) * AUDIO_HOP
+            wlen = min(AUDIO_WIN, n)
+            sumsq = csq[starts + wlen] - csq[starts]
+            rms = np.sqrt(sumsq / wlen) / 32768.0
+            r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
+            out["n_windows"][j] = nw
+            out["mean_rms"][j] = (
+                np.floor((r9.sum() / 1e9) / nw * 1e6 + 0.5) / 1e6
+            )
+            out["max_rms"][j] = np.floor(r9.max() / 1e9 * 1e6 + 0.5) / 1e6
+            out["n_active"][j] = int(
+                (r9 > int(WAV_ACTIVE_RMS * 1e9)).sum()
+            )
+        yield pd.DataFrame(out)
 
 def wav_audio_energy(df: DataFrame) -> DataFrame:
     """Windowed RMS over REAL-decoded PCM samples (decode_wav), same
     window/hop/stat shape as audio_energy. Sample² sums run on
     (sample·32768)² integers — exact in float64 — so the 1e9-scaled
     rms codes match the oracle's integer math bit-for-bit."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "n_windows": np.zeros(len(pdf), dtype="int32"),
-                "mean_rms": np.zeros(len(pdf)),
-                "max_rms": np.zeros(len(pdf)),
-                "n_active": np.zeros(len(pdf), dtype="int32"),
-            }
-            for j, payload in enumerate(pdf["payload"]):
-                samples, _rate = decode_wav(bytes(payload))
-                n = len(samples)
-                if n == 0:
-                    continue
-                nw = (
-                    (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
-                )
-                dev256 = samples * 32768.0  # exact int values as float64
-                csq = np.concatenate(([0.0], np.cumsum(dev256 * dev256)))
-                starts = np.arange(nw) * AUDIO_HOP
-                wlen = min(AUDIO_WIN, n)
-                sumsq = csq[starts + wlen] - csq[starts]
-                rms = np.sqrt(sumsq / wlen) / 32768.0
-                r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
-                out["n_windows"][j] = nw
-                out["mean_rms"][j] = (
-                    np.floor((r9.sum() / 1e9) / nw * 1e6 + 0.5) / 1e6
-                )
-                out["max_rms"][j] = np.floor(r9.max() / 1e9 * 1e6 + 0.5) / 1e6
-                out["n_active"][j] = int(
-                    (r9 > int(WAV_ACTIVE_RMS * 1e9)).sum()
-                )
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(batches, ENERGY_SCHEMA)
+    return df.mapInPandas(_wav_energy_batches, ENERGY_SCHEMA)
 
 
 def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return wav_audio_energy(wav_assets_from_documents(spark, sf_dir))
+    # fused single-crossing path (r14 second pass, guide §4.1) — the
+    # WAV twin of jpeg._fused_pixel_stats
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+    return docs.mapInPandas(
+        lambda it: _wav_energy_batches(_wav_synth_batches(it)),
+        ENERGY_SCHEMA,
+    )
 
 
 MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
@@ -703,45 +700,37 @@ MULTIMODAL_WAV_SQL = _audio_sql(128, int(WAV_ACTIVE_RMS * 1e9))
 MULAW_ACTIVE_RMS9 = 300_000_000  # rms > 0.3 (sample domain, 1e9-scaled)
 
 
+def _mulaw_synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    for pdf in it:
+        payloads = []
+        for text in pdf["text"]:
+            data = (text or "").encode("utf-8")
+            fmt = struct.pack(
+                "<HHIIHH", 7, 1, WAV_RATE, WAV_RATE, 1, 8
+            )
+            body = (
+                b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b"")
+            )
+            payloads.append(
+                b"RIFF" + struct.pack("<I", len(body)) + body
+            )
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["doc_id"],
+                "payload": payloads,
+                "mime": "audio/basic",
+            }
+        )
+
 def wav_mulaw_assets_from_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import struct
-
     docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = (text or "").encode("utf-8")
-                fmt = struct.pack(
-                    "<HHIIHH", 7, 1, WAV_RATE, WAV_RATE, 1, 8
-                )
-                body = (
-                    b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"data" + struct.pack("<I", len(data)) + data
-                    + (b"\x00" if len(data) & 1 else b"")
-                )
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", len(body)) + body
-                )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "mime": "audio/basic",
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-        ]
-    )
-    return docs.mapInPandas(synth, schema)
+    return docs.mapInPandas(_mulaw_synth_batches, _PNG_ASSET_SCHEMA)
 
 
 def mulaw_audio_energy(df: DataFrame) -> DataFrame:
@@ -753,46 +742,50 @@ def mulaw_audio_energy(df: DataFrame) -> DataFrame:
     float64 exactly and the SQL oracle's integer window sums are
     matched bit-for-bit with no whole-document float53 bound."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "n_windows": np.zeros(len(pdf), dtype="int32"),
-                "mean_rms": np.zeros(len(pdf)),
-                "max_rms": np.zeros(len(pdf)),
-                "n_active": np.zeros(len(pdf), dtype="int32"),
-            }
-            for j, payload in enumerate(pdf["payload"]):
-                samples, _rate = decode_wav(bytes(payload))
-                n = len(samples)
-                if n == 0:
-                    continue
-                nw = (
-                    (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
-                )
-                mags = np.rint(samples * 32768.0).astype(np.int64)
-                csq = np.concatenate(
-                    ([0], np.cumsum(mags * mags, dtype=np.int64))
-                )
-                starts = np.arange(nw) * AUDIO_HOP
-                wlen = min(AUDIO_WIN, n)
-                sumsq = (csq[starts + wlen] - csq[starts]).astype(np.float64)
-                rms = np.sqrt(sumsq / wlen) / 32768.0
-                r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
-                out["n_windows"][j] = nw
-                out["mean_rms"][j] = (
-                    np.floor((r9.sum() / 1e9) / nw * 1e6 + 0.5) / 1e6
-                )
-                out["max_rms"][j] = np.floor(r9.max() / 1e9 * 1e6 + 0.5) / 1e6
-                out["n_active"][j] = int((r9 > MULAW_ACTIVE_RMS9).sum())
-            yield pd.DataFrame(out)
+    return df.mapInPandas(_mulaw_energy_batches, ENERGY_SCHEMA)
 
-    return df.mapInPandas(batches, ENERGY_SCHEMA)
+
+def _mulaw_energy_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {
+            "asset_id": pdf["asset_id"].to_numpy(),
+            "n_windows": np.zeros(len(pdf), dtype="int32"),
+            "mean_rms": np.zeros(len(pdf)),
+            "max_rms": np.zeros(len(pdf)),
+            "n_active": np.zeros(len(pdf), dtype="int32"),
+        }
+        for j, payload in enumerate(pdf["payload"]):
+            samples, _rate = decode_wav(bytes(payload))
+            n = len(samples)
+            if n == 0:
+                continue
+            nw = (
+                (n - AUDIO_WIN) // AUDIO_HOP + 1 if n >= AUDIO_WIN else 1
+            )
+            mags = np.rint(samples * 32768.0).astype(np.int64)
+            csq = np.concatenate(
+                ([0], np.cumsum(mags * mags, dtype=np.int64))
+            )
+            starts = np.arange(nw) * AUDIO_HOP
+            wlen = min(AUDIO_WIN, n)
+            sumsq = (csq[starts + wlen] - csq[starts]).astype(np.float64)
+            rms = np.sqrt(sumsq / wlen) / 32768.0
+            r9 = np.floor(rms * 1e9 + 0.5).astype(np.int64)
+            out["n_windows"][j] = nw
+            out["mean_rms"][j] = (
+                np.floor((r9.sum() / 1e9) / nw * 1e6 + 0.5) / 1e6
+            )
+            out["max_rms"][j] = np.floor(r9.max() / 1e9 * 1e6 + 0.5) / 1e6
+            out["n_active"][j] = int((r9 > MULAW_ACTIVE_RMS9).sum())
+        yield pd.DataFrame(out)
 
 
 def multimodal_wav_mulaw_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mulaw_audio_energy(
-        wav_mulaw_assets_from_documents(spark, sf_dir)
+    # fused single-crossing path (r14 second pass, guide §4.1)
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+    return docs.mapInPandas(
+        lambda it: _mulaw_energy_batches(_mulaw_synth_batches(it)),
+        ENERGY_SCHEMA,
     )
 
 
@@ -1375,13 +1368,26 @@ PNG_STATS_SCHEMA = T.StructType(
 )
 
 
-def png_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+_PNG_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def _png_synth_batches(encoder):
+    """Batch generator factory: (doc_id, text) pdfs → PNG asset pdfs.
+    Module-level so the fused query paths compose it in-process with
+    the stats generator (guide §4.1 — same single-crossing rationale
+    as the JPEG twin jpeg._fused_pixel_stats: the payload bytes never
+    cross the Python boundary)."""
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                encode_png_gray(
+                encoder(
                     np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
                 )
                 for t in pdf["text"]
@@ -1394,14 +1400,12 @@ def png_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-        ]
-    )
-    return docs.mapInPandas(synth, schema)
+    return synth
+
+
+def png_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+    return docs.mapInPandas(_png_synth_batches(encode_png_gray), _PNG_ASSET_SCHEMA)
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
@@ -1411,37 +1415,50 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
     bit-for-bit — but only if every scanline filter was reversed
     correctly."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            n = len(pdf)
-            out = {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "width": np.zeros(n, dtype="int32"),
-                "height": np.zeros(n, dtype="int32"),
-                "n_pixels": np.zeros(n, dtype="int32"),
-                "mean_pixel": np.zeros(n),
-                "max_pixel": np.zeros(n, dtype="int32"),
-                "n_dark": np.zeros(n, dtype="int32"),
-            }
-            for j, payload in enumerate(pdf["payload"]):
-                img = decode_png(bytes(payload))
-                px, w, h = img.samples, img.width, img.height
-                total = int(px.sum(dtype=np.int64))
-                out["width"][j] = w
-                out["height"][j] = h
-                out["n_pixels"][j] = px.size
-                out["mean_pixel"][j] = (
-                    np.floor(total / px.size * 1e6 + 0.5) / 1e6
-                )
-                out["max_pixel"][j] = int(px.max())
-                out["n_dark"][j] = int((px < PNG_DARK).sum())
-            yield pd.DataFrame(out)
+    return df.mapInPandas(_png_stats_batches, PNG_STATS_SCHEMA)
 
-    return df.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+def _png_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        n = len(pdf)
+        out = {
+            "asset_id": pdf["asset_id"].to_numpy(),
+            "width": np.zeros(n, dtype="int32"),
+            "height": np.zeros(n, dtype="int32"),
+            "n_pixels": np.zeros(n, dtype="int32"),
+            "mean_pixel": np.zeros(n),
+            "max_pixel": np.zeros(n, dtype="int32"),
+            "n_dark": np.zeros(n, dtype="int32"),
+        }
+        for j, payload in enumerate(pdf["payload"]):
+            img = decode_png(bytes(payload))
+            px, w, h = img.samples, img.width, img.height
+            total = int(px.sum(dtype=np.int64))
+            out["width"][j] = w
+            out["height"][j] = h
+            out["n_pixels"][j] = px.size
+            out["mean_pixel"][j] = (
+                np.floor(total / px.size * 1e6 + 0.5) / 1e6
+            )
+            out["max_pixel"][j] = int(px.max())
+            out["n_dark"][j] = int((px < PNG_DARK).sum())
+        yield pd.DataFrame(out)
+
+
+def _fused_png_stats(spark: SparkSession, sf_dir: str, encoder) -> DataFrame:
+    """Encode + decode inside ONE Python task — the PNG twin of
+    jpeg._fused_pixel_stats (r14 second pass, guide §4.1): identical
+    batch generators composed in-process, payloads never cross the
+    boundary; staged ≡ fused pinned in tests/test_opt_r14.py."""
+    synth = _png_synth_batches(encoder)
+    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
+    return docs.mapInPandas(
+        lambda it: _png_stats_batches(synth(it)), PNG_STATS_SCHEMA
+    )
 
 
 def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return png_pixel_stats(png_assets_from_documents(spark, sf_dir))
+    return _fused_png_stats(spark, sf_dir, encode_png_gray)
 
 
 def palette_png_assets_from_documents(
@@ -1451,31 +1468,9 @@ def palette_png_assets_from_documents(
     utf-8 bytes become color-type-3 indices (byte % 4 into
     PNG_PALETTE)."""
     docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = [
-                encode_png_palette(
-                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                )
-                for t in pdf["text"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "mime": "image/png",
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-        ]
+    return docs.mapInPandas(
+        _png_synth_batches(encode_png_palette), _PNG_ASSET_SCHEMA
     )
-    return docs.mapInPandas(synth, schema)
 
 
 def multimodal_png_palette_stats(
@@ -1485,9 +1480,7 @@ def multimodal_png_palette_stats(
     end-to-end proof: the oracle derives every stat from the hex dump
     through the byte%4 palette map, so a wrong PLTE lookup or a filter
     slip over the index stream breaks the hash."""
-    return png_pixel_stats(
-        palette_png_assets_from_documents(spark, sf_dir)
-    )
+    return _fused_png_stats(spark, sf_dir, encode_png_palette)
 
 
 def multimodal_png_palette4_stats(
@@ -1501,32 +1494,7 @@ def multimodal_png_palette4_stats(
     (channel sum 51·idx, max 17·idx, dark = idx < 2), so a bit-unpack
     slip — wrong nibble order, pad bits leaking into samples, a filter
     applied after unpacking instead of before — breaks the hash."""
-    docs = load_docs_spread(spark, sf_dir, "doc_id", "text")
-
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = [
-                encode_png_palette4(
-                    np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                )
-                for t in pdf["text"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "mime": "image/png",
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("asset_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-        ]
-    )
-    return png_pixel_stats(docs.mapInPandas(synth, schema))
+    return _fused_png_stats(spark, sf_dir, encode_png_palette4)
 
 
 # Byte-domain twin: the decoded raster is the utf-8 bytes zero-padded

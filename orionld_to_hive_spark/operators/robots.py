@@ -200,14 +200,207 @@ def robots_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distributed_gate(base: DataFrame, ua: str) -> DataFrame:
-    """The reusable distributed evaluator: `base` carries (asset_id,
+    """The distributed evaluator: `base` carries (asset_id,
     robots_txt, cand array<string>); output is one verdict row per
     (asset_id, path). Group selection is RFC 9309 §2.2.1 complete
     (ADVICE r12): the winning user-agent token is the LONGEST
     case-insensitive prefix of the product token, ALL groups sharing
     that token merge, and `*` groups apply only when no named token
     matches — the same semantics `select_rules` implements
-    single-node, pinned against it in the units."""
+    single-node.
+
+    Shuffle-free form (r14 second pass, guide §2.4 "remove shuffles
+    outright"): every step — parse, group segmentation, group
+    selection, longest-match precedence — is keyed by asset_id alone,
+    so the whole verdict is computable inside ONE projection with
+    array higher-order functions; the only Generate is the final
+    per-path explode the output shape declares. The r13 join/window
+    form (kept verbatim below as `_distributed_gate_joins`, the
+    equivalence twin) hash-partitioned the rules-per-host metadata
+    ~10× (2 window sorts + 6 joins + 2 aggregations); this form is
+    scan → project → explode with zero Exchange nodes at any scale.
+    Semantics pinned three ways in tests/test_robots.py: against the
+    twin on the corpus, against the twin on adversarial grammars, and
+    (via the twin's own pin) against the single-node reference
+    `select_rules`."""
+    ua = ua.lower()
+
+    # ---- parse: lines → ordered (key, value) records (same regexes
+    # as the twin, applied per array element instead of per exploded
+    # row)
+    stripped = F.transform(
+        F.split(F.col("robots_txt"), "\n"),
+        lambda l: F.trim(F.regexp_replace(l, "#.*$", "")),
+    )
+    recs = F.filter(
+        F.transform(
+            stripped,
+            lambda l: F.struct(
+                F.lower(
+                    F.trim(F.regexp_extract(l, r"^([^:]+):", 1))
+                ).alias("key"),
+                F.trim(F.regexp_extract(l, r"^[^:]+:(.*)$", 1)).alias(
+                    "value"
+                ),
+                l.contains(":").alias("rec"),
+            ),
+        ),
+        lambda s: s["rec"]
+        & s["key"].isin("user-agent", "allow", "disallow"),
+    )
+
+    # ---- group segmentation: consecutive user-agent lines open ONE
+    # group (gid 0 = "before any group": never selectable, exactly
+    # the twin's sum-of-group-starts semantics)
+    def _step(acc, s):
+        gid = F.when(
+            (s["key"] == "user-agent") & (acc["prev"] != "user-agent"),
+            acc["gid"] + 1,
+        ).otherwise(acc["gid"])
+        return F.struct(
+            gid.alias("gid"),
+            s["key"].alias("prev"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s["key"].alias("key"),
+                        s["value"].alias("value"),
+                        gid.alias("gid"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    segs = F.aggregate(
+        recs,
+        F.struct(
+            F.lit(0).alias("gid"),
+            F.lit("").alias("prev"),
+            F.array()
+            .cast("array<struct<key:string,value:string,gid:int>>")
+            .alias("out"),
+        ),
+        _step,
+        lambda acc: acc["out"],
+    )
+
+    df = (
+        base.select("asset_id", "cand", segs.alias("segs"))
+        .withColumn(
+            "agents",
+            F.filter("segs", lambda s: s["key"] == "user-agent"),
+        )
+        .withColumn(
+            "named",
+            F.filter(
+                "agents",
+                lambda s: (F.lower(s["value"]) != "*")
+                & F.lit(ua).startswith(F.lower(s["value"])),
+            ),
+        )
+        .withColumn(
+            "best_len",
+            F.array_max(
+                F.transform("named", lambda s: F.length(s["value"]))
+            ),
+        )
+        .withColumn(
+            "chosen",
+            F.when(
+                F.col("best_len").isNotNull(),
+                F.transform(
+                    F.filter(
+                        "named",
+                        lambda s: F.length(s["value"])
+                        == F.col("best_len"),
+                    ),
+                    lambda s: s["gid"],
+                ),
+            ).otherwise(
+                F.transform(
+                    F.filter(
+                        "agents", lambda s: F.lower(s["value"]) == "*"
+                    ),
+                    lambda s: s["gid"],
+                )
+            ),
+        )
+        # active rules with their LIKE translation resolved once per
+        # rule (same CASE the twin applies per joined row)
+        .withColumn(
+            "rules",
+            F.transform(
+                F.filter(
+                    "segs",
+                    lambda s: (s["key"] != "user-agent")
+                    & (s["value"] != "")
+                    & F.array_contains(F.col("chosen"), s["gid"]),
+                ),
+                lambda s: F.struct(
+                    s["key"].alias("kind"),
+                    s["value"].alias("pattern"),
+                    F.when(
+                        s["value"].endswith("$"),
+                        F.translate(
+                            s["value"].substr(
+                                F.lit(1), F.length(s["value"]) - 1
+                            ),
+                            "*",
+                            "%",
+                        ),
+                    )
+                    .otherwise(
+                        F.concat(
+                            F.translate(s["value"], "*", "%"), F.lit("%")
+                        )
+                    )
+                    .alias("lpat"),
+                ),
+            ),
+        )
+    )
+
+    # ---- per path: longest pattern wins, allow breaks ties, then
+    # pattern asc — the twin's row_number(rn=1) as an array argmin
+    nullrule = F.lit(None).cast(
+        "struct<kind:string,pattern:string,lpat:string>"
+    )
+    best = F.aggregate(
+        F.filter("rules", lambda r: F.like(F.col("path"), r["lpat"])),
+        nullrule,
+        lambda b, r: F.when(b.isNull(), r)
+        .when(F.length(r["pattern"]) > F.length(b["pattern"]), r)
+        .when(
+            (F.length(r["pattern"]) == F.length(b["pattern"]))
+            & (r["kind"] < b["kind"]),
+            r,
+        )
+        .when(
+            (F.length(r["pattern"]) == F.length(b["pattern"]))
+            & (r["kind"] == b["kind"])
+            & (r["pattern"] < b["pattern"]),
+            r,
+        )
+        .otherwise(b),
+    )
+    return df.select(
+        "asset_id", "rules", F.explode("cand").alias("path")
+    ).select(
+        "asset_id",
+        "path",
+        F.coalesce(best["kind"] == F.lit("allow"), F.lit(True)).alias(
+            "allowed"
+        ),
+        best["pattern"].alias("rule"),
+    )
+
+
+def _distributed_gate_joins(base: DataFrame, ua: str) -> DataFrame:
+    """The r13 join/window evaluator — RETAINED as the equivalence
+    twin of the HOF form above (it is the shape the oracle SQL
+    mirrors and the one `test_distributed_matches_reference` was
+    originally written against); no query path consumes it."""
     ua = ua.lower()
 
     # ---- parse: lines → (key, value) records with positions

@@ -274,6 +274,50 @@ def test_kmeans_fit_fast_matches_fold_twin(spark, sf_smoke):
     assert fast == fold
 
 
+@pytest.mark.parametrize("k", [2, 8, 16])
+def test_fit_single_task_equals_ladder(spark, sf_smoke, k):
+    """The n_rows-gated single-job fit (init + ALL Lloyd rounds in one
+    mapInPandas task) must reproduce the distributed per-round ladder
+    bit-for-bit — on a multi-partition layout, so the exact-int64
+    partial-sum associativity claim is actually exercised. k=2 runs
+    the plain n×K argmin, k=8/16 the bucketed dispatch."""
+    from orionld_to_hive_spark.operators.similarity import (
+        _fit_centroids_single_task,
+        _kmeans_fit_centroids,
+    )
+
+    emb = _emb_frame(spark, sf_smoke).repartition(7).persist()
+    try:
+        single = _fit_centroids_single_task(emb, k)
+        ladder = _kmeans_fit_centroids(spark, emb, k=k, fast=True,
+                                       n_rows=None)
+        assert single == ladder
+    finally:
+        emb.unpersist()
+
+
+def test_kmeans_fit_gate_dispatches_on_n_rows(spark, sf_smoke, monkeypatch):
+    """n_rows at/below the gate takes the single-task path; above it
+    (and n_rows=None) the distributed ladder runs."""
+    import orionld_to_hive_spark.operators.similarity as S
+
+    emb = _emb_frame(spark, sf_smoke)
+    calls = []
+
+    real = S._fit_centroids_single_task
+    monkeypatch.setattr(
+        S, "_fit_centroids_single_task",
+        lambda e, k: calls.append(k) or real(e, k),
+    )
+    S._kmeans_fit_centroids(spark, emb, k=8, fast=True, n_rows=100)
+    assert calls == [8]
+    S._kmeans_fit_centroids(
+        spark, emb, k=8, fast=True,
+        n_rows=S._FIT_SINGLE_TASK_MAX_ROWS + 1,
+    )
+    assert calls == [8]  # ladder ran; no second single-task call
+
+
 def test_stream_minima_plan_hash_aggregates(spark, tmp_path):
     base = str(tmp_path / "sub")
     s = StreamingExactSubstr(base)
@@ -287,3 +331,85 @@ def test_stream_minima_plan_hash_aggregates(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan
         assert "SortAggregate" not in plan
+
+
+# --------------------------------------------------------------------------
+# r14 second pass: fused single-crossing codec paths == staged twins
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_fused_jpeg_stats_equals_staged(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import jpeg as J
+
+    for enc in (J.encode_jpeg_gray_flat, J.encode_jpeg_color_flat,
+                J.encode_jpeg_cmyk_flat):
+        fused = J._fused_pixel_stats(spark, sf_smoke, enc)
+        staged = J.jpeg_pixel_stats(
+            J._assets_from_documents(spark, sf_smoke, enc)
+        )
+        assert _rows(fused) == _rows(staged), enc.__name__
+
+
+def test_fused_jpeg_selective_equals_staged(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import jpeg as J
+
+    for min_rows in (J.JPEG_SELECT_MIN_ROWS, J.JPEG_TALL_MIN_ROWS):
+        fused = J._jpeg_selective(spark, sf_smoke, min_rows)
+        staged = J._jpeg_selective_staged(spark, sf_smoke, min_rows)
+        assert _rows(fused) == _rows(staged), min_rows
+
+
+def test_fused_gif_queries_equal_staged(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import gif as G
+
+    assets = G.gif_assets_from_documents(spark, sf_smoke)
+    assert _rows(G.multimodal_gif_frames(spark, sf_smoke)) == _rows(
+        G.gif_frame_stats(assets)
+    )
+    assert _rows(G.multimodal_gif_anim_summary(spark, sf_smoke)) == _rows(
+        G.gif_anim_summary(assets)
+    )
+
+
+def test_fused_png_wav_queries_equal_staged(spark, sf_smoke):
+    from orionld_to_hive_spark.operators import multimodal as M
+
+    assert _rows(M.multimodal_png_stats(spark, sf_smoke)) == _rows(
+        M.png_pixel_stats(M.png_assets_from_documents(spark, sf_smoke))
+    )
+    assert _rows(
+        M.multimodal_png_palette_stats(spark, sf_smoke)
+    ) == _rows(
+        M.png_pixel_stats(
+            M.palette_png_assets_from_documents(spark, sf_smoke)
+        )
+    )
+    assert _rows(M.multimodal_wav_rms(spark, sf_smoke)) == _rows(
+        M.wav_audio_energy(M.wav_assets_from_documents(spark, sf_smoke))
+    )
+    assert _rows(M.multimodal_wav_mulaw_rms(spark, sf_smoke)) == _rows(
+        M.mulaw_audio_energy(
+            M.wav_mulaw_assets_from_documents(spark, sf_smoke)
+        )
+    )
+
+
+def test_fused_codec_plans_have_single_python_stage(spark, sf_smoke):
+    import re
+
+    from orionld_to_hive_spark.operators import gif as G
+    from orionld_to_hive_spark.operators import jpeg as J
+    from orionld_to_hive_spark.plans.explain import formatted
+
+    for df in (
+        J.multimodal_jpeg_stats(spark, sf_smoke),
+        J.multimodal_jpeg_cmyk_stats(spark, sf_smoke),
+        J.multimodal_jpeg_tall_stats(spark, sf_smoke),
+        G.multimodal_gif_frames(spark, sf_smoke),
+    ):
+        plan = formatted(df)
+        nodes = re.findall(r"^\(\d+\) MapInPandas", plan, re.M)
+        assert len(nodes) == 1, plan

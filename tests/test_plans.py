@@ -585,9 +585,9 @@ def test_unigram_tokenize_single_pruned_scan(spark, sf_smoke):
 
 
 def test_gif_pipeline_spreads_before_codec_stages(spark, sf_smoke):
-    # the codec stages are CPU-bound Python: the plan must place the
-    # core-spreading exchange BEFORE both mapInPandas stages and read
-    # only (doc_id, text) from the corpus
+    # the codec stage is CPU-bound Python: the plan must place the
+    # core-spreading exchange BEFORE the (r14-fused, single)
+    # mapInPandas stage and read only (doc_id, text) from the corpus
     from orionld_to_hive_spark.operators.gif import multimodal_gif_frames
 
     import re
@@ -598,9 +598,10 @@ def test_gif_pipeline_spreads_before_codec_stages(spark, sf_smoke):
     assert sorted(read_schema_columns(df)) == ["doc_id", "text"]
     tree = plan[: plan.index("(1) Scan")]
     # the tree prints top-down, so the LAST exchange before the scan
-    # is the spreading one and both codec stages sit above it
+    # is the spreading one and the fused codec stage sits above it
     assert tree.rindex("Exchange") > tree.rindex("MapInPandas"), tree
-    assert tree.count("MapInPandas") == 2, tree
+    # r14 second pass: synth + decode fused into ONE Python crossing
+    assert tree.count("MapInPandas") == 1, tree
 
 
 def test_semdedup_pair_join_is_keyed_not_cartesian(spark, sf_smoke):
@@ -652,19 +653,21 @@ def test_ivf_multiprobe_centroid_sides_are_broadcast(spark, sf_smoke):
     assert has_broadcast_join(df), plan
 
 
-def test_robots_gate_plan_is_jvm_only_with_window_group_limit(spark, sf_smoke):
-    # The distributed robots evaluator must stay entirely JVM-side
-    # (no Python eval nodes) and take the WindowGroupLimit path for
-    # its top-1 precedence window (streaming top-1, not a full sort
-    # materialization), with the corpus-side joins broadcast.
+def test_robots_gate_plan_is_jvm_only_and_shuffle_free(spark, sf_smoke):
+    # r14 second pass: the HOF robots evaluator must stay entirely
+    # JVM-side (no Python eval nodes) and carry ZERO Exchange nodes —
+    # parse, segmentation, group selection and longest-match all run
+    # inside one projection; the only Generate is the declared
+    # per-path explode. (The r13 join/window form asserted
+    # WindowGroupLimit + broadcast joins here; that shape now lives in
+    # _distributed_gate_joins as the equivalence twin.)
     from orionld_to_hive_spark.operators.robots import robots_gate_report
 
     df = robots_gate_report(spark, sf_smoke)
     plan = executed_plan(df)
     assert "PythonEval" not in plan and "ArrowEval" not in plan
-    assert "WindowGroupLimit" in plan
-    df.collect()
-    assert has_broadcast_join(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_sitemap_plan_is_jvm_only(spark, sf_smoke):

@@ -202,3 +202,75 @@ def test_distributed_gate_prefix_and_merge(spark):
         for path in cand:
             want = robots_allowed(rules, path)
             assert got[(k, path)] == want, (k, path, got[(k, path)], want)
+
+
+def test_hof_gate_equals_join_twin_adversarial(spark):
+    """r14 second pass: the shuffle-free HOF gate must reproduce the
+    r13 join/window evaluator row-for-row on grammar edges the corpus
+    never produces — orphan rules, empty patterns/agent values, LIKE
+    metacharacters inside patterns, '$'-anchored wildcards, empty
+    robots text, and rule values containing ':'."""
+    from orionld_to_hive_spark.operators.robots import (
+        _distributed_gate,
+        _distributed_gate_joins,
+    )
+
+    texts = {
+        10: "Disallow: /orphan\nUser-agent: *\nDisallow: /a\n",
+        11: "User-agent: *\nDisallow:\nAllow: /a\n",
+        12: "user-AGENT: GptBot\ndisallow: /Case\n",
+        13: "User-agent:\nDisallow: /emptyua\n",
+        14: "User-agent: *\nDisallow: /pct%25\nDisallow: /und_er\n",
+        15: "User-agent: *\nDisallow: /*.gif$\nAllow: /pix/*.gif$\n",
+        16: "",
+        17: "User-agent: *\nDisallow: /a:b\nAllow: /a:b/c\n",
+        18: (
+            "User-agent: gpt\nUser-agent: other\nDisallow: /multi\n"
+            "User-agent: *\nDisallow: /star\n"
+        ),
+        19: "not a record\n# only comments\n",
+    }
+    cand = [
+        "/orphan/x", "/a", "/a/b", "/Case", "/case", "/emptyua",
+        "/pct%25", "/pctX25", "/und_er", "/undXer", "/x.gif",
+        "/pix/y.gif", "/x.gif.html", "/a:b", "/a:b/c", "/multi/x",
+        "/star/x", "/free",
+    ]
+    base = spark.createDataFrame(
+        [(k, t, cand) for k, t in texts.items()],
+        "asset_id LONG, robots_txt STRING, cand ARRAY<STRING>",
+    )
+    hof = sorted(
+        map(tuple, _distributed_gate(base, "gptbot").collect())
+    )
+    twin = sorted(
+        map(tuple, _distributed_gate_joins(base, "gptbot").collect())
+    )
+    assert hof == twin
+
+
+def test_hof_gate_equals_join_twin_on_corpus(spark):
+    """Corpus-shaped pin: the full robots_gate_report base at
+    sf0.001, HOF vs joins, every row."""
+    from pyspark.sql import functions as F
+
+    from orionld_to_hive_spark.operators.robots import (
+        _UA,
+        _distributed_gate,
+        _distributed_gate_joins,
+        _paths,
+        _robots_text,
+    )
+    from orionld_to_hive_spark.sources.warehouse import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _robots_text().alias("robots_txt"),
+        _paths().alias("cand"),
+    )
+    hof = sorted(map(tuple, _distributed_gate(base, _UA).collect()))
+    twin = sorted(
+        map(tuple, _distributed_gate_joins(base, _UA).collect())
+    )
+    assert hof and hof == twin
