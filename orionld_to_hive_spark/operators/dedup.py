@@ -996,13 +996,33 @@ def _packed_pk(doc_id: F.Column, pos: F.Column) -> F.Column:
     )
 
 
-def _substr_dups(docs: DataFrame) -> DataFrame:
+# Cache the gram stream only when the source corpus is provably small
+# (on-disk parquet bytes — metadata, no job). The stream holds every
+# overlapping K-gram (16-byte digest + packed key per token, ~4-8x the
+# corpus text), so an unconditional persist is memory-hostile at scale;
+# below the gate it converts the detection stage's two full gram
+# evaluations (aggregation side + join-back side: split + 8-way
+# arrays_zip + posexplode + md5, the hottest stream in the repo) into
+# one evaluation + a columnar cache read — measured 1.47x on the full
+# rewrite at sf0.1 (interleaved). MEMORY_AND_DISK: spills rather than
+# evicts if the estimate is tight.
+_GRAM_CACHE_MAX_DOC_BYTES = 256 << 20
+
+
+def _substr_dups(docs: DataFrame, cache_grams: bool = False) -> DataFrame:
     """The duplicated (non-first) gram occurrences (doc_id, pos) of a
     corpus frame — the shared detection stage of the rewrite and the
-    span report."""
+    span report. `cache_grams` persists the gram stream between its
+    two consumers (aggregation + join-back); callers gate it on corpus
+    size (see _GRAM_CACHE_MAX_DOC_BYTES) because the stream is
+    token-count-sized."""
+    from pyspark import StorageLevel
+
     grams = _substr_grams(docs).withColumn(
         "pk", _packed_pk(F.col("doc_id"), F.col("pos"))
     )
+    if cache_grams:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     firsts = (
         grams.groupBy("gh")
         .agg(
@@ -1019,12 +1039,21 @@ def _substr_dups(docs: DataFrame) -> DataFrame:
     )
 
 
+def _gram_cache_ok(spark: SparkSession, sf_dir: str) -> bool:
+    from orionld_to_hive_spark.sources.warehouse import table_bytes
+
+    return table_bytes(spark, sf_dir, "documents") <= _GRAM_CACHE_MAX_DOC_BYTES
+
+
 def exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
     # cache the small duplicated-occurrence frame for the cut stage's
     # two consumers (one gram-pipeline evaluation instead of two)
-    return _substr_cut(docs, _substr_dups(docs).cache())
+    return _substr_cut(
+        docs,
+        _substr_dups(docs, cache_grams=_gram_cache_ok(spark, sf_dir)).cache(),
+    )
 
 
 # Lee et al.'s production setting removes only duplicated spans of at
@@ -1046,16 +1075,20 @@ def exact_substr_rewrite_minspan(
 ) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    return _minspan_cut(docs, min_span_len)
+    return _minspan_cut(
+        docs, min_span_len, cache_grams=_gram_cache_ok(spark, sf_dir)
+    )
 
 
-def _minspan_cut(docs: DataFrame, min_span_len: int) -> DataFrame:
+def _minspan_cut(
+    docs: DataFrame, min_span_len: int, cache_grams: bool = False
+) -> DataFrame:
     """Frame-level core of the thresholded rewrite (docs must carry a
     `toks` array column) — shared by the registry query and the
     property tests."""
     from pyspark.sql import Window
 
-    covered = _covered_idx(_substr_dups(docs))
+    covered = _covered_idx(_substr_dups(docs, cache_grams=cache_grams))
     w = Window.partitionBy("doc_id").orderBy("idx")
     # islands are contiguous index runs, so lo..hi re-expansion after
     # the length filter is exact (span_len == hi - lo + 1)
@@ -1090,7 +1123,7 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
     covered = (
-        _substr_dups(docs)
+        _substr_dups(docs, cache_grams=_gram_cache_ok(spark, sf_dir))
         .select(
             "doc_id",
             F.explode(

@@ -402,6 +402,180 @@ def _decode_jpeg_impl(payload: bytes) -> JpegImage:
     return _assemble(frame, scan_out, adobe_transform)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized DC-only scan decode (r14 second pass, guide §4.2). A flat-
+# block baseline scan is a rigid grammar per block — DC Huffman code,
+# `cat` magnitude bits, immediate EOB — and that structure covers the
+# whole synthesized corpus. The fast path below decodes such scans with
+# numpy instead of the per-symbol Python walk:
+#
+#   1. destuff the entropy segment once (vectorized 0xFF00 removal) and
+#      locate the terminating marker;
+#   2. for EVERY bit position q, decode speculatively via 16-bit-window
+#      LUTs: DC (value, length), the magnitude bits, and the symbol
+#      after them under the real AC table — giving a per-position block
+#      length L[q] and a validity flag ok[q] (`ok` requires that next
+#      symbol to be EOB under the scan's actual tables);
+#   3. chase the block chain p += L[p] (a plain-int loop over lists —
+#      n_blocks steps, not n_symbols Python frames), collecting each
+#      block's start/category/magnitude;
+#   4. EXTEND, per-component predictor cumsum and dequantization run
+#      vectorized; only coef[0] is nonzero by construction.
+#
+# EXACTNESS: the fast path answers ONLY when every block conforms to
+# the DC-only grammar under the stream's own Huffman tables and stays
+# inside the real entropy bits; any other condition — a real AC
+# coefficient, an invalid window, a restart interval, a category > 15,
+# an overrun into the virtual 1-padding — returns None and the serial
+# walk below runs unchanged. Where it answers, the arithmetic is the
+# same table lookup + EXTEND + predictor chain `_decode_block`
+# performs, pinned bit-identical on the corpus and on adversarial
+# streams in tests/test_opt_r14.py (and every pre-existing jpeg test
+# now exercises the dispatch).
+
+_LUT16_CACHE: dict = {}
+
+
+def _lut16(table) -> tuple:
+    """(val, length) int16 arrays indexed by every 16-bit lookahead
+    window; length 0 marks windows whose prefix decodes to no code.
+    Canonical codes are prefix-free, so the per-code ranges are
+    disjoint. Cached by table content (tables are rebuilt per payload
+    but shared across a corpus)."""
+    _lut, slow = table
+    key = tuple(sorted(slow.items()))
+    hit = _LUT16_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int16)
+    for (length, code), v in slow.items():
+        base = code << (16 - length)
+        span = 1 << (16 - length)
+        val[base : base + span] = v
+        ln[base : base + span] = length
+    _LUT16_CACHE[key] = (val, ln)
+    return val, ln
+
+
+def _entropy_segment(payload: bytes, data_start: int) -> tuple:
+    """(destuffed entropy bytes, absolute position of the terminating
+    marker's 0xFF) — vectorized equivalent of _BitReader's byte walk:
+    0xFF00 pairs collapse to 0xFF, the first 0xFF followed by any
+    other byte (or a trailing lone 0xFF) ends the segment."""
+    arr = np.frombuffer(payload, dtype=np.uint8)[data_start:]
+    if not len(arr):
+        return arr, data_start
+    is_marker = (arr[:-1] == 0xFF) & (arr[1:] != 0x00)
+    cand = np.nonzero(is_marker)[0]
+    if len(cand):
+        end = int(cand[0])
+    elif arr[-1] == 0xFF:
+        end = len(arr) - 1
+    else:
+        end = len(arr)
+    seg = arr[:end]
+    stuffed = np.zeros(len(seg), dtype=bool)
+    if len(seg) > 1:
+        stuffed[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
+    return seg[~stuffed], data_start + end
+
+
+def _dc_fast_coefs(payload, data_start, per_mcu, n_mcus):
+    """Try the vectorized DC-only decode of one interleaved baseline
+    scan. Returns (coef0_column, marker_pos) — the dequantized DC
+    coefficient per block in stream order — or None when the scan does
+    not conform (the caller then runs the serial walk)."""
+    blocks_per_mcu = len(per_mcu)
+    n_blocks = n_mcus * blocks_per_mcu
+    data, marker_pos = _entropy_segment(payload, data_start)
+    nbits = len(data) * 8
+    if nbits == 0:
+        return None
+    padded = np.concatenate(
+        [data, np.full(8, 0xFF, dtype=np.uint8)]
+    ).astype(np.uint32)
+    m24 = (padded[:-2] << 16) | (padded[1:-1] << 8) | padded[2:]
+
+    def win16(q):
+        return (m24[q >> 3] >> (8 - (q & 7))) & 0xFFFF
+
+    q = np.arange(nbits, dtype=np.int64)
+    w = win16(q)
+    # one packed per-position decode table per distinct (dc, ac) table
+    # pair in the MCU schedule (≤ 4 pairs; most scans share one):
+    # enc[q] = L<<26 | cat<<20 | mag, or -1 where the position does not
+    # decode as a DC-only block — ONE tolist per pair so the chain walk
+    # below runs on plain Python ints
+    pair_of_slot = []
+    pairs = {}
+    per_slot = []
+    for _cid, dct, act, qvals in per_mcu:
+        key = (id(dct), id(act))
+        if key not in pairs:
+            dval, dlen = _lut16(dct)
+            aval, alen = _lut16(act)
+            cat = dval[w].astype(np.int64)
+            dl = dlen[w].astype(np.int64)
+            capped = np.minimum(cat, 15)
+            wm = win16(q + dl)
+            mag = (wm >> (16 - capped)) & ((np.int64(1) << capped) - 1)
+            # `capped` also bounds the window index: positions whose
+            # category exceeds 15 are rejected below, so their lookup
+            # address only needs to stay in range
+            wa = win16(q + dl + capped)
+            av = aval[wa]
+            al = alen[wa].astype(np.int64)
+            ok = (dl > 0) & (cat <= 15) & (al > 0) & (av == 0)
+            enc = np.where(
+                ok, ((dl + cat + al) << 26) | (cat << 20) | mag, -1
+            )
+            pairs[key] = enc.tolist()
+        pair_of_slot.append(pairs[key])
+        per_slot.append(qvals[0])
+
+    # chase the block chain (plain-int list walk: n_blocks steps, not
+    # n_symbols Python frames)
+    p = 0
+    cats = [0] * n_blocks
+    mags = [0] * n_blocks
+    i = 0
+    for _m in range(n_mcus):
+        for s in range(blocks_per_mcu):
+            if p >= nbits:
+                return None
+            e = pair_of_slot[s][p]
+            if e < 0:
+                return None
+            cats[i] = (e >> 20) & 0x3F
+            mags[i] = e & 0xFFFFF
+            p += e >> 26
+            i += 1
+    if p > nbits:
+        return None
+
+    cat = np.array(cats, dtype=np.int64)
+    mag = np.array(mags, dtype=np.int64)
+    half = np.where(cat > 0, np.int64(1) << np.maximum(cat - 1, 0), np.int64(1))
+    ext = np.where(
+        cat == 0,
+        0,
+        np.where(mag >= half, mag, mag - (np.int64(1) << cat) + 1),
+    )
+    # per-component predictor chains: slots of one cid, in stream
+    # order, form that component's DC difference sequence
+    grid = ext.reshape(n_mcus, blocks_per_mcu)
+    dc = np.empty_like(grid)
+    cids = [slot[0] for slot in per_mcu]
+    for cid in set(cids):
+        cols = [s for s, c in enumerate(cids) if c == cid]
+        dc[:, cols] = (
+            np.cumsum(grid[:, cols].ravel()).reshape(n_mcus, len(cols))
+        )
+    q0 = np.array(per_slot, dtype=np.int64)[None, :]
+    return (dc * q0).ravel().astype(np.float64), marker_pos
+
+
 def _decode_scan(payload, data_start, body, frame, qt, huff,
                  restart_interval, scan_out) -> int:
     """Decode one scan's entropy data; returns stream position of the
@@ -452,26 +626,41 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
     # scan — per-block numpy work (alloc + two 8×8 matmuls) dominates
     # a python-loop decoder, batching it is a measured ~2× on the
     # registry corpus
-    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
-    r = _BitReader(payload, data_start)
-    pred = {key[0]: 0 for key, *_ in layout}
-    rst_n = 0
-    bi = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            r.align()
-            got = r.consume_rst()
-            if got != rst_n & 7:
-                raise ValueError("RST marker out of sequence")
-            rst_n += 1
-            for k in pred:
-                pred[k] = 0
-        for cid, dct, act, q in per_mcu:
-            _decode_block(r, dct, act, q, pred, cid, coefs[bi])
-            bi += 1
-    blocks = np.zeros((n_blocks, 64), dtype=np.float64)
-    blocks[:, ZIGZAG] = coefs
-    spatial = _IDCT_M.T @ blocks.reshape(n_blocks, 8, 8) @ _IDCT_M
+    # vectorized DC-only fast path (exact; None on any non-conforming
+    # block or when restarts partition the predictor chains)
+    fast = None if restart_interval else _dc_fast_coefs(
+        payload, data_start, per_mcu, n_mcus
+    )
+    if fast is not None:
+        coef0, end_pos = fast
+        # DC-only blocks are flat: the two 8×8 IDCT matmuls reduce to
+        # (M[0,i]·v)·M[0,j] — the same multiplication order (and
+        # therefore bit-identical doubles) as the matmul, whose only
+        # other addends are exact zeros
+        m0 = _IDCT_M[0]
+        spatial = (m0[None, :, None] * coef0[:, None, None]) * m0[None, None, :]
+    else:
+        coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+        r = _BitReader(payload, data_start)
+        pred = {key[0]: 0 for key, *_ in layout}
+        rst_n = 0
+        bi = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                r.align()
+                got = r.consume_rst()
+                if got != rst_n & 7:
+                    raise ValueError("RST marker out of sequence")
+                rst_n += 1
+                for k in pred:
+                    pred[k] = 0
+            for cid, dct, act, q in per_mcu:
+                _decode_block(r, dct, act, q, pred, cid, coefs[bi])
+                bi += 1
+        end_pos = r.pos
+        blocks = np.zeros((n_blocks, 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = coefs
+        spatial = _IDCT_M.T @ blocks.reshape(n_blocks, 8, 8) @ _IDCT_M
     # Vectorized tile scatter: block bi = m·B + off(+j) sits at plane
     # tile (my·cv + byi, mx·ch + bxi) — a pure reshape/transpose, no
     # per-block Python assignment (the old loop was ~30% of scan time
@@ -490,7 +679,7 @@ def _decode_scan(payload, data_start, body, frame, qt, huff,
                                                       ch * 8 * mcus_x)
         )[:ph, :pw]
         off += nb
-    return _skip_to_marker(payload, r.pos)
+    return _skip_to_marker(payload, end_pos)
 
 
 def _skip_to_marker(payload: bytes, p: int) -> int:
@@ -730,9 +919,12 @@ def _assemble(frame, scan_out, adobe_transform=None) -> JpegImage:
             raise ValueError(f"no scan data for component {cid}")
         plane = scan_out[cid]
         # pixel-replication upsample to full resolution, then crop
-        plane = np.repeat(
-            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
-        )
+        # (ratio-1 repeats skipped: np.repeat(…, 1) still copies the
+        # whole plane — r14, pure identity)
+        if vmax != cv:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        if hmax != ch:
+            plane = np.repeat(plane, hmax // ch, axis=1)
         out_planes.append(plane[:height, :width])
     if len(out_planes) == 1:
         px = np.clip(np.round(out_planes[0] + 128.0), 0, 255)

@@ -122,6 +122,24 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     return cache[key]
 
 
+def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """On-disk byte size of a warehouse table (sum of its parquet data
+    files, the same listing a Spark scan resolves). Metadata, not a
+    job — used as the scale gate for size-bounded in-query caches
+    (e.g. the exact-substr gram stream: cache when the corpus is
+    provably small, recompute when it is not)."""
+    cache = getattr(spark, "_graft_bytes_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_bytes_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
+    files = _parquet_files(os.path.join(sf_dir, f"{name}.parquet"))
+    cache[key] = sum(os.path.getsize(f) for f in files)
+    return cache[key]
+
+
 def _parquet_files(path: str) -> list[str]:
     """Every data file a Spark scan of `path` would read: RECURSIVE
     walk (partitioned/nested layouts nest part files under key=value
